@@ -1,0 +1,95 @@
+"""Host-side System builders: from raw molecule arrays to the padded flat layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from aimnetcentral_tpu.ops.neighbors import allpairs_nbmat, brute_force_nbmat
+from aimnetcentral_tpu.system import System
+
+
+def system_from_molecules(
+    molecules: list[dict],
+    cutoff: float | None = None,
+    lr_cutoff: float | None = None,
+    n_pad: int | None = None,
+    max_neighbors: int | None = None,
+) -> System:
+    """Pack molecules into one flat padded System.
+
+    Each molecule dict: ``coord`` (n,3), ``numbers`` (n,), optional ``charge``
+    (scalar), ``mult`` (scalar), ``cell`` (3,3).  With ``cutoff=None`` the SR
+    neighbor matrix is intra-molecular all-pairs (the dense-equivalent mode);
+    otherwise a cutoff-bounded brute-force build.  ``lr_cutoff`` adds
+    ``nbmat_lr`` (all-pairs when None but any molecule is periodic? no —
+    only when explicitly requested).
+    """
+    coords = [np.asarray(m["coord"], dtype=np.float32) for m in molecules]
+    numbers = [np.asarray(m["numbers"], dtype=np.int32) for m in molecules]
+    sizes = [len(c) for c in coords]
+    n_real = sum(sizes)
+    n_pad = n_pad or (n_real + 1)
+    assert n_pad > n_real, "need at least one padding row"
+    num_mol = len(molecules)
+
+    coord = np.ones((n_pad, 3), dtype=np.float32)
+    zs = np.zeros(n_pad, dtype=np.int32)
+    mol_idx = np.full(n_pad, num_mol, dtype=np.int32)
+    off = 0
+    for i, (c, z) in enumerate(zip(coords, numbers)):
+        coord[off : off + len(c)] = c
+        zs[off : off + len(c)] = z
+        mol_idx[off : off + len(c)] = i
+        off += len(c)
+
+    charge = np.array([m.get("charge", 0.0) for m in molecules], dtype=np.float32)
+    mult = None
+    if any("mult" in m for m in molecules):
+        mult = np.array([m.get("mult", 1.0) for m in molecules], dtype=np.float32)
+
+    cells = [m.get("cell") for m in molecules]
+    has_cell = any(c is not None for c in cells)
+    cell = None
+    if has_cell:
+        cell = np.stack(
+            [np.asarray(c if c is not None else np.eye(3), dtype=np.float32) for c in cells]
+        )
+
+    real_mol_idx = mol_idx[:n_real]
+    if cutoff is None and not has_cell:
+        nbmat = allpairs_nbmat(sizes, n_pad)
+        shifts = None
+    else:
+        assert cutoff is not None, "periodic systems need an explicit cutoff"
+        nbmat, shifts, _ = brute_force_nbmat(
+            coord[:n_real],
+            real_mol_idx,
+            cutoff,
+            max_neighbors=max_neighbors,
+            cell=cell if has_cell else None,
+            n_pad=n_pad,
+        )
+
+    nbmat_lr = shifts_lr = None
+    if lr_cutoff is not None:
+        nbmat_lr, shifts_lr, _ = brute_force_nbmat(
+            coord[:n_real],
+            real_mol_idx,
+            lr_cutoff,
+            cell=cell if has_cell else None,
+            n_pad=n_pad,
+        )
+
+    return System(
+        coord=jnp.asarray(coord),
+        numbers=jnp.asarray(zs),
+        charge=jnp.asarray(charge),
+        mol_idx=jnp.asarray(mol_idx),
+        nbmat=jnp.asarray(nbmat),
+        mult=jnp.asarray(mult) if mult is not None else None,
+        cell=jnp.asarray(cell) if cell is not None else None,
+        shifts=jnp.asarray(shifts) if shifts is not None else None,
+        nbmat_lr=jnp.asarray(nbmat_lr) if nbmat_lr is not None else None,
+        shifts_lr=jnp.asarray(shifts_lr) if shifts_lr is not None else None,
+    )
