@@ -1,0 +1,139 @@
+"""Derivatives: forces, stress, dense Hessians, and Hessian-vector products.
+
+ONE autograd story (SURVEY.md §7.3): because every energy term in this
+framework is differentiable JAX (including DSF/Ewald/PME Coulomb and D3),
+forces are ``jax.grad``, stress is the gradient w.r.t. a per-molecule
+row-vector strain (mirroring the reference's convention,
+reference aimnet/calculators/derivatives.py:68-92), Hessians are forward-over-
+reverse (``jax.jacfwd(jax.grad)``), and HVPs are a single ``jax.jvp`` of the
+gradient.  This subsumes the reference's per-method derivative zoo
+(fixed-charge FD vs relaxed-charge autograd, reference aimnet/modules/lr.py):
+every derivative here is exact and relaxed-charge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config, aimnet2_apply
+from aimnetcentral_tpu.ops import nb as nbops
+from aimnetcentral_tpu.system import System
+
+Array = jax.Array
+
+
+def apply_strain(system: System, scaling: Array) -> System:
+    """Apply per-molecule row-vector strain: coord' = coord @ S[mol], cell' = cell @ S.
+
+    ``scaling`` is (num_mol, 3, 3).  Padding atoms read the identity (their
+    coordinates are inert but must stay finite).
+    """
+    eye = jnp.eye(3, dtype=scaling.dtype)[None]
+    scaling_ext = jnp.concatenate([scaling, eye], axis=0)
+    atom_scaling = jnp.take(scaling_ext, system.mol_idx, axis=0)  # (N, 3, 3)
+    coord = jnp.einsum("ni,nij->nj", system.coord, atom_scaling)
+    cell = system.cell @ scaling if system.cell is not None else None
+    return system.replace(coord=coord, cell=cell)
+
+
+def make_eval_fn(
+    cfg: AIMNet2Config,
+    *,
+    forces: bool = False,
+    stress: bool = False,
+    hessian: bool = False,
+    sae_external: bool = True,
+    extra_keys: tuple[str, ...] = (),
+) -> Callable[[dict, System], dict]:
+    """Build a jittable evaluation function ``f(params, system) -> outputs``.
+
+    Output keys: ``energy`` (num_mol,), plus ``forces`` (N, 3),
+    ``stress`` (num_mol, 3, 3), ``hessian`` (n_real, 3, n_real, 3) as
+    requested, plus any model keys listed in ``extra_keys`` and always
+    ``charges`` (and ``mol_element_counts`` under SAE externalization).
+    """
+
+    keep = ("charges", "spin_charges", "dipole", "quadrupole", "mol_element_counts")
+
+    def collect(data: dict) -> dict:
+        out = {"energy": data["energy"]}
+        for k in keep + tuple(extra_keys):
+            if k in data and data[k] is not None:
+                out[k] = data[k]
+        return out
+
+    def energy_of(params: dict, system: System) -> tuple[Array, dict]:
+        data = aimnet2_apply(params, cfg, system, sae_external=sae_external)
+        return data["energy"].sum(), collect(data)
+
+    if not (forces or stress or hessian):
+
+        def eval_plain(params: dict, system: System) -> dict:
+            _, out = energy_of(params, system)
+            return out
+
+        return eval_plain
+
+    def eval_grad(params: dict, system: System) -> dict:
+        if stress:
+            assert system.cell is not None, "stress requires a periodic cell"
+            scaling0 = jnp.broadcast_to(
+                jnp.eye(3, dtype=system.coord.dtype), (system.num_mol, 3, 3)
+            )
+
+            def e_fn(coord: Array, scaling: Array) -> tuple[Array, dict]:
+                sys2 = apply_strain(system.replace(coord=coord), scaling)
+                return energy_of(params, sys2)
+
+            (de_dc, de_ds), out = jax.grad(e_fn, argnums=(0, 1), has_aux=True)(
+                system.coord, scaling0
+            )
+            volume = jnp.abs(jnp.linalg.det(system.cell))[:, None, None]
+            out["stress"] = de_ds / volume
+            if forces:
+                out["forces"] = -de_dc
+        else:
+
+            def e_fn_c(coord: Array) -> tuple[Array, dict]:
+                return energy_of(params, system.replace(coord=coord))
+
+            de_dc, out = jax.grad(e_fn_c, has_aux=True)(system.coord)
+            out["forces"] = -de_dc
+
+        if hessian:
+            def force_of(coord: Array) -> Array:
+                return -jax.grad(
+                    lambda c: energy_of(params, system.replace(coord=c))[0]
+                )(coord)
+
+            h = -jax.jacfwd(force_of)(system.coord)  # (N, 3, N, 3)
+            out["hessian"] = h
+        return out
+
+    return eval_grad
+
+
+def make_hvp_fn(cfg: AIMNet2Config, sae_external: bool = True):
+    """Matrix-free Hessian-vector product: one jvp of the gradient
+    (replaces reference aimnet/calculators/calculator.py:1755-1987)."""
+
+    def hvp(params: dict, system: System, v: Array) -> Array:
+        def grad_e(coord: Array) -> Array:
+            return jax.grad(
+                lambda c: aimnet2_apply(
+                    params, cfg, system.replace(coord=c), sae_external=sae_external
+                )["energy"].sum()
+            )(coord)
+
+        _, hv = jax.jvp(grad_e, (system.coord,), (v,))
+        return hv
+
+    return hvp
+
+
+def real_atom_hessian(h: Array, n_real: int) -> Array:
+    """Slice the padded (N,3,N,3) Hessian down to real atoms."""
+    return h[:n_real, :, :n_real, :]

@@ -1,0 +1,181 @@
+"""Periodic Coulomb: differentiable Ewald summation (and PME) in pure JAX.
+
+Replaces the reference's nvalchemiops Ewald/PME CUDA kernels and their
+three-way derivative workarounds (reference aimnet/modules/lr.py:617-960):
+written differentiably, so forces/stress/Hessians/HVPs are exact relaxed-
+charge autograd for every method.
+
+Conventions: coordinates in Angstrom, charges in e, energies in eV.
+Screening Gaussian width ``eta`` (erfc(d / (sqrt(2) eta)) real-space kernel),
+matching the reference's legacy pure-torch Ewald
+(reference aimnet/ops.py:196-273) which serves as the regression cross-check.
+
+The reciprocal-space structure factors are one (N, K) matmul + two
+elementwise trig ops + a segment reduction — MXU/VPU-friendly, no scatter.
+The k-grid is chosen on the host at neighbor-build time (static shape; cells
+change slowly, recompilation is rare and cheap relative to MD trajectories).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aimnetcentral_tpu import constants
+from aimnetcentral_tpu.ops import nb as nbops
+from aimnetcentral_tpu.system import System
+
+Array = jax.Array
+
+KE = constants.Hartree * constants.Bohr  # e^2/Angstrom -> eV
+
+
+@dataclasses.dataclass(frozen=True)
+class EwaldParams:
+    """Host-side Ewald discretization (static under jit)."""
+
+    eta: float
+    r_cutoff: float
+    k_cutoff: float
+    kmax: tuple[int, int, int]
+
+
+def estimate_ewald_parameters(
+    cell: np.ndarray, n_atoms: int, accuracy: float = 1e-6
+) -> EwaldParams:
+    """Balance real/reciprocal work (reference aimnet/ops.py:230-233 heuristic)."""
+    volume = abs(np.linalg.det(np.asarray(cell, dtype=np.float64)))
+    eta = (volume**2 / max(n_atoms, 1)) ** (1.0 / 6.0) / math.sqrt(2.0 * math.pi)
+    w = math.sqrt(-2.0 * math.log(accuracy))
+    r_cutoff = w * eta
+    k_cutoff = w / eta
+    recip = 2.0 * math.pi * np.linalg.inv(np.asarray(cell, dtype=np.float64)).T
+    b_norm = np.linalg.norm(recip, axis=1)
+    kmax = tuple(int(np.ceil(k_cutoff / b)) for b in b_norm)
+    return EwaldParams(eta=eta, r_cutoff=r_cutoff, k_cutoff=k_cutoff, kmax=kmax)
+
+
+def _k_grid(kmax: tuple[int, int, int]) -> np.ndarray:
+    """Integer reciprocal lattice points, zero excluded (host-side, static)."""
+    rng = [np.arange(-k, k + 1) for k in kmax]
+    pts = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
+    return pts[np.any(pts != 0, axis=1)].astype(np.float32)
+
+
+def ewald_energy(
+    coord: Array,
+    charges: Array,
+    cell: Array,
+    mol_idx: Array,
+    num_mol: int,
+    numbers: Array,
+    nbmat: Array,
+    shifts: Array,
+    eta: Array,
+    r_cutoff: Array,
+    k_cutoff: Array,
+    k_pts: Array,
+) -> Array:
+    """Total Ewald electrostatic energy per molecule (num_mol,) in eV.
+
+    ``cell`` is (num_mol, 3, 3); the real-space part runs over the provided
+    cutoff-bounded neighbor matrix; the reciprocal part evaluates all
+    molecules' structure factors in one batched matmul.  Includes self and
+    neutralizing-background terms, so charged cells are well-defined.
+    """
+    q = jnp.where(numbers > 0, charges, 0.0)
+
+    # --- real space (ordered pairs, 1/2 factor via FACTOR convention)
+    from aimnetcentral_tpu.ops.math import calc_distances
+
+    d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
+    valid = nbops.pair_mask(nbmat) & (d_ij < r_cutoff)
+    q_ij = q[:, None] * nbops.gather_nb(q, nbmat)
+    e_pair = jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta)) / d_ij
+    e_real_i = jnp.where(valid, q_ij * e_pair, 0.0).sum(-1)
+    e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
+
+    # --- reciprocal space: S(k) per molecule via segment sums
+    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B, 3, 3)
+    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip)  # (B, K, 3)
+    k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, K)
+    kmask = (k2 > 1e-12) & (k2 < k_cutoff * k_cutoff)
+
+    cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
+    atom_recip = jnp.take(cell_ext, mol_idx, axis=0)  # (N, 3, 3)
+    # phase[n, k] = r_n . k^(mol(n))
+    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip)  # (N, K, 3)
+    phase = jnp.einsum("nkh,nh->nk", kdir, coord)  # (N, K)
+    s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)  # (B, K)
+    s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
+    volume = jnp.abs(jnp.linalg.det(cell))  # (B,)
+    w = jnp.where(kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0)
+    e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im), axis=-1)
+
+    # --- self interaction
+    e_self = -nbops.mol_sum(q * q, mol_idx, num_mol) / (math.sqrt(2.0 * math.pi) * eta)
+
+    # --- neutralizing background for charged cells:
+    # E_bg = -pi * Q_tot^2 / (2 V alpha^2) with alpha = 1/(sqrt(2) eta)
+    q_tot = nbops.mol_sum(q, mol_idx, num_mol)
+    e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
+
+    return KE * (e_real + e_recip + e_self + e_bg)
+
+
+def attach_ewald(system: System, accuracy: float = 1e-6) -> System:
+    """Host-side: estimate Ewald discretization from the (concrete) cell and
+    attach it to the System.  Call OUTSIDE jit (the calculator does)."""
+    assert system.cell is not None
+    cell0 = np.asarray(system.cell)[0]
+    n_at = int(np.asarray(system.numbers > 0).sum())
+    p = estimate_ewald_parameters(cell0, max(n_at // system.num_mol, 1), accuracy)
+    return system.replace(
+        ewald_kpts=jnp.asarray(_k_grid(p.kmax)),
+        ewald_eta=jnp.float32(p.eta),
+        ewald_r_cutoff=jnp.float32(p.r_cutoff),
+        ewald_k_cutoff=jnp.float32(p.k_cutoff),
+    )
+
+
+def coulomb_periodic(
+    data: dict,
+    system: System,
+    method: str = "ewald",
+    accuracy: float = 1e-6,
+    key_in: str = "charges",
+) -> Array:
+    """Entry point used by LRCoulombHead for periodic cells.
+
+    The k-grid and eta must be attached to the System via ``attach_ewald``
+    (host-side, outside jit); the calculator does this in ``prepare_system``.
+    ``method='pme'`` currently routes to the same exact Ewald evaluation
+    (an FFT-mesh PME is planned for very large cells).
+    """
+    if system.cell is None:
+        raise ValueError(f"{method} Coulomb requires a periodic cell")
+    if system.ewald_kpts is None:
+        raise ValueError(
+            "System lacks Ewald parameters; call models.ewald.attach_ewald first"
+        )
+    nb, sh, _sfx = system.resolve_nb("_coulomb", "_lr", "")
+    if sh is None:
+        raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
+    return ewald_energy(
+        system.coord,
+        data[key_in],
+        system.cell,
+        system.mol_idx,
+        system.num_mol,
+        system.numbers,
+        nb,
+        sh,
+        system.ewald_eta,
+        system.ewald_r_cutoff,
+        system.ewald_k_cutoff,
+        system.ewald_kpts,
+    )

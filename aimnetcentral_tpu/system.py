@@ -51,6 +51,12 @@ class System:
     shifts_coulomb: Array | None = None
     nbmat_dftd3: Array | None = None
     shifts_dftd3: Array | None = None
+    # Ewald discretization (host-estimated, see models/ewald.py): k-grid is
+    # the static-shape part; eta/cutoffs ride along as traced scalars.
+    ewald_kpts: Array | None = None  # (K, 3) integer reciprocal points
+    ewald_eta: Array | None = None  # () screening width
+    ewald_r_cutoff: Array | None = None  # () real-space cutoff
+    ewald_k_cutoff: Array | None = None  # () reciprocal cutoff
 
     @property
     def natoms(self) -> int:

@@ -1,0 +1,110 @@
+"""Calculator facade tests (reference tests/test_calculator.py analogues):
+API surface, SAE float64 host application, batching, method switching,
+periodic stress, HVP == dense Hessian."""
+
+import numpy as np
+import pytest
+
+from aimnetcentral_tpu.calculators import AIMNet2Calculator
+from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+from conftest import random_molecule
+
+
+@pytest.fixture(scope="module")
+def calc(reference_aimnet2):
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # give the SAE table big reference-like float64 values to exercise the
+    # host-side exact summation path
+    sae = np.zeros(64)
+    sae[1] = -13.6
+    sae[6] = -1029.5
+    sae[7] = -1485.3
+    sae[8] = -2042.6
+    sd["outputs.atomic_shift.shifts.weight"] = sae.reshape(-1, 1)
+    params, aux = convert_state_dict(sd, cfg)
+    return AIMNet2Calculator((params, cfg, aux))
+
+
+def test_single_point(calc, rng):
+    coord, numbers = random_molecule(rng, 10)
+    out = calc({"coord": coord, "numbers": numbers, "charge": 0.0}, forces=True)
+    assert out["energy"].shape == (1,)
+    assert out["energy"].dtype == np.float64
+    assert out["forces"].shape == (10, 3)
+    assert out["charges"].shape == (10,)
+    # SAE applied exactly in float64
+    sae_expected = sum(
+        {1: -13.6, 6: -1029.5, 7: -1485.3, 8: -2042.6}[int(z)] for z in numbers
+    )
+    no_sae = out["energy"][0] - sae_expected
+    assert abs(no_sae) < 50.0  # NN + coulomb part is small vs SAE magnitude
+
+
+def test_dense_batch_input(calc, rng):
+    c1, z1 = random_molecule(rng, 7)
+    c2, z2 = random_molecule(rng, 5)
+    # dense (B, N, 3) with zero-padding, reference input convention
+    coord = np.zeros((2, 7, 3), dtype=np.float32)
+    numbers = np.zeros((2, 7), dtype=np.int64)
+    coord[0], numbers[0] = c1, z1
+    coord[1, :5], numbers[1, :5] = c2, z2
+    out = calc({"coord": coord, "numbers": numbers, "charge": [0.0, 0.0]}, forces=True)
+    assert out["energy"].shape == (2,)
+    out1 = calc({"coord": c1, "numbers": z1})
+    out2 = calc({"coord": c2, "numbers": z2})
+    np.testing.assert_allclose(out["energy"][0], out1["energy"][0], atol=1e-4)
+    np.testing.assert_allclose(out["energy"][1], out2["energy"][0], atol=1e-4)
+
+
+def test_method_switching(calc, rng):
+    coord, numbers = random_molecule(rng, 8)
+    data = {"coord": coord, "numbers": numbers}
+    e_simple = calc(data)["energy"][0]
+    calc.set_lrcoulomb_method("dsf")
+    e_dsf = calc(data)["energy"][0]
+    calc.set_lrcoulomb_method("simple")
+    e_simple2 = calc(data)["energy"][0]
+    assert e_simple == pytest.approx(e_simple2, abs=1e-9)
+    # dsf differs from simple but not wildly (small molecule within dsf_rc)
+    assert e_dsf != e_simple
+    assert abs(e_dsf - e_simple) < 1.0
+
+
+def test_periodic_stress_and_auto_dsf_switch(calc, rng):
+    coord, numbers = random_molecule(rng, 8, spread=2.5)
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    out = calc(
+        {"coord": coord + 4.0, "numbers": numbers, "cell": cell},
+        forces=True,
+        stress=True,
+    )
+    assert out["stress"].shape == (1, 3, 3)
+    assert np.isfinite(out["stress"]).all()
+    np.testing.assert_allclose(out["stress"][0], out["stress"][0].T, atol=1e-3)
+
+
+def test_ewald_periodic_energy(calc, rng):
+    coord, numbers = random_molecule(rng, 8, spread=2.5)
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    calc.set_lrcoulomb_method("ewald")
+    try:
+        out = calc(
+            {"coord": coord + 4.0, "numbers": numbers, "cell": cell}, forces=True
+        )
+        assert np.isfinite(out["energy"]).all()
+        assert np.isfinite(out["forces"]).all()
+    finally:
+        calc.set_lrcoulomb_method("simple")
+
+
+def test_hvp_matches_dense_hessian(calc, rng):
+    coord, numbers = random_molecule(rng, 5)
+    data = {"coord": coord, "numbers": numbers}
+    out = calc(data, hessian=True)
+    h = out["hessian"].reshape(15, 15)
+    v = rng.normal(size=(5, 3)).astype(np.float32)
+    hv = calc.hessian_vector_product(data, v)
+    np.testing.assert_allclose(hv.reshape(-1), h @ v.reshape(-1), atol=1e-3)
