@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -93,3 +94,9 @@ def system_from_molecules(
         nbmat_lr=jnp.asarray(nbmat_lr) if nbmat_lr is not None else None,
         shifts_lr=jnp.asarray(shifts_lr) if shifts_lr is not None else None,
     )
+
+
+def stack_systems(systems: list[System]) -> System:
+    """Stack same-shape Systems on a leading microbatch axis (for vmapped
+    training steps / data-parallel sharding)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *systems)

@@ -153,19 +153,11 @@ class AIMNet2Calculator:
     def _effective_cfg(self, has_cell: bool) -> AIMNet2Config:
         """Auto-switch simple -> DSF Coulomb for periodic cells
         (reference aimnet/calculators/calculator.py:1044-1062)."""
-        h = self._lr_head()
-        if not has_cell or h is None or h.method != "simple":
+        from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
+
+        if not has_cell:
             return self.cfg
-        new_outputs = tuple(
-            (
-                name,
-                dataclasses.replace(head, method="dsf")
-                if isinstance(head, LRCoulombHead)
-                else head,
-            )
-            for name, head in self.cfg.outputs
-        )
-        return dataclasses.replace(self.cfg, outputs=new_outputs)
+        return auto_switch_simple_to_dsf(self.cfg)
 
     # -- evaluation ---------------------------------------------------------
 

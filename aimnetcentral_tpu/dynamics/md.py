@@ -1,0 +1,305 @@
+"""On-device molecular dynamics: NVT/NVE stepping fused into ``lax.scan``.
+
+This is the structural inversion called out in SURVEY.md §3.1: the reference
+re-enters Python on every MD step (each kernel launch crosses the host
+boundary); here the ENTIRE loop — forces, integrator, thermostat, neighbor
+rebuild decision, cell-list reconstruction — is one compiled XLA program.
+Coordinates never leave HBM between steps; the host sees one device sync per
+``chunk`` steps (overflow counter check + observables).
+
+Integrators: velocity Verlet (NVE), Langevin BAOAB (NVT), Berendsen rescale.
+Neighbor lists: deferred rebuild with a Verlet skin — the cutoff is extended
+by ``skin``; a ``lax.cond`` inside the scan rebuilds the cell list only when
+some atom moved more than skin/2 since the last build (both branches compile
+once; the rebuild branch is the same static-shape cell-list kernel).
+
+Ensembles: pass a stacked params pytree (leading axis = members); forces are
+the gradient of the ensemble-mean energy (``vmap`` over members), matching
+the reference's 4-member families (README.md:140) but batched on one chip.
+
+Units: Angstrom / eV / amu; dt in fs via the ASE time conversion
+(reference aimnet/constants.py:4-9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aimnetcentral_tpu import constants
+from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config, aimnet2_apply
+from aimnetcentral_tpu.ops.cell_list import CellListSpec, build_cell_list, plan_cell_list
+from aimnetcentral_tpu.system import System
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MDConfig:
+    dt_fs: float = 0.5
+    temperature_K: float = 300.0
+    thermostat: str = "langevin"  # langevin | nve | berendsen
+    friction_fs: float = 0.01  # Langevin gamma in 1/fs
+    berendsen_tau_fs: float = 100.0
+    skin: float = 1.0  # Verlet skin (Angstrom)
+    lr_skin: float = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MDState:
+    coord: Array
+    veloc: Array  # ASE velocity units (Angstrom / ASE-time)
+    forces: Array  # forces at `coord` (velocity-Verlet carry: 1 eval/step)
+    system: System  # holds current nbmat/shifts
+    ref_coord: Array  # coordinates at last neighbor build
+    key: Array
+    overflow: Array  # accumulated dropped-neighbor count
+    epot: Array  # last potential energy per molecule
+
+
+def maxwell_boltzmann_velocities(
+    key: Array, masses: Array, numbers: Array, temperature_K: float
+) -> Array:
+    """Initial velocities at T (ASE units), zero for padding atoms."""
+    kT = constants.kB * temperature_K
+    sigma = jnp.sqrt(kT / masses)[:, None]
+    v = sigma * jax.random.normal(key, (masses.shape[0], 3), dtype=jnp.float32)
+    return jnp.where((numbers > 0)[:, None], v, 0.0)
+
+
+def kinetic_temperature(veloc: Array, masses: Array, numbers: Array) -> Array:
+    real = numbers > 0
+    ke = 0.5 * jnp.sum(jnp.where(real[:, None], masses[:, None] * veloc**2, 0.0))
+    ndof = 3 * real.sum()
+    return 2.0 * ke / (ndof * constants.kB)
+
+
+class MDDriver:
+    """Compile-once MD driver over a fixed-size periodic (or gas) system.
+
+    Parameters
+    ----------
+    params : model parameter pytree, or stacked pytree with ``ensemble=True``
+    cfg : AIMNet2Config (energy model; SAE externalized — absolute SAE offsets
+        do not affect dynamics)
+    system : initial System (defines static shapes)
+    md : MDConfig
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: AIMNet2Config,
+        system: System,
+        md: MDConfig = MDConfig(),
+        ensemble: bool = False,
+        seed: int = 0,
+    ):
+        from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
+
+        if system.cell is not None:
+            cfg = auto_switch_simple_to_dsf(cfg)
+        self.cfg = cfg
+        self.md = md
+        self.params = params
+        self.ensemble = ensemble
+
+        n_real = int(np.asarray(system.numbers > 0).sum())
+        cell_np = np.asarray(system.cell[0]) if system.cell is not None else None
+        extent = None
+        if cell_np is None:
+            c = np.asarray(system.coord)[: n_real]
+            extent = float((c.max(0) - c.min(0)).max()) + 2.0
+
+        self.sr_spec = plan_cell_list(
+            cell_np, n_real, cfg.aev.rc_s + md.skin, extent=extent
+        )
+        self.lr_spec = None
+        lr_cut = self._lr_cutoff()
+        if lr_cut is not None:
+            self.lr_spec = plan_cell_list(
+                cell_np, n_real, lr_cut + md.lr_skin, extent=extent
+            )
+
+        masses64 = constants.get_masses()
+        self.masses = jnp.asarray(
+            np.clip(masses64, 1e-6, None)[np.asarray(system.numbers)], dtype=jnp.float32
+        )
+
+        system = self._rebuild(system)
+        key = jax.random.key(seed)
+        key, vkey = jax.random.split(key)
+        veloc = maxwell_boltzmann_velocities(
+            vkey, self.masses, system.numbers, md.temperature_K
+        )
+        forces0, epot0 = jax.jit(self._force_fn)(self.params, system)
+        self.state = MDState(
+            coord=system.coord,
+            veloc=veloc,
+            forces=forces0,
+            system=system,
+            ref_coord=system.coord,
+            key=key,
+            overflow=jnp.int32(0),
+            epot=epot0,
+        )
+        self._chunk_fn: dict[int, Callable] = {}
+
+    def _lr_cutoff(self) -> float | None:
+        from aimnetcentral_tpu.models.heads import DFTD3Head, LRCoulombHead
+
+        cuts = []
+        for _n, h in self.cfg.outputs:
+            if isinstance(h, LRCoulombHead):
+                if h.method in ("simple", "ewald", "pme"):
+                    cuts.append(h.dsf_rc)  # real-space part / dsf fallback
+                else:
+                    cuts.append(h.dsf_rc)
+            elif isinstance(h, DFTD3Head):
+                cuts.append(h.cutoff)
+        return max(cuts) if cuts else None
+
+    # -- neighbor rebuild (device fn, also used inside scan) ---------------
+
+    def _build_nb(self, coord: Array, system: System) -> tuple[System, Array]:
+        cell0 = system.cell[0] if system.cell is not None else None
+        nbmat, shifts, ovf = build_cell_list(coord, system.numbers, self.sr_spec, cell0)
+        new = {"nbmat": nbmat, "shifts": shifts}
+        if self.lr_spec is not None:
+            nb_lr, sh_lr, ovf_lr = build_cell_list(
+                coord, system.numbers, self.lr_spec, cell0
+            )
+            ovf = ovf + ovf_lr
+            new.update({"nbmat_lr": nb_lr, "shifts_lr": sh_lr})
+        return system.replace(coord=coord, **new), ovf.astype(jnp.int32)
+
+    def _rebuild(self, system: System) -> System:
+        sys2, ovf = jax.jit(self._build_nb)(system.coord, system)
+        if int(ovf) > 0:
+            raise RuntimeError(
+                f"neighbor capacity overflow at initialization ({int(ovf)} pairs); "
+                "increase density_safety in plan_cell_list"
+            )
+        return sys2
+
+    # -- energy/forces ------------------------------------------------------
+
+    def _energy(self, params: Any, system: System) -> Array:
+        def e_single(p):
+            out = aimnet2_apply(p, self.cfg, system, sae_external=True)
+            return out["energy"]
+
+        if self.ensemble:
+            return jax.vmap(e_single)(params).mean(axis=0)
+        return e_single(params)
+
+    def _force_fn(self, params: Any, system: System) -> tuple[Array, Array]:
+        def etot(coord):
+            e = self._energy(params, system.replace(coord=coord))
+            return e.sum(), e
+
+        (_, e), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
+        return -g, e
+
+    # -- one MD step --------------------------------------------------------
+
+    def _step(self, state: MDState, _unused) -> tuple[MDState, dict]:
+        md = self.md
+        dt = md.dt_fs * constants.fs
+        m = self.masses[:, None]
+        real = (state.system.numbers > 0)[:, None]
+
+        acc = jnp.where(real, state.forces / m, 0.0)
+
+        v_half = state.veloc + 0.5 * dt * acc
+        coord = state.coord + dt * v_half
+
+        # neighbor refresh via skin criterion (both branches compiled once)
+        disp2 = jnp.sum((coord - state.ref_coord) ** 2, axis=-1)
+        need = jnp.max(jnp.where(real[:, 0], disp2, 0.0)) > (md.skin * 0.5) ** 2
+
+        def rebuild(c):
+            sys2, ovf = self._build_nb(c, state.system)
+            return sys2, c, ovf
+
+        def keep(c):
+            return state.system.replace(coord=c), state.ref_coord, jnp.int32(0)
+
+        system, ref_coord, ovf = jax.lax.cond(need, rebuild, keep, coord)
+
+        forces2, epot = self._force_fn(self.params, system)
+        acc2 = jnp.where(real, forces2 / m, 0.0)
+        veloc = v_half + 0.5 * dt * acc2
+
+        key = state.key
+        if md.thermostat == "langevin":
+            key, nkey = jax.random.split(state.key)
+            gamma = md.friction_fs / constants.fs
+            c1 = jnp.exp(-gamma * dt)
+            kT = constants.kB * md.temperature_K
+            sigma = jnp.sqrt((1.0 - c1 * c1) * kT / m)
+            noise = jax.random.normal(nkey, veloc.shape, dtype=veloc.dtype)
+            veloc = jnp.where(real, c1 * veloc + sigma * noise, 0.0)
+        elif md.thermostat == "berendsen":
+            t_now = kinetic_temperature(veloc, self.masses, system.numbers)
+            lam = jnp.sqrt(
+                1.0
+                + (md.dt_fs / md.berendsen_tau_fs)
+                * (md.temperature_K / jnp.maximum(t_now, 1.0) - 1.0)
+            )
+            veloc = jnp.where(real, veloc * lam, 0.0)
+
+        new_state = MDState(
+            coord=coord,
+            veloc=veloc,
+            forces=forces2,
+            system=system,
+            ref_coord=ref_coord,
+            key=key,
+            overflow=state.overflow + ovf,
+            epot=epot,
+        )
+        obs = {
+            "epot": epot.sum(),
+            "temperature": kinetic_temperature(veloc, self.masses, system.numbers),
+        }
+        return new_state, obs
+
+    # -- host API -----------------------------------------------------------
+
+    def run(self, n_steps: int, chunk: int = 50) -> dict[str, np.ndarray]:
+        """Run ``n_steps`` of MD; returns stacked per-step observables.
+
+        Device work happens in ``chunk``-step compiled scans; the host checks
+        the neighbor-overflow counter between chunks (compile-once design —
+        a true overflow raises instead of silently corrupting forces).
+        """
+        if chunk not in self._chunk_fn:
+
+            @jax.jit
+            def run_chunk(state: MDState):
+                return jax.lax.scan(self._step, state, None, length=chunk)
+
+            self._chunk_fn[chunk] = run_chunk
+
+        all_obs = []
+        state = self.state
+        for _ in range(int(np.ceil(n_steps / chunk))):
+            state, obs = self._chunk_fn[chunk](state)
+            if int(state.overflow) > 0:
+                raise RuntimeError(
+                    f"neighbor capacity overflow during MD ({int(state.overflow)}); "
+                    "re-plan with a larger safety factor"
+                )
+            all_obs.append(jax.tree.map(np.asarray, obs))
+        self.state = state
+        out = {
+            k: np.concatenate([o[k] for o in all_obs])[:n_steps] for k in all_obs[0]
+        }
+        return out

@@ -160,6 +160,19 @@ HeadSpec = (
 )
 
 
+def auto_switch_simple_to_dsf(cfg) -> "AIMNet2Config":  # noqa: F821
+    """Replace simple -> DSF Coulomb for periodic systems: bare-1/r pair sums
+    are neighbor-list-truncated and cutoff-sensitive under PBC
+    (reference aimnet/calculators/calculator.py:1044-1062)."""
+    import dataclasses as _dc
+
+    new_outputs = tuple(
+        (name, _dc.replace(h, method="dsf") if isinstance(h, LRCoulombHead) and h.method == "simple" else h)
+        for name, h in cfg.outputs
+    )
+    return _dc.replace(cfg, outputs=new_outputs)
+
+
 def head_init(rng: Array, head: HeadSpec) -> dict:
     if head.kind == "output":
         return {"mlp": mlp_init(rng, head.n_in, head.n_out, head.mlp)}

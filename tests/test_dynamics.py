@@ -1,0 +1,109 @@
+"""MD and relaxation engine tests: NVE energy conservation, Langevin
+thermostat temperature, neighbor rebuild correctness, FIRE convergence."""
+
+import numpy as np
+import pytest
+
+from aimnetcentral_tpu.builders import system_from_molecules
+from aimnetcentral_tpu.dynamics import MDConfig, MDDriver, fire_relax
+from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+from conftest import random_molecule
+
+
+@pytest.fixture(scope="module")
+def model(reference_aimnet2):
+    torch_model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params, _ = convert_state_dict(sd, cfg)
+    return params, cfg
+
+
+def _pbc_system(rng, n=24, a=9.0):
+    coord = rng.uniform(0.5, a - 0.5, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    return system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], cutoff=6.0, lr_cutoff=16.0
+    )
+
+
+def test_nve_energy_conservation(model, rng):
+    params, cfg = model
+    sys = _pbc_system(rng)
+    drv = MDDriver(
+        params, cfg, sys, MDConfig(dt_fs=0.2, thermostat="nve", temperature_K=50.0)
+    )
+    m = drv.masses
+    from aimnetcentral_tpu import constants
+
+    def etot(state):
+        real = (np.asarray(state.system.numbers) > 0)[:, None]
+        ke = 0.5 * np.sum(
+            np.where(real, np.asarray(m)[:, None] * np.asarray(state.veloc) ** 2, 0.0)
+        )
+        return float(np.asarray(state.epot).sum() + ke)
+
+    obs = drv.run(5, chunk=5)
+    e0 = etot(drv.state)
+    drv.run(40, chunk=20)
+    e1 = etot(drv.state)
+    assert e1 == pytest.approx(e0, abs=0.05)  # eV drift over 40 steps
+
+
+def test_langevin_holds_temperature(model, rng):
+    params, cfg = model
+    sys = _pbc_system(rng, n=30)
+    drv = MDDriver(
+        params,
+        cfg,
+        sys,
+        MDConfig(dt_fs=0.5, thermostat="langevin", temperature_K=300.0, friction_fs=0.05),
+    )
+    obs = drv.run(150, chunk=50)
+    t_mean = obs["temperature"][50:].mean()
+    assert 120.0 < t_mean < 600.0  # loose: small system, large fluctuations
+
+
+def test_md_neighbor_rebuild_consistency(model, rng):
+    """Forces after many steps (with rebuilds) must match a fresh calculator
+    evaluation at the final geometry."""
+    params, cfg = model
+    sys = _pbc_system(rng)
+    drv = MDDriver(params, cfg, sys, MDConfig(dt_fs=0.5, temperature_K=400.0, skin=0.5))
+    drv.run(60, chunk=30)
+    import jax
+
+    final_coord = np.asarray(drv.state.coord)
+    # fresh brute-force build at final geometry
+    n = 24
+    cell = np.asarray(sys.cell[0])
+    fresh = system_from_molecules(
+        [
+            {
+                "coord": final_coord[:n] - np.floor(final_coord[:n] @ np.linalg.inv(cell)) @ cell,
+                "numbers": np.asarray(sys.numbers)[:n],
+                "cell": cell,
+            }
+        ],
+        cutoff=6.0 + drv.md.skin,
+        lr_cutoff=16.0 + drv.md.lr_skin,
+    )
+    f_fresh, e_fresh = jax.jit(drv._force_fn)(params, fresh)
+    e_md = float(np.asarray(drv.state.epot).sum())
+    assert e_md == pytest.approx(float(np.asarray(e_fresh).sum()), abs=2e-3)
+
+
+def test_fire_relax_decreases_energy_and_forces(model, rng):
+    params, cfg = model
+    coord, numbers = random_molecule(rng, 10)
+    sys = system_from_molecules([{"coord": coord, "numbers": numbers}])
+
+    from aimnetcentral_tpu.models.aimnet2 import aimnet2_apply
+
+    e0 = float(aimnet2_apply(params, cfg, sys, sae_external=True)["energy"][0])
+    relaxed, info = fire_relax(params, cfg, sys, fmax=0.1, max_steps=300)
+    e1 = float(aimnet2_apply(params, cfg, relaxed, sae_external=True)["energy"][0])
+    assert e1 < e0
+    assert info["fmax"] < 0.1 or info["steps"] == 300
