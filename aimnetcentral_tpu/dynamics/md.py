@@ -3,19 +3,22 @@
 This is the structural inversion called out in SURVEY.md §3.1: the reference
 re-enters Python on every MD step (each kernel launch crosses the host
 boundary); here the ENTIRE loop — forces, integrator, thermostat, neighbor
-rebuild decision, cell-list reconstruction — is one compiled XLA program.
-Coordinates never leave HBM between steps; the host sees one device sync per
-``chunk`` steps (overflow counter check + observables).
+refresh decision, neighbor-structure reconstruction — is one compiled XLA
+program.  Coordinates never leave HBM between steps; the host sees one device
+sync per ``chunk`` steps (overflow counter check + observables).
+
+Engines:
+- ``binned`` (default for periodic systems): the stencil-roll dense pair
+  engine (ops/binned.py).  A neighbor "rebuild" is one argsort + one scatter
+  + a permutation of the carried state (coords, velocities, masses) — all
+  on device inside the scan via ``lax.cond`` on the Verlet-skin criterion.
+- ``indexed``: the (N, M) cell-list matrices (ops/cell_list.py), for small
+  or gas-phase systems.
 
 Integrators: velocity Verlet (NVE), Langevin BAOAB (NVT), Berendsen rescale.
-Neighbor lists: deferred rebuild with a Verlet skin — the cutoff is extended
-by ``skin``; a ``lax.cond`` inside the scan rebuilds the cell list only when
-some atom moved more than skin/2 since the last build (both branches compile
-once; the rebuild branch is the same static-shape cell-list kernel).
-
 Ensembles: pass a stacked params pytree (leading axis = members); forces are
-the gradient of the ensemble-mean energy (``vmap`` over members), matching
-the reference's 4-member families (README.md:140) but batched on one chip.
+the gradient of the ensemble-mean energy, matching the reference's 4-member
+families (README.md:140) but batched on one chip.
 
 Units: Angstrom / eV / amu; dt in fs via the ASE time conversion
 (reference aimnet/constants.py:4-9).
@@ -24,7 +27,6 @@ Units: Angstrom / eV / amu; dt in fs via the ASE time conversion
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -33,7 +35,8 @@ import numpy as np
 
 from aimnetcentral_tpu import constants
 from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config, aimnet2_apply
-from aimnetcentral_tpu.ops.cell_list import CellListSpec, build_cell_list, plan_cell_list
+from aimnetcentral_tpu.ops import binned as B
+from aimnetcentral_tpu.ops.cell_list import build_cell_list, plan_cell_list
 from aimnetcentral_tpu.system import System
 
 Array = jax.Array
@@ -47,7 +50,7 @@ class MDConfig:
     friction_fs: float = 0.01  # Langevin gamma in 1/fs
     berendsen_tau_fs: float = 100.0
     skin: float = 1.0  # Verlet skin (Angstrom)
-    lr_skin: float = 1.0
+    lr_skin: float = 1.0  # indexed engine only
 
 
 @jax.tree_util.register_dataclass
@@ -56,7 +59,8 @@ class MDState:
     coord: Array
     veloc: Array  # ASE velocity units (Angstrom / ASE-time)
     forces: Array  # forces at `coord` (velocity-Verlet carry: 1 eval/step)
-    system: System  # holds current nbmat/shifts
+    masses: Array  # (N,) amu — carried so binned re-permutation is free
+    system: System  # current neighbor structure (and layout, if binned)
     ref_coord: Array  # coordinates at last neighbor build
     key: Array
     overflow: Array  # accumulated dropped-neighbor count
@@ -66,7 +70,6 @@ class MDState:
 def maxwell_boltzmann_velocities(
     key: Array, masses: Array, numbers: Array, temperature_K: float
 ) -> Array:
-    """Initial velocities at T (ASE units), zero for padding atoms."""
     kT = constants.kB * temperature_K
     sigma = jnp.sqrt(kT / masses)[:, None]
     v = sigma * jax.random.normal(key, (masses.shape[0], 3), dtype=jnp.float32)
@@ -81,15 +84,14 @@ def kinetic_temperature(veloc: Array, masses: Array, numbers: Array) -> Array:
 
 
 class MDDriver:
-    """Compile-once MD driver over a fixed-size periodic (or gas) system.
+    """Compile-once MD driver over a fixed-size system.
 
     Parameters
     ----------
-    params : model parameter pytree, or stacked pytree with ``ensemble=True``
-    cfg : AIMNet2Config (energy model; SAE externalized — absolute SAE offsets
-        do not affect dynamics)
-    system : initial System (defines static shapes)
-    md : MDConfig
+    params : model parameter pytree (stacked with ``ensemble=True``)
+    cfg : AIMNet2Config (SAE externalized; absolute offsets don't move atoms)
+    system : initial compact System (defines shapes); periodic systems are
+        converted to the binned layout unless ``engine='indexed'``
     """
 
     def __init__(
@@ -100,6 +102,8 @@ class MDDriver:
         md: MDConfig = MDConfig(),
         ensemble: bool = False,
         seed: int = 0,
+        engine: str = "auto",
+        bin_safety: float = 2.0,
     ):
         from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
 
@@ -110,46 +114,75 @@ class MDDriver:
         self.params = params
         self.ensemble = ensemble
 
+        if engine == "auto":
+            engine = "binned" if system.cell is not None else "indexed"
+        self.engine = engine
+
         n_real = int(np.asarray(system.numbers > 0).sum())
         cell_np = np.asarray(system.cell[0]) if system.cell is not None else None
-        extent = None
-        if cell_np is None:
-            c = np.asarray(system.coord)[: n_real]
-            extent = float((c.max(0) - c.min(0)).max()) + 2.0
 
-        self.sr_spec = plan_cell_list(
-            cell_np, n_real, cfg.aev.rc_s + md.skin, extent=extent
-        )
-        self.lr_spec = None
-        lr_cut = self._lr_cutoff()
-        if lr_cut is not None:
-            self.lr_spec = plan_cell_list(
-                cell_np, n_real, lr_cut + md.lr_skin, extent=extent
+        mass_table = np.clip(constants.get_masses(), 1e-6, None).astype(np.float32)
+        self._mass_table = jnp.asarray(mass_table)
+
+        if engine == "binned":
+            edge = cfg.aev.rc_s + md.skin
+            safety = bin_safety
+            while True:
+                grid = dataclasses.replace(
+                    B.plan_bins(cell_np, n_real, edge, extent=self._extent(system), safety=safety),
+                    margin=md.skin,
+                )
+                sysb, _perm, ovf = jax.jit(
+                    B.to_binned_system, static_argnums=1
+                )(system, grid)
+                if int(ovf) == 0:
+                    break
+                safety *= 1.5
+                if safety > 32:
+                    raise RuntimeError("bin capacity planning failed")
+            self.grid = grid
+            system0 = sysb
+        else:
+            extent = None
+            if cell_np is None:
+                c = np.asarray(system.coord)[:n_real]
+                extent = float((c.max(0) - c.min(0)).max()) + 2.0
+            self.sr_spec = plan_cell_list(
+                cell_np, n_real, cfg.aev.rc_s + md.skin, extent=extent
             )
+            self.lr_spec = None
+            lr_cut = self._lr_cutoff()
+            if lr_cut is not None:
+                self.lr_spec = plan_cell_list(
+                    cell_np, n_real, lr_cut + md.lr_skin, extent=extent
+                )
+            system0 = self._rebuild_indexed(system)
 
-        masses64 = constants.get_masses()
-        self.masses = jnp.asarray(
-            np.clip(masses64, 1e-6, None)[np.asarray(system.numbers)], dtype=jnp.float32
-        )
-
-        system = self._rebuild(system)
+        masses = self._mass_table[system0.numbers]
         key = jax.random.key(seed)
         key, vkey = jax.random.split(key)
         veloc = maxwell_boltzmann_velocities(
-            vkey, self.masses, system.numbers, md.temperature_K
+            vkey, masses, system0.numbers, md.temperature_K
         )
-        forces0, epot0 = jax.jit(self._force_fn)(self.params, system)
+        forces0, epot0 = jax.jit(self._force_fn)(self.params, system0)
         self.state = MDState(
-            coord=system.coord,
+            coord=system0.coord,
             veloc=veloc,
             forces=forces0,
-            system=system,
-            ref_coord=system.coord,
+            masses=masses,
+            system=system0,
+            ref_coord=system0.coord,
             key=key,
             overflow=jnp.int32(0),
             epot=epot0,
         )
         self._chunk_fn: dict[int, Callable] = {}
+
+    @staticmethod
+    def _extent(system: System):
+        c = np.asarray(system.coord)
+        real = np.asarray(system.numbers) > 0
+        return (c[real].min(0) - 0.5, c[real].max(0) + 0.5)
 
     def _lr_cutoff(self) -> float | None:
         from aimnetcentral_tpu.models.heads import DFTD3Head, LRCoulombHead
@@ -157,17 +190,14 @@ class MDDriver:
         cuts = []
         for _n, h in self.cfg.outputs:
             if isinstance(h, LRCoulombHead):
-                if h.method in ("simple", "ewald", "pme"):
-                    cuts.append(h.dsf_rc)  # real-space part / dsf fallback
-                else:
-                    cuts.append(h.dsf_rc)
+                cuts.append(h.dsf_rc)
             elif isinstance(h, DFTD3Head):
                 cuts.append(h.cutoff)
         return max(cuts) if cuts else None
 
-    # -- neighbor rebuild (device fn, also used inside scan) ---------------
+    # -- neighbor structure refresh ----------------------------------------
 
-    def _build_nb(self, coord: Array, system: System) -> tuple[System, Array]:
+    def _build_nb_indexed(self, coord: Array, system: System) -> tuple[System, Array]:
         cell0 = system.cell[0] if system.cell is not None else None
         nbmat, shifts, ovf = build_cell_list(coord, system.numbers, self.sr_spec, cell0)
         new = {"nbmat": nbmat, "shifts": shifts}
@@ -179,12 +209,11 @@ class MDDriver:
             new.update({"nbmat_lr": nb_lr, "shifts_lr": sh_lr})
         return system.replace(coord=coord, **new), ovf.astype(jnp.int32)
 
-    def _rebuild(self, system: System) -> System:
-        sys2, ovf = jax.jit(self._build_nb)(system.coord, system)
+    def _rebuild_indexed(self, system: System) -> System:
+        sys2, ovf = jax.jit(self._build_nb_indexed)(system.coord, system)
         if int(ovf) > 0:
             raise RuntimeError(
-                f"neighbor capacity overflow at initialization ({int(ovf)} pairs); "
-                "increase density_safety in plan_cell_list"
+                f"neighbor capacity overflow at initialization ({int(ovf)} pairs)"
             )
         return sys2
 
@@ -192,8 +221,7 @@ class MDDriver:
 
     def _energy(self, params: Any, system: System) -> Array:
         def e_single(p):
-            out = aimnet2_apply(p, self.cfg, system, sae_external=True)
-            return out["energy"]
+            return aimnet2_apply(p, self.cfg, system, sae_external=True)["energy"]
 
         if self.ensemble:
             return jax.vmap(e_single)(params).mean(axis=0)
@@ -212,30 +240,69 @@ class MDDriver:
     def _step(self, state: MDState, _unused) -> tuple[MDState, dict]:
         md = self.md
         dt = md.dt_fs * constants.fs
-        m = self.masses[:, None]
+        m = state.masses[:, None]
         real = (state.system.numbers > 0)[:, None]
 
         acc = jnp.where(real, state.forces / m, 0.0)
-
         v_half = state.veloc + 0.5 * dt * acc
         coord = state.coord + dt * v_half
 
-        # neighbor refresh via skin criterion (both branches compiled once)
         disp2 = jnp.sum((coord - state.ref_coord) ** 2, axis=-1)
         need = jnp.max(jnp.where(real[:, 0], disp2, 0.0)) > (md.skin * 0.5) ** 2
 
-        def rebuild(c):
-            sys2, ovf = self._build_nb(c, state.system)
-            return sys2, c, ovf
+        if self.engine == "binned":
+            cell0 = state.system.cell[0] if state.system.cell is not None else None
 
-        def keep(c):
-            return state.system.replace(coord=c), state.ref_coord, jnp.int32(0)
+            def rebuild(c, v):
+                perm, wrap, ovf = B.bin_atoms(
+                    c, state.system.numbers, self.grid, cell0
+                )
+                cw = c - wrap @ cell0 if cell0 is not None else c
+                sys2 = state.system.replace(
+                    coord=B.to_slots(cw, perm),
+                    numbers=B.to_slots(state.system.numbers, perm),
+                    mol_idx=B.to_slots(state.system.mol_idx, perm),
+                )
+                return (
+                    sys2,
+                    B.to_slots(v, perm),
+                    B.to_slots(state.masses, perm),
+                    sys2.coord,
+                    ovf.astype(jnp.int32),
+                )
 
-        system, ref_coord, ovf = jax.lax.cond(need, rebuild, keep, coord)
+            def keep(c, v):
+                return (
+                    state.system.replace(coord=c),
+                    v,
+                    state.masses,
+                    state.ref_coord,
+                    jnp.int32(0),
+                )
 
+            system, v_half2, masses, ref_coord, ovf = jax.lax.cond(
+                need, rebuild, keep, coord, v_half
+            )
+            coord = system.coord
+        else:
+
+            def rebuild(c):
+                sys2, ovf = self._build_nb_indexed(c, state.system)
+                return sys2, c, ovf
+
+            def keep(c):
+                return state.system.replace(coord=c), state.ref_coord, jnp.int32(0)
+
+            system, ref_coord, ovf = jax.lax.cond(need, rebuild, keep, coord)
+            coord = system.coord
+            v_half2 = v_half
+            masses = state.masses
+
+        m = masses[:, None]
+        real = (system.numbers > 0)[:, None]
         forces2, epot = self._force_fn(self.params, system)
         acc2 = jnp.where(real, forces2 / m, 0.0)
-        veloc = v_half + 0.5 * dt * acc2
+        veloc = v_half2 + 0.5 * dt * acc2
 
         key = state.key
         if md.thermostat == "langevin":
@@ -247,7 +314,7 @@ class MDDriver:
             noise = jax.random.normal(nkey, veloc.shape, dtype=veloc.dtype)
             veloc = jnp.where(real, c1 * veloc + sigma * noise, 0.0)
         elif md.thermostat == "berendsen":
-            t_now = kinetic_temperature(veloc, self.masses, system.numbers)
+            t_now = kinetic_temperature(veloc, masses, system.numbers)
             lam = jnp.sqrt(
                 1.0
                 + (md.dt_fs / md.berendsen_tau_fs)
@@ -259,6 +326,7 @@ class MDDriver:
             coord=coord,
             veloc=veloc,
             forces=forces2,
+            masses=masses,
             system=system,
             ref_coord=ref_coord,
             key=key,
@@ -267,7 +335,7 @@ class MDDriver:
         )
         obs = {
             "epot": epot.sum(),
-            "temperature": kinetic_temperature(veloc, self.masses, system.numbers),
+            "temperature": kinetic_temperature(veloc, masses, system.numbers),
         }
         return new_state, obs
 
@@ -278,8 +346,7 @@ class MDDriver:
 
         Device work happens in ``chunk``-step compiled scans; the host checks
         the neighbor-overflow counter between chunks (compile-once design —
-        a true overflow raises instead of silently corrupting forces).
-        """
+        a true overflow raises instead of silently corrupting forces)."""
         if chunk not in self._chunk_fn:
 
             @jax.jit

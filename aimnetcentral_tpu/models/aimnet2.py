@@ -230,13 +230,16 @@ def aimnet2_apply(
     else:
         big_q = system.charge[:, None]
 
-    d_ij, r_ij = aops.calc_distances(
-        system.coord, system.nbmat, system.shifts, system.cell, system.mol_idx
-    )
-    valid = nbops.pair_mask(system.nbmat)
-    g_sv = _calc_aev(params, cfg, d_ij, r_ij, valid)
-
-    data: dict = {"d_ij": d_ij, "g_sv": g_sv, "_sae_external": sae_external}
+    binned = system.bins is not None
+    if binned:
+        data: dict = {"_sae_external": sae_external}
+    else:
+        d_ij, r_ij = aops.calc_distances(
+            system.coord, system.nbmat, system.shifts, system.cell, system.mol_idx
+        )
+        valid = nbops.pair_mask(system.nbmat)
+        g_sv = _calc_aev(params, cfg, d_ij, r_ij, valid)
+        data = {"d_ij": d_ij, "g_sv": g_sv, "_sae_external": sae_external}
 
     charges = None
     delta_q_log = []
@@ -244,15 +247,31 @@ def aimnet2_apply(
     a_flat = a.reshape(n, -1) if cfg.d2features else a
 
     for ipass in range(npass):
-        conv_a = _conv_sv(
-            params["conv_a"]["agh"], a, g_sv, system.nbmat, cfg.d2features
-        )
+        if binned:
+            from aimnetcentral_tpu.models.engine_binned import conv_pass_binned
+
+            conv_a, conv_q = conv_pass_binned(
+                system,
+                params["aev"],
+                a,
+                charges if ipass > 0 else None,
+                params["conv_a"]["agh"],
+                params["conv_q"]["agh"],
+                cfg.d2features,
+                rc_static=cfg.aev.rc_s,
+            )
+        else:
+            conv_a = _conv_sv(
+                params["conv_a"]["agh"], a, g_sv, system.nbmat, cfg.d2features
+            )
+            conv_q = (
+                _conv_sv(params["conv_q"]["agh"], charges, g_sv, system.nbmat, False)
+                if ipass > 0
+                else None
+            )
         if ipass == 0:
             x = jnp.concatenate([a_flat, conv_a], axis=-1)
         else:
-            conv_q = _conv_sv(
-                params["conv_q"]["agh"], charges, g_sv, system.nbmat, False
-            )
             x = jnp.concatenate([a_flat, conv_a, charges, conv_q], axis=-1)
 
         out = mlp_apply(params["mlps"][ipass], x, mlp_spec_for_pass(cfg, ipass))

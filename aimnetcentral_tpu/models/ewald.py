@@ -127,6 +127,66 @@ def ewald_energy(
     return KE * (e_real + e_recip + e_self + e_bg)
 
 
+def coulomb_periodic_binned(
+    data: dict,
+    system: System,
+    accuracy: float = 1e-6,
+    key_in: str = "charges",
+) -> Array:
+    """Ewald on the binned layout: real-space part via the stencil-roll pair
+    engine, reciprocal/self/background parts are layout-agnostic."""
+    from aimnetcentral_tpu.models.engine_binned import ewald_real_binned
+    from aimnetcentral_tpu.ops import nb as nbops
+
+    if system.cell is None:
+        raise ValueError("periodic Coulomb requires a cell")
+    if system.ewald_kpts is None or system.ewald_r_static is None:
+        raise ValueError("call models.ewald.attach_ewald on the System first")
+
+    q = jnp.where(system.numbers > 0, data[key_in], 0.0)
+    eta = system.ewald_eta
+    e_real = ewald_real_binned(system, q, eta, system.ewald_r_static)
+
+    e_other = _ewald_nonreal(
+        system.coord,
+        q,
+        system.cell,
+        system.mol_idx,
+        system.num_mol,
+        eta,
+        system.ewald_k_cutoff,
+        system.ewald_kpts,
+    )
+    return KE * (e_real + e_other)
+
+
+def _ewald_nonreal(
+    coord, q, cell, mol_idx, num_mol, eta, k_cutoff, k_pts
+) -> Array:
+    """Reciprocal + self + background terms (no k_e factor)."""
+    from aimnetcentral_tpu.ops import nb as nbops
+
+    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)
+    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip)
+    k2 = jnp.sum(kvec * kvec, axis=-1)
+    kmask = (k2 > 1e-12) & (k2 < k_cutoff * k_cutoff)
+    cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
+    atom_recip = jnp.take(cell_ext, mol_idx, axis=0)
+    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip)
+    phase = jnp.einsum("nkh,nh->nk", kdir, coord)
+    s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)
+    s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
+    volume = jnp.abs(jnp.linalg.det(cell))
+    w = jnp.where(kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0)
+    e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im), axis=-1)
+    e_self = -nbops.mol_sum(q * q, mol_idx, num_mol) / (
+        jnp.sqrt(2.0 * jnp.pi) * eta
+    )
+    q_tot = nbops.mol_sum(q, mol_idx, num_mol)
+    e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
+    return e_recip + e_self + e_bg
+
+
 def attach_ewald(system: System, accuracy: float = 1e-6) -> System:
     """Host-side: estimate Ewald discretization from the (concrete) cell and
     attach it to the System.  Call OUTSIDE jit (the calculator does)."""
@@ -139,6 +199,7 @@ def attach_ewald(system: System, accuracy: float = 1e-6) -> System:
         ewald_eta=jnp.float32(p.eta),
         ewald_r_cutoff=jnp.float32(p.r_cutoff),
         ewald_k_cutoff=jnp.float32(p.k_cutoff),
+        ewald_r_static=float(p.r_cutoff),
     )
 
 

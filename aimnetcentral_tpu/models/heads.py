@@ -237,7 +237,6 @@ def head_apply(head: HeadSpec, params: dict, data: dict, system: System) -> dict
                 jax.nn.one_hot(system.numbers, head.num_types, dtype=jnp.int32),
                 system.mol_idx,
                 num_segments=system.num_mol + 1,
-                indices_are_sorted=True,
             )[: system.num_mol]
             return {**data, "mol_element_counts": counts}
         return {**data, head.key_out: data[head.key_in] + shifts}
@@ -270,8 +269,49 @@ def head_apply(head: HeadSpec, params: dict, data: dict, system: System) -> dict
         return {**data, head.key_out: jnp.concatenate([x1, x2], axis=-1)}
 
     if head.kind == "srrep":
-        e = lr.srrep_energy(data, system, params, head.rc, head.cutoff_fn)
+        if system.bins is not None:
+            from aimnetcentral_tpu.models import engine_binned as eb
+
+            e = eb.srrep_binned(system, params["gfn1_ab"], head.rc, head.cutoff_fn)
+        else:
+            e = lr.srrep_energy(data, system, params, head.rc, head.cutoff_fn)
         return _add_energy(data, head.key_out, e)
+
+    if head.kind == "lrcoulomb" and system.bins is not None:
+        from aimnetcentral_tpu.models import engine_binned as eb
+
+        if head.method == "dsf":
+            e = eb.coulomb_dsf_binned(
+                system,
+                data[head.key_in],
+                head.rc,
+                head.dsf_alpha,
+                head.dsf_rc,
+                head.envelope,
+                head.subtract_sr,
+            )
+        elif head.method in ("ewald", "pme"):
+            from aimnetcentral_tpu.models import ewald as ew
+
+            e = ew.coulomb_periodic_binned(
+                data, system, accuracy=head.ewald_accuracy, key_in=head.key_in
+            )
+            if head.subtract_sr:
+                e = e - eb.coulomb_sr_binned(
+                    system, data[head.key_in], head.rc, head.envelope
+                )
+        else:
+            raise ValueError(
+                f"Coulomb method {head.method!r} is not supported on the binned "
+                "engine (simple is auto-switched to dsf for periodic systems)"
+            )
+        return _add_energy(data, head.key_out, e)
+
+    if head.kind == "srcoulomb" and system.bins is not None:
+        from aimnetcentral_tpu.models import engine_binned as eb
+
+        e_sr = eb.coulomb_sr_binned(system, data[head.key_in], head.rc, head.envelope)
+        return _add_energy(data, head.key_out, -e_sr)
 
     if head.kind == "lrcoulomb":
         if head.method == "simple":

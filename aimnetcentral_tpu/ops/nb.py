@@ -42,14 +42,12 @@ def mask_pad_atoms(x: Array, numbers: Array, fill: float = 0.0) -> Array:
 def mol_sum(x: Array, mol_idx: Array, num_mol: int) -> Array:
     """Per-molecule sum: (N, ...) -> (num_mol, ...).
 
-    Atoms are sorted by molecule; trailing padding rows carry segment id
-    ``num_mol`` which lands in a trash segment and is dropped.
-    Replaces the reference's scatter_add with data-dependent out_size
-    (reference aimnet/nbops.py:309-377).
+    Padding rows carry segment id ``num_mol`` which lands in a trash segment
+    and is dropped.  Replaces the reference's scatter_add with data-dependent
+    out_size (reference aimnet/nbops.py:309-377).  ``indices_are_sorted`` is
+    not promised: the bin-sorted slot layout interleaves molecules.
     """
-    out = jax.ops.segment_sum(
-        x, mol_idx, num_segments=num_mol + 1, indices_are_sorted=True
-    )
+    out = jax.ops.segment_sum(x, mol_idx, num_segments=num_mol + 1)
     return out[:num_mol]
 
 

@@ -26,10 +26,13 @@ Optional long-range neighbor matrices (``nbmat_lr`` / ``nbmat_coulomb`` /
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
+
+if TYPE_CHECKING:
+    from aimnetcentral_tpu.ops.binned import BinGrid
 
 Array = jax.Array
 
@@ -40,8 +43,8 @@ class System:
     coord: Array  # (N, 3) float32
     numbers: Array  # (N,) int32, 0 = padding
     charge: Array  # (num_mol,) float32 total molecular charge
-    mol_idx: Array  # (N,) int32 in [0, num_mol], sorted ascending
-    nbmat: Array  # (N, M) int32, fill value N-1
+    mol_idx: Array  # (N,) int32 in [0, num_mol]
+    nbmat: Array | None = None  # (N, M) int32, fill value N-1 (indexed engine)
     mult: Array | None = None  # (num_mol,) float32 spin multiplicity (NSE models)
     cell: Array | None = None  # (num_mol, 3, 3) float32 or None
     shifts: Array | None = None  # (N, M, 3) float32 fractional lattice shifts
@@ -57,6 +60,17 @@ class System:
     ewald_eta: Array | None = None  # () screening width
     ewald_r_cutoff: Array | None = None  # () real-space cutoff
     ewald_k_cutoff: Array | None = None  # () reciprocal cutoff
+    # Stencil-roll dense engine (ops/binned.py): when set, atoms are in the
+    # slot-padded bin-sorted layout and pair ops use dense bin blocks
+    # instead of nbmat.  Static metadata (hashable) -> part of the jit key.
+    bins: "BinGrid | None" = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    # Static copy of the Ewald real-space cutoff (the binned engine needs a
+    # host value to size its stencil radius)
+    ewald_r_static: float | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def natoms(self) -> int:

@@ -35,13 +35,14 @@ def test_nve_energy_conservation(model, rng):
     drv = MDDriver(
         params, cfg, sys, MDConfig(dt_fs=0.2, thermostat="nve", temperature_K=50.0)
     )
-    m = drv.masses
-    from aimnetcentral_tpu import constants
-
     def etot(state):
         real = (np.asarray(state.system.numbers) > 0)[:, None]
         ke = 0.5 * np.sum(
-            np.where(real, np.asarray(m)[:, None] * np.asarray(state.veloc) ** 2, 0.0)
+            np.where(
+                real,
+                np.asarray(state.masses)[:, None] * np.asarray(state.veloc) ** 2,
+                0.0,
+            )
         )
         return float(np.asarray(state.epot).sum() + ke)
 

@@ -1,0 +1,150 @@
+"""Training stack tests: dataset mechanics, SAE regression, trainer smoke
+(loss decreases on a synthetic task), export round-trip."""
+
+import numpy as np
+import pytest
+
+from aimnetcentral_tpu.data.sgdataset import SizeGroupedDataset, SizeGroupedSampler
+from aimnetcentral_tpu.models.aimnet2 import AEVConfig, AIMNet2Config, aimnet2_init
+from aimnetcentral_tpu.models.heads import (
+    AtomicShiftHead,
+    AtomicSumHead,
+    LRCoulombHead,
+    OutputHead,
+)
+from aimnetcentral_tpu.models.modules import MLPSpec
+from aimnetcentral_tpu.train.sae import calc_sae
+from aimnetcentral_tpu.train.trainer import Trainer, TrainerConfig
+from aimnetcentral_tpu.train.loss import LossConfig, LossTerm
+
+
+def _tiny_cfg():
+    return AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((32,), (32,), (32,)),
+        aim_size=32,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=32, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(16,), last_linear=True)),
+            ),
+            ("atomic_shift", AtomicShiftHead(key_in="energy", key_out="energy")),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+
+
+def _synthetic_ds(rng, sizes=(4, 6), n_per=24):
+    """Toy task: energy = sum of pair LJ-ish terms; forces from FD not needed
+    (energy-only training)."""
+    groups = {}
+    for size in sizes:
+        coord = rng.uniform(-3, 3, size=(n_per, size, 3)).astype(np.float32)
+        numbers = rng.choice([1, 6, 8], size=(n_per, size))
+        d = np.linalg.norm(coord[:, :, None] - coord[:, None, :], axis=-1)
+        iu = np.triu_indices(size, k=1)
+        dd = np.clip(d[:, iu[0], iu[1]], 0.7, None)
+        energy = (1.0 / dd**2 - 1.0 / dd).sum(-1).astype(np.float32)
+        energy += numbers.sum(-1) * 0.1
+        groups[size] = {
+            "coord": coord,
+            "numbers": numbers,
+            "energy": energy,
+            "charge": np.zeros(n_per, dtype=np.float32),
+        }
+    return SizeGroupedDataset(groups)
+
+
+def test_sampler_shapes(rng):
+    ds = _synthetic_ds(rng)
+    sampler = SizeGroupedSampler(ds, batch_size=8, shuffle=True, seed=0)
+    batches = list(sampler)
+    assert len(batches) == len(sampler)
+    sizes = {s for s, _ in batches}
+    assert sizes == {4, 6}
+    # atoms mode
+    sampler2 = SizeGroupedSampler(ds, batch_size=24, batch_mode="atoms")
+    assert all(len(idx) <= 6 for _s, idx in sampler2)
+
+
+def test_batch_system_layout(rng):
+    ds = _synthetic_ds(rng)
+    sample = ds[4].sample(np.arange(5))
+    system, labels = ds.make_batch_system(4, sample, pad_mols=8)
+    assert system.coord.shape == (8 * 4 + 1, 3)
+    assert system.num_mol == 8
+    assert labels["energy"].shape == (8,)
+    assert int(np.asarray(system.numbers)[-1]) == 0
+    # molecule idx of padded molecules goes to trash segment
+    assert int(np.asarray(system.mol_idx)[-1]) == 8
+
+
+def test_sae_regression(rng):
+    ds = _synthetic_ds(rng, sizes=(5,), n_per=60)
+    # energy dominated by per-element baseline 0.1*Z
+    sae = calc_sae(ds)
+    for z in (1, 6, 8):
+        assert sae[z] == pytest.approx(0.1 * z, abs=0.5)
+
+
+def test_trainer_loss_decreases(rng, tmp_path):
+    import jax
+
+    ds = _synthetic_ds(rng)
+    cfg = _tiny_cfg()
+    params = aimnet2_init(jax.random.key(0), cfg)
+    tcfg = TrainerConfig(
+        max_epochs=6,
+        batch_size=12,
+        learning_rate=3e-3,
+        with_forces=False,
+        checkpoint_dir=str(tmp_path),
+        log_file=str(tmp_path / "log.jsonl"),
+    )
+    loss_cfg = LossConfig(
+        terms=(LossTerm(kind="energy", key_pred="energy", key_true="energy"),)
+    )
+    trainer = Trainer(cfg, params, ds, val_ds=ds, tcfg=tcfg, loss_cfg=loss_cfg)
+    out = trainer.fit()
+    h = out["history"]
+    assert h[-1]["train_loss"] < h[0]["train_loss"]
+    assert (tmp_path / "best.npz").exists()
+    assert (tmp_path / "log.jsonl").exists()
+    assert "energy_mae" in h[-1]
+
+
+def test_export_roundtrip(rng, tmp_path):
+    import jax
+
+    from aimnetcentral_tpu.models.loader import load_v2_artifact
+    from aimnetcentral_tpu.train.export import export_model
+
+    cfg = _tiny_cfg()
+    # add an embedded LRCoulomb to exercise externalization
+    cfg = AIMNet2Config(
+        aev=cfg.aev,
+        nfeature=cfg.nfeature,
+        d2features=cfg.d2features,
+        ncomb_v=cfg.ncomb_v,
+        hidden=cfg.hidden,
+        aim_size=cfg.aim_size,
+        outputs=cfg.outputs
+        + (("lrcoulomb", LRCoulombHead(rc=4.6, key_in="charges", key_out="energy")),),
+    )
+    params = aimnet2_init(jax.random.key(1), cfg)
+    sae = {1: -13.6, 6: -1029.5, 8: -2042.6}
+    path = str(tmp_path / "exported.pt")
+    artifact = export_model(params, cfg, path, sae=sae, implemented_species=[1, 6, 8])
+    assert artifact["needs_coulomb"]
+    assert artifact["coulomb_mode"] == "sr_embedded"
+
+    loaded = load_v2_artifact(path)
+    assert loaded.metadata["needs_coulomb"]
+    assert "external_coulomb" in [n for n, _ in loaded.cfg.outputs]
+    # baked SAE recovered as float64 host table
+    sae_table = next(iter(loaded.aux["sae"].values()))
+    assert sae_table[6] == pytest.approx(-1029.5, abs=1e-9)
