@@ -87,6 +87,7 @@ def system_from_molecules(
         numbers=jnp.asarray(zs),
         charge=jnp.asarray(charge),
         mol_idx=jnp.asarray(mol_idx),
+        species=tuple(sorted(int(z) for z in np.unique(zs) if z > 0)),
         nbmat=jnp.asarray(nbmat),
         mult=jnp.asarray(mult) if mult is not None else None,
         cell=jnp.asarray(cell) if cell is not None else None,

@@ -313,6 +313,29 @@ def head_apply(head: HeadSpec, params: dict, data: dict, system: System) -> dict
         e_sr = eb.coulomb_sr_binned(system, data[head.key_in], head.rc, head.envelope)
         return _add_energy(data, head.key_out, -e_sr)
 
+    if head.kind == "dftd3" and system.bins is not None:
+        from aimnetcentral_tpu.models import engine_binned as eb
+
+        e = eb.dftd3_binned(
+            system,
+            params,
+            head.a1,
+            head.a2,
+            head.s8,
+            head.s6,
+            smoothing_on=head.cutoff * (1.0 - head.smoothing_fraction),
+            smoothing_off=head.cutoff,
+        )
+        return _add_energy(data, head.key_out, e)
+
+    if head.kind == "d3ts" and system.bins is not None:
+        from aimnetcentral_tpu.models import engine_binned as eb
+
+        e = eb.d3ts_binned(
+            system, params, data[head.key_in], head.a1, head.a2, head.s8, head.s6
+        )
+        return _add_energy(data, head.key_out, e)
+
     if head.kind == "lrcoulomb":
         if head.method == "simple":
             e = lr.coulomb_simple(

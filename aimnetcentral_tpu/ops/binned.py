@@ -168,6 +168,38 @@ def _wrap_shift(bin3_grid: Array, offset: Array, nbins: Array) -> Array:
     return jnp.floor_divide(bin3_grid + offset, nbins)
 
 
+def stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side constant tables for a stencil sweep.
+
+    Returns ``(nbr_bins, wraps, is_zero_offset)`` with shapes
+    (S, B) int32 / (S, B, 3) float32 / (S,) bool:
+    for sweep step s, bin b's candidate bin is ``nbr_bins[s, b]`` whose atoms
+    must be shifted by ``wraps[s, b] @ cell``.  For gas-phase grids,
+    out-of-range targets get nbr_bins = -1 (masked).
+    """
+    nx, ny, nz = grid.nbins
+    offs = stencil_offsets(radius)  # (S, 3), (0,0,0) first
+    bx, by, bz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    bin3 = np.stack([bx, by, bz], axis=-1).reshape(-1, 3)  # (B, 3)
+    target = bin3[None, :, :] + offs[:, None, :]  # (S, B, 3)
+    nbins = np.array(grid.nbins)
+    if grid.periodic:
+        wrap = np.floor_divide(target, nbins)
+        t = target - wrap * nbins
+        nbr = (t[..., 0] * ny + t[..., 1]) * nz + t[..., 2]
+    else:
+        inside = np.all((target >= 0) & (target < nbins), axis=-1)
+        t = np.clip(target, 0, nbins - 1)
+        nbr = np.where(inside, (t[..., 0] * ny + t[..., 1]) * nz + t[..., 2], -1)
+        wrap = np.zeros_like(target)
+    is_zero = (offs == 0).all(axis=1)
+    return (
+        nbr.astype(np.int32),
+        wrap.astype(np.float32),
+        is_zero,
+    )
+
+
 def stencil_map(
     grid: BinGrid,
     radius: int,
@@ -178,74 +210,59 @@ def stencil_map(
 ):
     """Accumulate a pair interaction over all bin offsets within ``radius``.
 
-    ``blocks``: per-slot arrays of shape (L, ...) — they are viewed as
-    (nx, ny, nz, C, ...).  For every offset, each array is rolled over the
-    grid axes so that index [b, c] aligns bin b with its neighbor bin's
-    slot c; ``f(acc, self_blocks, cand_blocks, pair_shift_cart, valid)`` is
-    called with:
+    ``blocks``: per-slot arrays of shape (L, ...), viewed as (B, C, ...).
+    For each sweep step the candidate blocks come from ONE bin-level gather
+    (B rows of C-row blocks — bin-granularity gathers are cheap; per-ATOM
+    gathers are the thing this engine exists to avoid).  ``f`` is called as
+    ``f(acc, self_blocks, cand_blocks, shift_cart, valid, not_self)`` with
 
-    - ``pair_shift_cart`` (nx, ny, nz, 1, 3): cartesian lattice shift to ADD
-      to candidate coordinates (zero for gas phase),
-    - ``valid`` (nx, ny, nz, 1, C): False where the candidate slot is outside
-      the grid (gas phase boundary) — padding-slot masking is up to ``f``
-      (via candidate ``numbers``),
-    and must return the updated accumulator.  The (0,0,0) offset is included
-    (``f`` must mask the self-pair diagonal there; detect it via
-    ``pair_shift==0`` & same slot index — helpers below).
+    - self/cand blocks: dicts of (B, C, ...) arrays,
+    - ``shift_cart`` (B, 1, 3): cartesian lattice shift to ADD to candidate
+      coordinates (zero for gas phase),
+    - ``valid`` (B, 1, 1) bool: candidate-bin validity (gas-phase boundary),
+    - ``not_self`` (B, C, C) or (1, C, C): self-pair diagonal mask,
+    and returns the updated accumulator.
 
-    The loop is a ``lax.scan`` over the (static) offset list: compile size is
-    one body; per-offset work is dense rolls + ``f``.
+    The sweep is a ``lax.scan`` over static per-step tables (neighbor bin ids
+    + wraps precomputed on host); the body is checkpointed so the backward
+    pass recomputes per-step pair tensors instead of storing S of them.
     """
-    nx, ny, nz = grid.nbins
+    b_tot = grid.total_bins
     c = grid.capacity
-    offsets = jnp.asarray(stencil_offsets(radius))  # (S, 3)
 
-    def to_grid(x: Array) -> Array:
-        return x.reshape((nx, ny, nz, c) + x.shape[1:])
+    def to_blocks(x: Array) -> Array:
+        return x.reshape((b_tot, c) + x.shape[1:])
 
-    grid_blocks = {k: to_grid(v) for k, v in blocks.items()}
+    self_blocks = {k: to_blocks(v) for k, v in blocks.items()}
 
-    bx = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 0)
-    by = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 1)
-    bz = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 2)
-    bin3_grid = jnp.stack([bx, by, bz], axis=-1)  # (nx, ny, nz, 3)
-    nbins_arr = jnp.array(grid.nbins, dtype=jnp.int32)
+    nbr_np, wrap_np, zero_np = stencil_tables(grid, radius)
+    nbr = jnp.asarray(nbr_np)  # (S, B)
+    wraps = jnp.asarray(wrap_np)  # (S, B, 3)
+    is_zero = jnp.asarray(zero_np)  # (S,)
 
-    slot_ids = jnp.arange(c, dtype=jnp.int32)
+    diag = jnp.eye(c, dtype=bool)[None]  # (1, C, C)
+    dtype = blocks["coord"].dtype
 
-    # jax.checkpoint: the backward scan recomputes each offset's body instead
-    # of saving per-offset residuals (which would be S x the per-offset pair
-    # tensors — gigabytes at 343 offsets on 10k atoms)
     @jax.checkpoint
-    def inner(acc, offset):
-        rolled = {
-            k: jnp.roll(v, shift=(-offset[0], -offset[1], -offset[2]), axis=(0, 1, 2))
-            for k, v in grid_blocks.items()
-        }
+    def inner(acc, step):
+        nbr_s, wrap_s, zero_s = step
+        safe_nbr = jnp.maximum(nbr_s, 0)
+        cand = {k: v[safe_nbr] for k, v in self_blocks.items()}  # bin-level gather
         if grid.periodic:
-            wrap = _wrap_shift(bin3_grid, offset, nbins_arr)  # (nx,ny,nz,3)
-            shift_cart = (wrap.astype(cell.dtype) @ cell)[..., None, :]  # (...,1,3)
-            valid = jnp.ones((nx, ny, nz, 1, c), dtype=bool)
-            is_same_image = jnp.all(wrap == 0, axis=-1)[..., None, None] & jnp.all(
-                offset == 0
-            )
+            shift_cart = (wrap_s @ cell)[:, None, :]  # (B, 1, 3)
+            valid = jnp.ones((b_tot, 1, 1), dtype=bool)
+            # zero offset => zero wrap everywhere; mask the slot diagonal
+            not_self = ~(zero_s & diag)
         else:
-            target = bin3_grid + offset
-            inside = jnp.all((target >= 0) & (target < nbins_arr), axis=-1)
-            valid = inside[..., None, None] & jnp.ones((1, 1, 1, 1, c), dtype=bool)
-            shift_cart = jnp.zeros((nx, ny, nz, 1, 3), dtype=blocks["coord"].dtype)
-            is_same_image = jnp.all(offset == 0)[None, None, None, None, None] & jnp.ones(
-                (nx, ny, nz, 1, 1), dtype=bool
-            )
-        # self-pair mask: same bin image AND same slot
-        diag = slot_ids[:, None] == slot_ids[None, :]  # (C_i, C_c)
-        not_self = ~(is_same_image & diag)  # broadcast (nx,ny,nz,C,C)
-        return f(acc, grid_blocks, rolled, shift_cart, valid, not_self)
+            shift_cart = jnp.zeros((b_tot, 1, 3), dtype=dtype)
+            valid = (nbr_s >= 0)[:, None, None]
+            not_self = ~(zero_s & diag)
+        return f(acc, self_blocks, cand, shift_cart, valid, not_self)
 
-    def body(acc, offset):
-        return inner(acc, offset), None
+    def body(acc, step):
+        return inner(acc, step), None
 
-    acc, _ = jax.lax.scan(body, acc_init, offsets)
+    acc, _ = jax.lax.scan(body, acc_init, (nbr, wraps, is_zero))
     return acc
 
 

@@ -71,6 +71,12 @@ class System:
     ewald_r_static: float | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Atomic species present (sorted tuple, set by builders): lets species-
+    # indexed pair tables (D3 C6 references) compile to small dense bilinear
+    # forms instead of per-pair gathers
+    species: tuple[int, ...] | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def natoms(self) -> int:

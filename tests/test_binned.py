@@ -127,3 +127,23 @@ def test_binned_gas_phase(model, rng):
     np.testing.assert_allclose(
         np.asarray(out_bin["energy"]), np.asarray(out_idx2["energy"]), atol=5e-4
     )
+
+
+def test_binned_dftd3_matches_indexed(reference_aimnet2, rng):
+    """Factorized binned D3 vs indexed per-pair-table D3."""
+    torch_model, cfg_yaml = reference_aimnet2("aimnet2_dftd3_wb97m.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params, _ = convert_state_dict(sd, cfg)
+    cfg = auto_switch_simple_to_dsf(cfg)
+
+    sys_idx, coord, numbers, cell = _periodic_case(rng, n=35, a=11.5)
+    out_idx = aimnet2_apply(params, cfg, sys_idx, sae_external=True)
+
+    grid = plan_bins(cell, 35, edge=5.0)
+    sys_bin, perm, overflow = to_binned_system(sys_idx, grid)
+    assert int(overflow) == 0
+    out_bin = aimnet2_apply(params, cfg, sys_bin, sae_external=True)
+    np.testing.assert_allclose(
+        np.asarray(out_bin["energy"]), np.asarray(out_idx["energy"]), atol=5e-4
+    )
