@@ -204,7 +204,9 @@ class AIMNet2Calculator:
             mols, cutoff=cutoff, lr_cutoff=lr_cutoff, n_pad=n_pad
         )
         if ewald_acc is not None:
-            system = attach_ewald(system, ewald_acc)
+            system = attach_ewald(
+                system, ewald_acc, pme=(h_eff is not None and h_eff.method == "pme")
+            )
         return system
 
     def _get_fn(self, cfg: AIMNet2Config, forces: bool, stress: bool, hessian: bool):

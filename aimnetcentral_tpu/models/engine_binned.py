@@ -90,20 +90,30 @@ def conv_pass_binned(
     lshape = a.shape[0]
     b_tot = grid.total_bins
     ci = grid.capacity
-    blocks = {"coord": system.coord, "numbers": system.numbers, "a": a}
-    if q is not None:
-        blocks["q"] = q
+    f_dim = a.shape[1] if a.ndim == 3 else 1
+    g_dim = int(aev["shifts_s"].shape[0])
 
-    f_dim = a.shape[1]
-    g_dim = aev["shifts_s"].shape[0]
-    # accumulators carry the folded (scalar + 3 vector components) axis fused
-    # into the row dim: j = d * C + i, so the per-offset contraction is ONE
-    # batched (4C x C) @ (C x F) matmul per (bin, g) — 4x better MXU shape
-    # and no per-component accumulator updates.
-    acc0 = {"a": jnp.zeros((b_tot, 4 * ci, f_dim, g_dim), a.dtype)}
+    # TPU layout rule: arrays with a trailing dim of 16 tile-pad to 128 lanes
+    # (8x memory).  Every materialized hot tensor here therefore fuses its
+    # trailing dims to multiples >= 256:
+    #   pair weights  w2   (B, 4C, C*G)    [j = d*C + i folded]
+    #   candidates    abig (B, C*G, F*G)   [block-diagonal in g]
+    #   accumulator   acc  (B, 4C, F*G)
+    # and the per-offset contraction is ONE well-shaped batched matmul.
+    blocks = {
+        "coord": system.coord,
+        "numbers": system.numbers,
+        "a": a.reshape(lshape, f_dim * g_dim),
+    }
+    cq = 0
     if q is not None:
         cq = q.shape[1]
-        acc0["q"] = jnp.zeros((b_tot, 4 * ci, cq, g_dim), a.dtype)
+        blocks["q"] = q
+
+    eyeg = jnp.eye(g_dim, dtype=a.dtype)
+    acc0 = {"a": jnp.zeros((b_tot, 4 * ci, f_dim * g_dim), a.dtype)}
+    if q is not None:
+        acc0["q"] = jnp.zeros((b_tot, 4 * ci, cq * g_dim), a.dtype)
 
     def f(acc, self_b, cand_b, shift_cart, valid, not_self):
         diff_k, d, valid_pair = _pair_geometry(
@@ -115,30 +125,38 @@ def conv_pass_binned(
         gs = jnp.exp(-aev["eta_s"] * dd * dd) * fc[..., None]  # (B,Ci,Cc,G)
 
         parts = [gs] + [gs * (diff_k(k) / d)[..., None] for k in range(3)]
-        w = jnp.concatenate(parts, axis=1)  # (B, 4Ci, Cc, G)
+        w2 = jnp.concatenate(parts, axis=1).reshape(-1, 4 * ci, grid.capacity * g_dim)
 
-        a_cand = cand_b["a"]
-        sub = "bjcg,bcfg->bjfg" if d2features else "bjcg,bcf->bjfg"
-        new = {"a": acc["a"] + jnp.einsum(sub, w, a_cand)}
+        a_cand = cand_b["a"].reshape(-1, grid.capacity, f_dim, g_dim)
+        # abig[(c,g),(f,g')] = a[c,f,g'] * delta(g,g')
+        abig = (
+            a_cand[:, :, None, :, :] * eyeg[None, None, :, None, :]
+        ).reshape(-1, grid.capacity * g_dim, f_dim * g_dim)
+        new = {"a": acc["a"] + jnp.einsum("bjx,bxy->bjy", w2, abig)}
         if q is not None:
-            new["q"] = acc["q"] + jnp.einsum("bjcg,bcq->bjqg", w, cand_b["q"])
+            # qbig[(c,g'),(cq,g)] = q[c,cq] * delta(g,g')
+            q_cand = cand_b["q"]  # (B, C, Cq)
+            qbig = (
+                q_cand[:, :, None, :, None] * eyeg[None, None, :, None, :]
+            ).reshape(-1, grid.capacity * g_dim, cq * g_dim)
+            new["q"] = acc["q"] + jnp.einsum("bjx,bxy->bjy", w2, qbig)
         return new
 
     acc = B.stencil_map(grid, radius, f, acc0, blocks, cell=cell0)
 
-    def combine(avf, agh):
-        # (B, 4C, F, G) -> scalar (L, F, G) + vector (L, F, G, 3)
-        avf = avf.reshape(b_tot, 4, ci, avf.shape[-2], g_dim)
-        avf_s = avf[:, 0].reshape(lshape, -1, g_dim)
-        avf_v = jnp.moveaxis(avf[:, 1:4], 1, -1).reshape(lshape, -1, g_dim, 3)
+    def combine(avf, agh, nch):
+        # (B, 4C, F*G) -> scalar (L, F, G) + vector combination (L, F, H)
+        avf = avf.reshape(b_tot, 4, ci, nch, g_dim)
+        avf_s = avf[:, 0].reshape(lshape, nch, g_dim)
+        avf_v = jnp.moveaxis(avf[:, 1:4], 1, -1).reshape(lshape, nch, g_dim, 3)
         comb = jnp.einsum("fgh,lfgd->lfhd", agh, avf_v)
         vv = (comb * comb).sum(-1)  # (L, F, H)
         return jnp.concatenate(
             [avf_s.reshape(lshape, -1), vv.reshape(lshape, -1)], axis=-1
         )
 
-    out_a = combine(acc["a"], agh_a)
-    out_q = combine(acc["q"], agh_q) if q is not None else None
+    out_a = combine(acc["a"], agh_a, f_dim)
+    out_q = combine(acc["q"], agh_q, cq) if q is not None else None
     return out_a, out_q
 
 

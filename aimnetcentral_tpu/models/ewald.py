@@ -187,19 +187,26 @@ def _ewald_nonreal(
     return e_recip + e_self + e_bg
 
 
-def attach_ewald(system: System, accuracy: float = 1e-6) -> System:
+def attach_ewald(system: System, accuracy: float = 1e-6, pme: bool = False) -> System:
     """Host-side: estimate Ewald discretization from the (concrete) cell and
-    attach it to the System.  Call OUTSIDE jit (the calculator does)."""
+    attach it to the System.  Call OUTSIDE jit (the calculator does).
+    With ``pme=True`` also attaches static FFT mesh dims."""
     assert system.cell is not None
     cell0 = np.asarray(system.cell)[0]
     n_at = int(np.asarray(system.numbers > 0).sum())
     p = estimate_ewald_parameters(cell0, max(n_at // system.num_mol, 1), accuracy)
+    pme_mesh = None
+    if pme:
+        from aimnetcentral_tpu.models.pme import estimate_pme_mesh
+
+        pme_mesh = estimate_pme_mesh(cell0, accuracy)
     return system.replace(
         ewald_kpts=jnp.asarray(_k_grid(p.kmax)),
         ewald_eta=jnp.float32(p.eta),
         ewald_r_cutoff=jnp.float32(p.r_cutoff),
         ewald_k_cutoff=jnp.float32(p.k_cutoff),
         ewald_r_static=float(p.r_cutoff),
+        pme_mesh=pme_mesh,
     )
 
 
@@ -226,6 +233,30 @@ def coulomb_periodic(
     nb, sh, _sfx = system.resolve_nb("_coulomb", "_lr", "")
     if sh is None:
         raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
+    if method == "pme" and system.pme_mesh is not None and system.num_mol == 1:
+        from aimnetcentral_tpu.models.pme import pme_energy
+        from aimnetcentral_tpu.ops.math import calc_distances
+
+        q = jnp.where(system.numbers > 0, data[key_in], 0.0)
+        d, _ = calc_distances(system.coord, nb, sh, system.cell, system.mol_idx)
+        import math as _math
+
+        from aimnetcentral_tpu.ops import nb as nbops
+
+        valid = nbops.pair_mask(nb) & (d < system.ewald_r_cutoff)
+        qq = q[:, None] * nbops.gather_nb(q, nb)
+        e_pair = jax.scipy.special.erfc(d / (_math.sqrt(2.0) * system.ewald_eta)) / d
+        e_real = 0.5 * jnp.where(valid, qq * e_pair, 0.0).sum()
+        e = pme_energy(
+            system.coord,
+            q,
+            system.cell[0],
+            system.numbers,
+            system.ewald_eta,
+            system.pme_mesh,
+            e_real,
+        )
+        return e[None]
     return ewald_energy(
         system.coord,
         data[key_in],

@@ -1,0 +1,166 @@
+"""Particle-Mesh Ewald: B-spline charge spreading + FFT reciprocal space.
+
+Differentiable replacement for the reference's nvalchemiops PME kernel (K8 in
+SURVEY.md §2.2; reference aimnet/modules/lr.py:74-115, 752-765) — as with
+every other long-range term here, it is written once, differentiably, so
+forces/stress/Hessians are plain autograd (the reference needs fixed-charge
+finite differences for PME Hessians, aimnet/modules/lr.py:850-901).
+
+Standard smooth-PME formulation (Essmann et al. 1995), single cell:
+- cardinal B-spline (order 4) charge spreading onto a (K1,K2,K3) mesh,
+- 3D FFT, reciprocal energy with Gaussian screen and |B(m)|^2 deconvolution,
+- real-space erfc part over the neighbor structure + self + background.
+
+The spreading scatter is row-bound on TPU (~30ns/row); PME pays off over
+plain Ewald only for very large cells (>~50k atoms) where the k-space sum
+dominates — the calculator picks Ewald by default and PME on request,
+matching the reference's speed hierarchy note (docs/long_range.md:187).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aimnetcentral_tpu import constants
+
+Array = jax.Array
+
+SPLINE_ORDER = 4
+
+
+def bspline4_weights(u: Array) -> Array:
+    """Cardinal B-spline order-4 weights for fractional offset u in [0,1).
+
+    Returns (..., 4) weights for mesh points floor(u)-1 .. floor(u)+2
+    (M4 evaluated at u+1, u, u-1... standard smooth-PME spreading).
+    """
+    # M4(x) on knots: weights for the 4 nearest mesh points
+    w0 = (1.0 - u) ** 3 / 6.0
+    w1 = (3.0 * u**3 - 6.0 * u**2 + 4.0) / 6.0
+    w2 = (-3.0 * u**3 + 3.0 * u**2 + 3.0 * u + 1.0) / 6.0
+    w3 = u**3 / 6.0
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def _bspline_moduli(k: int) -> np.ndarray:
+    """|b(m)|^2 deconvolution factors for one dimension (host-side)."""
+    # Fourier transform of the order-4 cardinal B-spline sampled on the mesh
+    m4 = np.zeros(k)
+    # M4 values at integer nodes 1, 2, 3 (M4(1)=1/6, M4(2)=2/3, M4(3)=1/6)
+    m4[1 % k] = 1.0 / 6.0
+    m4[2 % k] = 2.0 / 3.0
+    m4[3 % k] = 1.0 / 6.0
+    b = np.fft.fft(m4)
+    mod = np.abs(b) ** 2
+    # guard zeros (odd mesh points where the spline transform vanishes)
+    tiny = mod < 1e-7
+    if tiny.any():
+        mod[tiny] = (np.roll(mod, 1)[tiny] + np.roll(mod, -1)[tiny]) / 2.0
+    return mod
+
+
+def estimate_pme_mesh(cell: np.ndarray, accuracy: float = 1e-6) -> tuple[int, int, int]:
+    """Mesh dims: ~1 point per Angstrom scaled by accuracy, FFT-friendly."""
+    lengths = np.linalg.norm(np.asarray(cell, dtype=np.float64), axis=1)
+    scale = max(1.0, (math.log10(1.0 / max(accuracy, 1e-12)) / 6.0))
+
+    def nice(n: int) -> int:
+        n = max(8, n)
+        while True:
+            m = n
+            for p in (2, 3, 5):
+                while m % p == 0:
+                    m //= p
+            if m == 1:
+                return n
+            n += 1
+
+    return tuple(nice(int(np.ceil(l * scale))) for l in lengths)
+
+
+def pme_reciprocal_energy(
+    coord: Array,
+    charges: Array,
+    cell: Array,
+    eta: Array,
+    mesh: tuple[int, int, int],
+) -> Array:
+    """Reciprocal-space PME energy (single system, no k_e factor)."""
+    k1, k2, k3 = mesh
+    inv_cell = jnp.linalg.inv(cell)
+    frac = coord @ inv_cell
+    frac = frac - jnp.floor(frac)  # [0, 1)
+
+    mesh_arr = jnp.array(mesh, dtype=coord.dtype)
+    scaled = frac * mesh_arr  # (N, 3)
+    base = jnp.floor(scaled).astype(jnp.int32)  # (N, 3)
+    u = scaled - base
+    w = bspline4_weights(u)  # (N, 3, 4)
+
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)  # spline support points
+    # grid indices per dim: (N, 4)
+    idx = (base[:, :, None] + offs[None, None, :]) % jnp.array(mesh, dtype=jnp.int32)[
+        None, :, None
+    ]
+
+    # outer-product weights (N, 4, 4, 4) and flat mesh scatter
+    w3 = w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
+    flat_idx = (
+        (idx[:, 0, :, None, None] * k2 + idx[:, 1, None, :, None]) * k3
+        + idx[:, 2, None, None, :]
+    ).reshape(-1)
+    vals = (charges[:, None, None, None] * w3).reshape(-1)
+    rho = jnp.zeros((k1 * k2 * k3,), coord.dtype).at[flat_idx].add(vals)
+    rho = rho.reshape(mesh)
+
+    rho_k = jnp.fft.fftn(rho)
+
+    # reciprocal vectors for FFT frequencies
+    recip = 2.0 * jnp.pi * inv_cell.T  # rows = b_i
+    fx = jnp.fft.fftfreq(k1) * k1
+    fy = jnp.fft.fftfreq(k2) * k2
+    fz = jnp.fft.fftfreq(k3) * k3
+    kx = (
+        fx[:, None, None, None] * recip[0]
+        + fy[None, :, None, None] * recip[1]
+        + fz[None, None, :, None] * recip[2]
+    )  # (k1,k2,k3,3)
+    kk = jnp.sum(kx * kx, axis=-1)
+
+    bmod = (
+        jnp.asarray(_bspline_moduli(k1))[:, None, None]
+        * jnp.asarray(_bspline_moduli(k2))[None, :, None]
+        * jnp.asarray(_bspline_moduli(k3))[None, None, :]
+    )
+
+    volume = jnp.abs(jnp.linalg.det(cell))
+    mask = kk > 1e-12
+    green = jnp.where(mask, jnp.exp(-0.5 * eta * eta * kk) / jnp.where(mask, kk, 1.0), 0.0)
+    s2 = jnp.abs(rho_k) ** 2
+    return (2.0 * jnp.pi / volume) * jnp.sum(green * s2 / bmod)
+
+
+def pme_energy(
+    coord: Array,
+    charges: Array,
+    cell: Array,
+    numbers: Array,
+    eta: Array,
+    mesh: tuple[int, int, int],
+    e_real: Array,
+) -> Array:
+    """Total PME energy in eV for ONE periodic system: caller supplies the
+    real-space erfc pair sum ``e_real`` (computed on its neighbor structure —
+    indexed or binned), this adds reciprocal + self + background."""
+    q = jnp.where(numbers > 0, charges, 0.0)
+    e_recip = pme_reciprocal_energy(coord, q, cell, eta, mesh)
+    e_self = -jnp.sum(q * q) / (jnp.sqrt(2.0 * jnp.pi) * eta)
+    volume = jnp.abs(jnp.linalg.det(cell))
+    q_tot = q.sum()
+    e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
+    return constants.Hartree * constants.Bohr * (e_real + e_recip + e_self + e_bg)

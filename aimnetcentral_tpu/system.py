@@ -77,6 +77,10 @@ class System:
     species: tuple[int, ...] | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # PME mesh dims (static; set by attach_ewald when PME is requested)
+    pme_mesh: tuple[int, int, int] | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def natoms(self) -> int:

@@ -108,3 +108,30 @@ def test_hvp_matches_dense_hessian(calc, rng):
     v = rng.normal(size=(5, 3)).astype(np.float32)
     hv = calc.hessian_vector_product(data, v)
     np.testing.assert_allclose(hv.reshape(-1), h @ v.reshape(-1), atol=1e-3)
+
+
+def test_pme_periodic_energy_matches_ewald(calc, rng):
+    coord, numbers = random_molecule(rng, 8, spread=2.5)
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    data = {"coord": coord + 4.0, "numbers": numbers, "cell": cell}
+    try:
+        calc.set_lrcoulomb_method("ewald")
+        e_ewald = calc(data)["energy"][0]
+        calc.set_lrcoulomb_method("pme")
+        out = calc(data, forces=True)
+        assert np.isfinite(out["forces"]).all()
+        assert out["energy"][0] == pytest.approx(e_ewald, abs=5e-3)
+    finally:
+        calc.set_lrcoulomb_method("simple")
+
+
+def test_validation_observables_roundtrip(calc, tmp_path):
+    from aimnetcentral_tpu.validation import compare_observables, dump_observables
+
+    p1 = str(tmp_path / "obs1.json")
+    dump_observables(calc, p1)
+    obs2 = dump_observables(calc)
+    ok, report = compare_observables(p1, obs2)
+    assert ok, report
+    # determinism: identical backend must be bitwise equal
+    assert "OK" in report
