@@ -229,6 +229,22 @@ class AIMNet2Calculator:
         stress: bool = False,
         hessian: bool = False,
     ) -> dict[str, np.ndarray]:
+        if hessian:
+            mols = _as_molecules(data)
+            if len(mols) > 1:
+                # batched Hessians: evaluate per structure (reference
+                # aimnet/calculators/calculator.py:1247-1414)
+                outs = [
+                    self.eval(m, forces=forces, stress=stress, hessian=True)
+                    for m in mols
+                ]
+                res: dict[str, Any] = {
+                    "energy": np.concatenate([o["energy"] for o in outs])
+                }
+                for k in outs[0]:
+                    if k != "energy":
+                        res[k] = [o[k] for o in outs]
+                return res
         system = self.prepare_system(data)
         cfg_eff = self._effective_cfg(system.cell is not None)
         out = self._get_fn(cfg_eff, forces, stress, hessian)(self.params, system)

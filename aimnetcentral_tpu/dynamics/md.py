@@ -103,7 +103,7 @@ class MDDriver:
         ensemble: bool = False,
         seed: int = 0,
         engine: str = "auto",
-        bin_safety: float = 2.0,
+        bin_safety: float = 1.5,
     ):
         from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
 

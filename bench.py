@@ -62,14 +62,15 @@ def main() -> None:
     )
 
     md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.75)
+    chunk = max(10, N_STEPS // 4)
     t0 = time.time()
     drv = MDDriver(params, cfg, system, md)
-    # warmup (compile)
-    drv.run(2, chunk=2)
+    # warmup with the SAME chunk size as the timed run (one compile)
+    drv.run(chunk, chunk=chunk)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    drv.run(N_STEPS, chunk=max(10, N_STEPS // 4))
+    drv.run(N_STEPS, chunk=chunk)
     elapsed = time.time() - t0
     steps_per_sec = N_STEPS / elapsed
 

@@ -135,3 +135,44 @@ def test_validation_observables_roundtrip(calc, tmp_path):
     assert ok, report
     # determinism: identical backend must be bitwise equal
     assert "OK" in report
+
+
+def test_ensemble_calculator(reference_aimnet2, rng):
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    import torch
+
+    members = []
+    cfgs = None
+    for seed in (0, 1):
+        torch.manual_seed(seed)
+        model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+        cfg = config_from_yaml(cfg_yaml)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, aux = convert_state_dict(sd, cfg)
+        members.append((params, cfg, aux))
+    ens = EnsembleCalculator.from_members(members)
+    coord, numbers = random_molecule(rng, 8)
+    out = ens({"coord": coord, "numbers": numbers}, forces=True)
+    assert out["energy"].shape == (1,)
+    assert "energy_std" in out and "forces_std" in out
+    # mean must equal average of individual members
+    singles = [
+        AIMNet2Calculator(m)({"coord": coord, "numbers": numbers})["energy"][0]
+        for m in members
+    ]
+    assert out["energy"][0] == pytest.approx(np.mean(singles), abs=1e-4)
+    assert out["energy_std"][0] == pytest.approx(np.std(singles), abs=1e-4)
+
+
+def test_batched_hessian_splitting(calc, rng):
+    c1, z1 = random_molecule(rng, 4)
+    c2, z2 = random_molecule(rng, 5)
+    coord = np.zeros((2, 5, 3), dtype=np.float32)
+    numbers = np.zeros((2, 5), dtype=np.int64)
+    coord[0, :4], numbers[0, :4] = c1, z1
+    coord[1], numbers[1] = c2, z2
+    out = calc({"coord": coord, "numbers": numbers}, hessian=True)
+    assert out["energy"].shape == (2,)
+    assert out["hessian"][0].shape == (4, 3, 4, 3)
+    assert out["hessian"][1].shape == (5, 3, 5, 3)
