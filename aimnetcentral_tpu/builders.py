@@ -16,6 +16,7 @@ def system_from_molecules(
     lr_cutoff: float | None = None,
     n_pad: int | None = None,
     max_neighbors: int | None = None,
+    build_nbmat: bool = True,
 ) -> System:
     """Pack molecules into one flat padded System.
 
@@ -58,7 +59,10 @@ def system_from_molecules(
         )
 
     real_mol_idx = mol_idx[:n_real]
-    if cutoff is None and not has_cell:
+    if not build_nbmat:
+        # caller converts to the binned engine (no index matrices needed)
+        nbmat = shifts = None
+    elif cutoff is None and not has_cell:
         nbmat = allpairs_nbmat(sizes, n_pad)
         shifts = None
     else:
@@ -73,7 +77,7 @@ def system_from_molecules(
         )
 
     nbmat_lr = shifts_lr = None
-    if lr_cutoff is not None:
+    if lr_cutoff is not None and build_nbmat:
         nbmat_lr, shifts_lr, _ = brute_force_nbmat(
             coord[:n_real],
             real_mol_idx,
@@ -88,7 +92,7 @@ def system_from_molecules(
         charge=jnp.asarray(charge),
         mol_idx=jnp.asarray(mol_idx),
         species=tuple(sorted(int(z) for z in np.unique(zs) if z > 0)),
-        nbmat=jnp.asarray(nbmat),
+        nbmat=jnp.asarray(nbmat) if nbmat is not None else None,
         mult=jnp.asarray(mult) if mult is not None else None,
         cell=jnp.asarray(cell) if cell is not None else None,
         shifts=jnp.asarray(shifts) if shifts is not None else None,
@@ -99,5 +103,9 @@ def system_from_molecules(
 
 def stack_systems(systems: list[System]) -> System:
     """Stack same-shape Systems on a leading microbatch axis (for vmapped
-    training steps / data-parallel sharding)."""
+    training steps / data-parallel sharding).  Static metadata (species sets)
+    is unified to the union so all microbatches share one pytree structure."""
+    all_species = sorted({z for s in systems for z in (s.species or ())})
+    species = tuple(all_species) if all_species else None
+    systems = [s.replace(species=species) for s in systems]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *systems)

@@ -102,6 +102,7 @@ class AIMNet2Calculator:
         model: tuple,
         atom_bucket: int = 16,
         nb_safety: float = 1.25,
+        binned_threshold: int = 1024,
     ):
         if len(model) == 2:
             params, cfg = model
@@ -113,8 +114,12 @@ class AIMNet2Calculator:
         self.aux = aux
         self.atom_bucket = atom_bucket
         self.nb_safety = nb_safety
+        # periodic systems larger than this route through the binned stencil
+        # engine (index-free pair math; see ops/binned.py)
+        self.binned_threshold = binned_threshold
         self._fn_cache: dict[tuple, Any] = {}
         self._hvp_fn = None
+        self._last_perm: np.ndarray | None = None
 
     # -- configuration ------------------------------------------------------
 
@@ -161,13 +166,56 @@ class AIMNet2Calculator:
 
     # -- evaluation ---------------------------------------------------------
 
-    def prepare_system(self, data: Mapping[str, Any]) -> System:
+    def prepare_system(
+        self, data: Mapping[str, Any], allow_binned: bool = True
+    ) -> System:
         from aimnetcentral_tpu.models.ewald import attach_ewald, estimate_ewald_parameters
 
         mols = _as_molecules(data)
         n_real = sum(len(m["numbers"]) for m in mols)
         n_pad = _round_up(n_real + 1, self.atom_bucket)
         has_cell = any("cell" in m for m in mols)
+        self._last_perm = None
+
+        # large periodic systems: the binned stencil engine (no O(N^2) host
+        # neighbor build, no index matrices)
+        if (
+            allow_binned
+            and has_cell
+            and len(mols) == 1
+            and n_real >= self.binned_threshold
+        ):
+            import dataclasses as _dc
+
+            import jax as _jax
+
+            from aimnetcentral_tpu.ops import binned as B
+
+            cfg_eff = self._effective_cfg(True)
+            h_eff = next(
+                (hh for _n, hh in cfg_eff.outputs if isinstance(hh, LRCoulombHead)),
+                None,
+            )
+            system = system_from_molecules(mols, n_pad=n_pad, build_nbmat=False)
+            cell_np = np.asarray(mols[0]["cell"])
+            safety = 1.5
+            while True:
+                grid = B.plan_bins(cell_np, n_real, self.cutoff, safety=safety)
+                sysb, perm, ovf = _jax.jit(B.to_binned_system, static_argnums=1)(
+                    system, grid
+                )
+                if int(ovf) == 0:
+                    break
+                safety *= 1.5
+                if safety > 32:
+                    raise RuntimeError("bin capacity planning failed")
+            self._last_perm = np.asarray(perm)
+            if h_eff is not None and h_eff.method in ("ewald", "pme"):
+                sysb = attach_ewald(
+                    sysb, h_eff.ewald_accuracy, pme=h_eff.method == "pme"
+                )
+            return sysb
+
         cutoff = self.cutoff if (has_cell or n_real > 2048) else None
 
         h = self._lr_head()
@@ -245,15 +293,23 @@ class AIMNet2Calculator:
                     if k != "energy":
                         res[k] = [o[k] for o in outs]
                 return res
-        system = self.prepare_system(data)
+        system = self.prepare_system(data, allow_binned=not hessian)
         cfg_eff = self._effective_cfg(system.cell is not None)
         out = self._get_fn(cfg_eff, forces, stress, hessian)(self.params, system)
         return self._postprocess(out, system)
 
     __call__ = eval
 
+    def _slots_to_compact(self, x: np.ndarray, system: System, n_real: int) -> np.ndarray:
+        """Map slot-layout per-atom results back to input atom order."""
+        valid = np.asarray(system.numbers) > 0
+        out = np.zeros((n_real,) + x.shape[1:], dtype=x.dtype)
+        out[self._last_perm[valid]] = x[valid]
+        return out
+
     def _postprocess(self, out: Mapping[str, Any], system: System) -> dict[str, np.ndarray]:
         n_real = int(np.asarray(system.numbers > 0).sum())
+        binned = self._last_perm is not None
         res: dict[str, np.ndarray] = {}
         energy = np.asarray(out["energy"], dtype=np.float64)
         if "mol_element_counts" in out:
@@ -262,11 +318,12 @@ class AIMNet2Calculator:
                 k = min(counts.shape[1], len(sae64))
                 energy = energy + counts[:, :k] @ np.asarray(sae64[:k], dtype=np.float64)
         res["energy"] = energy
-        for k in ("charges", "spin_charges"):
+        for k in ("charges", "spin_charges", "forces"):
             if k in out:
-                res[k] = np.asarray(out[k])[:n_real]
-        if "forces" in out:
-            res["forces"] = np.asarray(out["forces"])[:n_real]
+                x = np.asarray(out[k])
+                res[k] = (
+                    self._slots_to_compact(x, system, n_real) if binned else x[:n_real]
+                )
         for k in ("stress", "dipole", "quadrupole"):
             if k in out:
                 res[k] = np.asarray(out[k])

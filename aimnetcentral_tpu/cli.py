@@ -195,6 +195,52 @@ def train(config_path: str, load_path: str | None) -> None:
         click.echo(f"exported to {cfg_dict['export']}")
 
 
+@cli.command()
+@click.argument("checkpoint")
+@click.option("--model-yaml", required=True, help="architecture yaml")
+@click.option("--output", required=True)
+@click.option("--sae", "sae_path", default=None, help="SAE yaml from calc-sae")
+@click.option("--species", default=None, help="comma-separated implemented species")
+def export(checkpoint: str, model_yaml: str, output: str, sae_path, species) -> None:
+    """Export a trained checkpoint to a reference-compatible v2 .pt artifact."""
+    import jax
+    import yaml
+
+    from aimnetcentral_tpu.models.aimnet2 import aimnet2_init
+    from aimnetcentral_tpu.models.convert import config_from_yaml
+    from aimnetcentral_tpu.train.export import export_model
+    from aimnetcentral_tpu.train.trainer import load_checkpoint_params
+
+    with open(model_yaml) as f:
+        cfg = config_from_yaml(yaml.safe_load(f))
+    template = aimnet2_init(jax.random.key(0), cfg)
+    params = load_checkpoint_params(checkpoint, template)
+    sae = None
+    if sae_path:
+        with open(sae_path) as f:
+            sae = {int(k): float(v) for k, v in yaml.safe_load(f).items()}
+    spec = [int(s) for s in species.split(",")] if species else None
+    export_model(params, cfg, output, sae=sae, implemented_species=spec)
+    click.echo(f"exported {output}")
+
+
+@cli.command()
+@click.argument("jpt")
+@click.option("--model-yaml", required=True)
+@click.option("--output", required=True)
+@click.option("--species", default=None)
+@click.option("--family", default=None)
+def convert(jpt: str, model_yaml: str, output: str, species, family) -> None:
+    """Convert a legacy TorchScript .jpt artifact to the v2 .pt format."""
+    from aimnetcentral_tpu.models.convert_v1 import convert_v1_model
+
+    spec = [int(s) for s in species.split(",")] if species else None
+    convert_v1_model(
+        jpt, model_yaml, output_path=output, implemented_species=spec, family=family
+    )
+    click.echo(f"converted {jpt} -> {output}")
+
+
 @cli.command("calc-sae")
 @click.argument("dataset")
 @click.argument("output")

@@ -138,6 +138,8 @@ def export_model(
     output: str,
     sae: Mapping[int, float] | None = None,
     implemented_species: list[int] | None = None,
+    shift_tables: Mapping[str, Any] | None = None,
+    extra_metadata: Mapping[str, Any] | None = None,
 ) -> dict:
     """Write a reference-compatible v2 .pt artifact.
 
@@ -178,10 +180,18 @@ def export_model(
     has_d3ts = any(isinstance(h, D3TSHead) for _n, h in cfg.outputs)
     export_cfg = dc.replace(cfg, outputs=tuple(outputs))
 
-    # --- bake SAE into atomic shifts (float64)
+    # --- bake SAE into atomic shifts (float64); shift_tables (e.g. the f64
+    # tables recovered from a v1 artifact) override the f32 params directly
     params = dict(params)
     params["outputs"] = dict(params["outputs"])
     shift_heads = [n for n, h in export_cfg.outputs if isinstance(h, AtomicShiftHead)]
+    if shift_tables:
+        for name, table in shift_tables.items():
+            if name in params["outputs"]:
+                params["outputs"][name] = {
+                    **params["outputs"][name],
+                    "weight": np.asarray(table, dtype=np.float64),
+                }
     if sae and shift_heads:
         name = shift_heads[0]
         w = np.asarray(params["outputs"][name]["weight"], dtype=np.float64).copy()
@@ -224,6 +234,8 @@ def export_model(
         "implemented_species": list(implemented_species),
         "state_dict": state_dict,
     }
+    if extra_metadata:
+        artifact.update(dict(extra_metadata))
 
     # atomic save (reference aimnet/train/export_model.py:83-109)
     d = os.path.dirname(os.path.abspath(output)) or "."

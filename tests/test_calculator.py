@@ -176,3 +176,28 @@ def test_batched_hessian_splitting(calc, rng):
     assert out["energy"].shape == (2,)
     assert out["hessian"][0].shape == (4, 3, 4, 3)
     assert out["hessian"][1].shape == (5, 3, 5, 3)
+
+
+def test_binned_facade_matches_indexed(calc, rng):
+    """Large periodic single points route through the binned engine and must
+    match the indexed path (including atom-order mapping of outputs)."""
+    n = 60
+    a = 12.0
+    coord = (rng.uniform(0, a, size=(n, 3))).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    data = {"coord": coord, "numbers": numbers, "cell": cell}
+
+    old_thresh = calc.binned_threshold
+    try:
+        calc.binned_threshold = 10  # force binned
+        out_b = calc(data, forces=True)
+        assert calc._last_perm is not None
+        calc.binned_threshold = 10**9  # force indexed
+        out_i = calc(data, forces=True)
+    finally:
+        calc.binned_threshold = old_thresh
+
+    np.testing.assert_allclose(out_b["energy"], out_i["energy"], atol=1e-3)
+    np.testing.assert_allclose(out_b["charges"], out_i["charges"], atol=2e-4)
+    np.testing.assert_allclose(out_b["forces"], out_i["forces"], atol=2e-3)
