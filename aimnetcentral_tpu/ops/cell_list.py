@@ -137,12 +137,16 @@ def build_cell_list(
     rank = jnp.arange(n, dtype=jnp.int32) - seg_start
 
     table = jnp.full((spec.total_bins + 1, spec.bin_capacity), fill, dtype=jnp.int32)
-    in_cap = rank < spec.bin_capacity
+    # only REAL-bin atoms enter the table: padding atoms carry bin id
+    # total_bins, and row total_bins doubles as the all-fill row that
+    # out-of-grid probes read — it must never receive atom indices
+    in_cap = (rank < spec.bin_capacity) & (sorted_bins < spec.total_bins)
     safe_rank = jnp.where(in_cap, rank, 0)
     safe_bin = jnp.where(in_cap, sorted_bins, spec.total_bins)
     table = table.at[safe_bin, safe_rank].set(
         jnp.where(in_cap, order.astype(jnp.int32), fill), mode="drop"
     )
+    table = table.at[spec.total_bins].set(fill)
     bin_overflow = jnp.sum((~in_cap) & (sorted_bins < spec.total_bins))
 
     # --- candidate gathering from 27 neighbor bins

@@ -108,3 +108,19 @@ def test_overflow_reported(rng):
     spec = plan_cell_list(None, 30, 3.0, extent=3.0, max_neighbors=4)
     _, _, overflow = build_cell_list(jnp.asarray(coord_pad), jnp.asarray(numbers_pad), spec)
     assert int(overflow) > 0
+
+
+def test_multiple_padding_rows_excluded(rng):
+    """Bucketed padding (many pad rows) must never appear as neighbors —
+    regression for the overflow-row aliasing bug found via the CLI MD drive."""
+    coord = np.ones((16, 3), np.float32)
+    coord[:3] = [[0, 0, 0.119], [0, 0.763, -0.477], [0, -0.763, -0.477]]
+    numbers = np.zeros(16, np.int32)
+    numbers[:3] = [8, 1, 1]
+    spec = plan_cell_list(None, 3, 6.0, extent=3.5)
+    nb, _sh, ovf = build_cell_list(jnp.asarray(coord), jnp.asarray(numbers), spec)
+    assert int(ovf) == 0
+    nbm = np.asarray(nb)
+    valid = nbm[:3][nbm[:3] != 15]
+    assert set(valid.tolist()) <= {0, 1, 2}
+    assert sorted(nbm[0][nbm[0] != 15].tolist()) == [1, 2]
