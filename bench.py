@@ -52,6 +52,16 @@ def main() -> None:
     from __graft_entry__ import _flagship
 
     cfg, params = _flagship()
+    ensemble = int(os.environ.get("BENCH_ENSEMBLE", "0"))
+    if ensemble > 1:
+        import jax as _jax
+
+        from aimnetcentral_tpu.calculators.ensemble import stack_params
+        from aimnetcentral_tpu.models import aimnet2_init
+
+        params = stack_params(
+            [aimnet2_init(_jax.random.key(i), cfg) for i in range(ensemble)]
+        )
 
     coord, numbers, cell = build_box(N_ATOMS)
     # builder nbmat is replaced by the driver's cell list; keep it tiny
@@ -64,7 +74,7 @@ def main() -> None:
     md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.75)
     chunk = max(10, N_STEPS // 4)
     t0 = time.time()
-    drv = MDDriver(params, cfg, system, md)
+    drv = MDDriver(params, cfg, system, md, ensemble=ensemble > 1)
     # warmup with the SAME chunk size as the timed run (one compile)
     drv.run(chunk, chunk=chunk)
     compile_s = time.time() - t0

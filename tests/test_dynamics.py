@@ -108,3 +108,26 @@ def test_fire_relax_decreases_energy_and_forces(model, rng):
     e1 = float(aimnet2_apply(params, cfg, relaxed, sae_external=True)["energy"][0])
     assert e1 < e0
     assert info["fmax"] < 0.1 or info["steps"] == 300
+
+
+def test_ensemble_md_smoke(model, rng):
+    """4-member ensemble MD (BASELINE config 4): mean-energy forces via vmap."""
+    import jax
+
+    from aimnetcentral_tpu.calculators.ensemble import stack_params
+    from aimnetcentral_tpu.models.aimnet2 import aimnet2_init
+
+    params, cfg = model
+    stacked = stack_params([params] * 2)  # identical members: must equal single
+    sys = _pbc_system(rng, n=16, a=9.0)
+    drv_e = MDDriver(
+        stacked, cfg, sys, MDConfig(dt_fs=0.3, thermostat="nve", temperature_K=100.0),
+        ensemble=True, seed=3,
+    )
+    drv_s = MDDriver(
+        params, cfg, sys, MDConfig(dt_fs=0.3, thermostat="nve", temperature_K=100.0),
+        seed=3,
+    )
+    o_e = drv_e.run(10, chunk=10)
+    o_s = drv_s.run(10, chunk=10)
+    np.testing.assert_allclose(o_e["epot"], o_s["epot"], atol=1e-3)
