@@ -1,0 +1,278 @@
+"""Integration of the Pallas stencil-conv kernel with the binned model path.
+
+``conv_pass_pallas`` is a drop-in twin of
+``models/engine_binned.py::conv_pass_binned``: same inputs, same outputs,
+but the offset sweep runs in the fused Pallas kernel (kernels/conv_stencil.py).
+Gradients come from ``jax.custom_vjp`` whose backward evaluates the
+mathematically-identical XLA formulation (``_conv_acc_xla``) under ``jax.vjp``
+— Pallas forward speed, autograd-exact backward (including cell/strain
+gradients through the lattice shifts, so stress works).
+
+Status (measured, TPU v5e, 2k atoms / 64 bins / C=48): forward 7.3 ms vs
+9.8 ms XLA (1.34x) with ~10x faster compiles (4 s vs 45 s); per-program grid
+overhead (~4 us x bins x offsets) is the current floor — bin-tiled manual-DMA
+variants are the next step.  The gradient path through this wrapper re-runs
+the XLA forward inside the vjp, so force-driven workloads should stay on the
+XLA engine until the dedicated backward kernels (mirror-sweep grad-a +
+pair-scalar grad-coord, both with resident accumulation) land; use
+``conv_pass_pallas`` for energy-only evaluation and UQ screening.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aimnetcentral_tpu.ops import binned as B
+from aimnetcentral_tpu.system import System
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvStatic:
+    b_tot: int
+    c: int
+    g: int
+    f: int  # feature columns per g block (padded: model F [+ q channels])
+    gamma: int
+    s_tot: int
+
+
+def _conv_acc_xla(
+    st: ConvStatic,
+    a_gmajor: Array,  # (B, C, G*F)
+    coord_t: Array,  # (B, 4, C)
+    shift_cart: Array,  # (S, B, 4)
+    mask: Array,  # (B, 1, C) f32
+    nbr: Array,  # (S, B) int32 (clamped >= 0)
+    shifts_g: Array,  # (1, G)
+    scal: Array,  # (1, 4) [eta, rc, ...]
+) -> Array:
+    """XLA twin of the Pallas kernel: identical math, used for the backward
+    pass and as the CPU/interpret reference."""
+    c, g, f, gamma = st.c, st.g, st.f, st.gamma
+    eta, rc = scal[0, 0], scal[0, 1]
+    eyeg = jnp.eye(gamma, dtype=a_gmajor.dtype)
+    n_groups = g // gamma
+
+    def body(acc, step):
+        nbr_s, shift_s, is_zero = step
+        cj = coord_t[nbr_s] + shift_s[:, :, None]  # (B, 4, C)
+        ci = coord_t
+        d2 = sum(
+            (cj[:, k, None, :] - ci[:, k, :, None]) ** 2 for k in range(3)
+        )
+        real_i = (mask[:, 0] > 0.5)[:, :, None]
+        real_j = (mask[nbr_s, 0] > 0.5)[:, None, :]
+        diag = jnp.eye(c, dtype=bool)[None]
+        vp = real_i & real_j & ~(is_zero & diag)
+        d2s = jnp.where(vp, d2, 1.0)
+        d = jnp.sqrt(d2s)
+        within = vp & (d < rc)
+        fc = jnp.where(
+            within, 0.5 * (jnp.cos(jnp.minimum(d, rc) * (jnp.pi / rc)) + 1.0), 0.0
+        )
+        a_cand = a_gmajor[nbr_s]  # (B, C, G*F)
+
+        outs = []
+        for gi in range(n_groups):
+            # w columns (g2*C + c); rows j = k*C + i
+            w_blocks = []
+            dd_all = []
+            for g2 in range(gamma):
+                g_abs = gi * gamma + g2
+                dd = d - shifts_g[0, g_abs]
+                gs = jnp.exp(-eta * dd * dd) * fc
+                dd_all.append(gs)
+            gs_g = jnp.stack(dd_all, axis=1)  # (B, gamma, C, C)
+            parts = [gs_g]
+            for k in range(3):
+                uk = (cj[:, k, None, :] - ci[:, k, :, None]) / d
+                parts.append(gs_g * uk[:, None])
+            # (B, 4, gamma, Ci, Cc) -> (B, 4*C, gamma*C)
+            w = jnp.stack(parts, axis=1)
+            w = jnp.transpose(w, (0, 1, 3, 2, 4)).reshape(
+                -1, 4 * c, gamma * c
+            )
+            # abig: block-diagonal (gamma*C, gamma*F), block g2 = A_{g_abs}
+            a_blocks = jnp.stack(
+                [
+                    a_gmajor[nbr_s][:, :, (gi * gamma + g2) * f : (gi * gamma + g2 + 1) * f]
+                    for g2 in range(gamma)
+                ],
+                axis=1,
+            )  # (B, gamma, C, F)
+            abig = (
+                a_blocks[:, :, None, :, :] * eyeg[None, :, :, None, None]
+            )
+            # index order: rows (g2', c), cols (g2, f) with delta(g2, g2')
+            abig = jnp.transpose(abig, (0, 2, 3, 1, 4)).reshape(
+                -1, gamma * c, gamma * f
+            )
+            outs.append(jnp.einsum("bjx,bxy->bjy", w, abig))
+        out = jnp.concatenate(outs, axis=-1)  # (B, 4C, G*F) g-major
+        return acc + out, None
+
+    acc0 = jnp.zeros((st.b_tot, 4 * c, g * f), a_gmajor.dtype)
+    is_zero = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.zeros(st.s_tot - 1, bool)]
+    )
+    acc, _ = jax.lax.scan(
+        lambda a_, s_: body(a_, s_), acc0, (nbr, shift_cart, is_zero)
+    )
+    return acc
+
+
+def _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_forward
+
+    return conv_stencil_forward(
+        nbr.reshape(-1),
+        coord_t,
+        mask,
+        a_gmajor,
+        shift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+        shifts_g,
+        scal,
+        b_tot=st.b_tot,
+        c=st.c,
+        g=st.g,
+        f=st.f,
+        gamma=st.gamma,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv_acc(st: ConvStatic, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+    return _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+
+
+def _conv_acc_fwd(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+    out = _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+    return out, (a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+
+
+def _conv_acc_bwd(st, res, g_out):
+    a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal = res
+    _, vjp = jax.vjp(
+        lambda a_, c_, s_: _conv_acc_xla(st, a_, c_, s_, mask, nbr, shifts_g, scal),
+        a_gmajor,
+        coord_t,
+        shift_cart,
+    )
+    da, dc, ds = vjp(g_out)
+    return (
+        da,
+        dc,
+        ds,
+        jnp.zeros_like(mask),
+        None if nbr is None else jnp.zeros_like(nbr),
+        jnp.zeros_like(shifts_g),
+        jnp.zeros_like(scal),
+    )
+
+
+conv_acc.defvjp(_conv_acc_fwd, _conv_acc_bwd)
+
+
+def conv_pass_pallas(
+    system: System,
+    aev: dict[str, Array],
+    a: Array,  # (L, F, G)
+    q: Array | None,
+    agh_a: Array,
+    agh_q: Array | None,
+    rc_static: float,
+    interpret_xla: bool = False,
+) -> tuple[Array, Array | None]:
+    """Pallas-accelerated twin of conv_pass_binned (d2features models)."""
+    grid = system.bins
+    assert grid is not None
+    from aimnetcentral_tpu.models.engine_binned import stencil_radius
+
+    cell0 = system.cell[0] if system.cell is not None else None
+    radius = stencil_radius(rc_static, grid, cell0)
+
+    b_tot, c = grid.total_bins, grid.capacity
+    lshape = a.shape[0]
+    f_dim = a.shape[1]
+    g_dim = a.shape[2]
+    cq = q.shape[1] if q is not None else 0
+    # pad feature columns so gamma * f_pad is lane-aligned
+    f_pad = f_dim if q is None else 2 * f_dim
+    gamma = 8 if g_dim % 8 == 0 else g_dim
+
+    # --- static stencil tables (host) + cartesian shifts (device, cell-diff'able)
+    nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
+    s_tot = nbr_np.shape[0]
+    invalid = nbr_np < 0
+    nbr = jnp.asarray(np.where(invalid, 0, nbr_np))
+    wraps = jnp.asarray(wrap_np)  # (S, B, 3)
+    if cell0 is not None:
+        shift3 = jnp.einsum("sbk,kh->sbh", wraps, cell0)
+    else:
+        shift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
+    # invalid gas-phase probes: push candidates out of range
+    if invalid.any():
+        shift3 = shift3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
+    shift_cart = jnp.concatenate(
+        [shift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
+    )
+
+    coord_t = jnp.concatenate(
+        [
+            system.coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
+            jnp.zeros((b_tot, 1, c), a.dtype),
+        ],
+        axis=1,
+    )  # (B, 4, C)
+    mask = (system.numbers > 0).astype(a.dtype).reshape(b_tot, 1, c)
+
+    # g-major features, q channels appended into each g block
+    a_gm = a.transpose(0, 2, 1)  # (L, G, F)
+    if q is not None:
+        qb = jnp.broadcast_to(q[:, None, :], (lshape, g_dim, cq))
+        pad = jnp.zeros((lshape, g_dim, f_pad - f_dim - cq), a.dtype)
+        a_gm = jnp.concatenate([a_gm, qb, pad], axis=-1)
+    a_gmajor = a_gm.reshape(b_tot, c, g_dim * f_pad)
+
+    shifts_g = aev["shifts_s"].reshape(1, g_dim)
+    scal = jnp.stack(
+        [aev["eta_s"], aev["rc_s"], jnp.float32(0.0), jnp.float32(0.0)]
+    ).reshape(1, 4)
+
+    st = ConvStatic(
+        b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot
+    )
+    if interpret_xla:
+        acc = _conv_acc_xla(
+            st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal
+        )
+    else:
+        acc = conv_acc(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+
+    # --- post-process: split (g-major) acc into scalar + vector parts
+    acc = acc.reshape(b_tot, 4, c, g_dim, f_pad)
+
+    def combine(sl, agh, nch):
+        avf = acc[..., sl]  # (B, 4, C, G, nch)
+        avf_s = avf[:, 0].reshape(lshape, g_dim, nch).transpose(0, 2, 1)  # (L, nch, G)
+        avf_v = jnp.moveaxis(avf[:, 1:4], 1, -1).reshape(
+            lshape, g_dim, nch, 3
+        ).transpose(0, 2, 1, 3)  # (L, nch, G, 3)
+        comb = jnp.einsum("fgh,lfgd->lfhd", agh, avf_v)
+        vv = (comb * comb).sum(-1)
+        return jnp.concatenate(
+            [avf_s.reshape(lshape, -1), vv.reshape(lshape, -1)], axis=-1
+        )
+
+    out_a = combine(slice(0, f_dim), agh_a, f_dim)
+    out_q = (
+        combine(slice(f_dim, f_dim + cq), agh_q, cq) if q is not None else None
+    )
+    return out_a, out_q
