@@ -341,30 +341,83 @@ class MDDriver:
 
     # -- host API -----------------------------------------------------------
 
+    def _grow_capacity(self, state: MDState, factor: float = 1.5) -> MDState:
+        """Re-plan the binned grid with more slot capacity and re-bin the
+        carried state (the TPU answer to the reference's NeighborOverflowError
+        retry, aimnet/calculators/neighbors.py:127-129 — but across chunk
+        boundaries, so the inner loop stays compile-once)."""
+        if self.engine != "binned":
+            raise RuntimeError(
+                "neighbor capacity overflow on the indexed engine; "
+                "reconstruct the driver with a larger plan"
+            )
+        old = self.grid
+        new_cap = int(np.ceil(old.capacity * factor / 4.0)) * 4
+        self.grid = dataclasses.replace(old, capacity=new_cap)
+        cell0 = state.system.cell[0] if state.system.cell is not None else None
+        perm, wrap, ovf = jax.jit(B.bin_atoms, static_argnums=2)(
+            state.coord, state.system.numbers, self.grid, cell0
+        )
+        if int(ovf) > 0:
+            return self._grow_capacity(state, factor * 1.5)
+        coord = state.coord - wrap @ cell0 if cell0 is not None else state.coord
+        sys2 = state.system.replace(
+            coord=B.to_slots(coord, perm),
+            numbers=B.to_slots(state.system.numbers, perm),
+            mol_idx=B.to_slots(state.system.mol_idx, perm),
+            bins=self.grid,
+        )
+        self._chunk_fn.clear()
+        return MDState(
+            coord=sys2.coord,
+            veloc=B.to_slots(state.veloc, perm),
+            forces=B.to_slots(state.forces, perm),
+            masses=B.to_slots(state.masses, perm),
+            system=sys2,
+            ref_coord=sys2.coord,
+            key=state.key,
+            overflow=jnp.int32(0),
+            epot=state.epot,
+        )
+
     def run(self, n_steps: int, chunk: int = 50) -> dict[str, np.ndarray]:
         """Run ``n_steps`` of MD; returns stacked per-step observables.
 
         Device work happens in ``chunk``-step compiled scans; the host checks
-        the neighbor-overflow counter between chunks (compile-once design —
-        a true overflow raises instead of silently corrupting forces)."""
-        if chunk not in self._chunk_fn:
+        the neighbor-overflow counter between chunks.  On a true overflow the
+        driver grows the bin capacity, re-bins the carried state, recompiles,
+        and RETRIES the chunk from the last good state — no silent force
+        corruption, no user-visible failure.
+        """
 
-            @jax.jit
-            def run_chunk(state: MDState):
-                return jax.lax.scan(self._step, state, None, length=chunk)
+        def get_chunk_fn():
+            if chunk not in self._chunk_fn:
 
-            self._chunk_fn[chunk] = run_chunk
+                @jax.jit
+                def run_chunk(state: MDState):
+                    return jax.lax.scan(self._step, state, None, length=chunk)
+
+                self._chunk_fn[chunk] = run_chunk
+            return self._chunk_fn[chunk]
 
         all_obs = []
         state = self.state
-        for _ in range(int(np.ceil(n_steps / chunk))):
-            state, obs = self._chunk_fn[chunk](state)
-            if int(state.overflow) > 0:
-                raise RuntimeError(
-                    f"neighbor capacity overflow during MD ({int(state.overflow)}); "
-                    "re-plan with a larger safety factor"
-                )
+        n_chunks = int(np.ceil(n_steps / chunk))
+        i = 0
+        retries = 0
+        while i < n_chunks:
+            new_state, obs = get_chunk_fn()(state)
+            if int(new_state.overflow) > 0:
+                retries += 1
+                if retries > 6:
+                    raise RuntimeError(
+                        "neighbor capacity overflow persists after repeated growth"
+                    )
+                state = self._grow_capacity(state)
+                continue  # retry this chunk with the grown capacity
+            state = new_state
             all_obs.append(jax.tree.map(np.asarray, obs))
+            i += 1
         self.state = state
         out = {
             k: np.concatenate([o[k] for o in all_obs])[:n_steps] for k in all_obs[0]

@@ -148,3 +148,72 @@ def test_export_roundtrip(rng, tmp_path):
     # baked SAE recovered as float64 host table
     sae_table = next(iter(loaded.aux["sae"].values()))
     assert sae_table[6] == pytest.approx(-1029.5, abs=1e-9)
+
+
+def test_metrics_streaming(rng):
+    from aimnetcentral_tpu.train.metrics import MetricConfig, RegMultiMetric
+
+    m = RegMultiMetric([MetricConfig(key_pred="energy", key_true="energy")])
+    t = rng.normal(size=100)
+    p = t + rng.normal(size=100) * 0.1
+    # two batches must equal one batch
+    m.update({"energy": p[:50]}, {"energy": t[:50]})
+    m.update({"energy": p[50:]}, {"energy": t[50:]})
+    out = m.compute()
+    mae = np.abs(p - t).mean()
+    rmse = np.sqrt(((p - t) ** 2).mean())
+    assert out["energy_mae"] == pytest.approx(mae, rel=1e-9)
+    assert out["energy_rmse"] == pytest.approx(rmse, rel=1e-9)
+    assert 0.9 < out["energy_r2"] <= 1.0
+
+
+def test_merge_groups(rng):
+    ds = _synthetic_ds(rng, sizes=(4, 5, 6, 7), n_per=10)
+    ds.merge_groups(max_groups=2)
+    assert len(ds.keys()) == 2
+    assert len(ds) == 40
+    for size, g in ds.items():
+        assert g["coord"].shape[1] == size
+        assert g["numbers"].shape[1] == size
+
+
+def test_param_group_lr_and_checkpoint(rng, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from aimnetcentral_tpu.train.step import (
+        get_learning_rate,
+        init_train_state,
+        make_optimizer,
+        set_learning_rate,
+    )
+    from aimnetcentral_tpu.train.trainer import load_checkpoint_params, save_checkpoint
+
+    cfg = _tiny_cfg()
+    params = aimnet2_init(jax.random.key(0), cfg)
+    opt = make_optimizer(learning_rate=1e-3, param_group_lr={r"atomic_shift": 0.1})
+    state = init_train_state(params, opt)
+    assert get_learning_rate(state.opt_state) == pytest.approx(1e-3)
+    new_opt_state = set_learning_rate(state.opt_state, 5e-4)
+    assert get_learning_rate(new_opt_state) == pytest.approx(5e-4)
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+    params2 = load_checkpoint_params(path, params)
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(params2)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+def test_dataset_sharding(rng):
+    groups = {5: {"coord": rng.normal(size=(10, 5, 3)).astype(np.float32),
+                  "numbers": np.full((10, 5), 6),
+                  "energy": np.arange(10, dtype=np.float32)}}
+    from aimnetcentral_tpu.data.sgdataset import DataGroup, SizeGroupedDataset
+
+    full = SizeGroupedDataset(groups)
+    shard0 = SizeGroupedDataset({5: DataGroup(groups[5], shard=(0, 2))})
+    shard1 = SizeGroupedDataset({5: DataGroup(groups[5], shard=(1, 2))})
+    assert len(shard0) + len(shard1) == len(full)
+    np.testing.assert_array_equal(shard0[5]["energy"], [0, 2, 4, 6, 8])
+    np.testing.assert_array_equal(shard1[5]["energy"], [1, 3, 5, 7, 9])
