@@ -295,6 +295,20 @@ def coulomb_dsf_binned(
             - shift_val
             + (d - dsf_rc) * shift_slope
         )
+        if subtract_sr:
+            # fuse the SR subtraction into the same sweep: the SR envelope is
+            # identically zero beyond its rc << dsf_rc, so evaluating it on
+            # the DSF stencil is exact and saves a second pair sweep
+            if envelope == "exp":
+                x = jnp.clip(d / rc, 0.0, 1.0 - 1e-6)
+                fc = jnp.exp(-1.0 / (1.0 - x * x)) / 0.36787944117144233
+            else:
+                fc = jnp.where(
+                    d < rc,
+                    0.5 * (jnp.cos(jnp.clip(d, 1e-6, rc) * (jnp.pi / rc)) + 1.0),
+                    0.0,
+                )
+            e_pair = e_pair - fc / d
         return qq * e_pair
 
     e_i = pair_energy_binned(system, dsf_rc, e_fn, {"q": q})
@@ -305,8 +319,6 @@ def coulomb_dsf_binned(
     e = e + 2.0 * FACTOR * nbops.mol_sum(
         self_coeff * q_real * q_real, system.mol_idx, system.num_mol
     )
-    if subtract_sr:
-        e = e - coulomb_sr_binned(system, q, rc, envelope)
     return e
 
 
