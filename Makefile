@@ -1,0 +1,21 @@
+# Development targets (reference Makefile parity)
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/test_ops.py tests/test_physics.py tests/test_train.py -q
+
+test-parity:
+	python -m pytest tests/test_parity_core.py tests/test_binned.py tests/test_pbc.py -q
+
+bench:
+	python bench.py
+
+bench-small:
+	BENCH_ATOMS=2000 BENCH_STEPS=60 python bench.py
+
+entry-check:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
