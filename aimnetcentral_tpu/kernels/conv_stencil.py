@@ -190,3 +190,141 @@ def conv_stencil_forward(
         shifts_g,
         scal,
     )
+
+
+def _bwd_a_kernel(
+    # scalar prefetch: receiver-centric mirror table
+    mnbr_ref,  # (S*B,) int32
+    # inputs
+    coord_partner_ref,  # (1, 4, C)   self-bin coords of the FORWARD pair (b')
+    coord_recv_ref,  # (1, 4, C)      this bin's coords (the forward candidate)
+    mask_partner_ref,  # (1, 1, C)
+    mask_recv_ref,  # (1, 1, C)
+    gbar_ref,  # (1, 4*C, G*F)        cotangent block of the partner bin
+    mshift_ref,  # (1, 1, 1, 4)       forward shift (receiver frame)
+    shifts_g_ref,  # (1, G)
+    scal_ref,  # (1, 4)
+    # output
+    grad_a_ref,  # (1, C, G*F)
+    *,
+    c: int,
+    g: int,
+    f: int,
+    gamma: int,
+):
+    """Adjoint sweep for the candidate features: for every forward pair
+    (i in partner bin b', j in this bin b), accumulate W(b',s)^T @ gbar[b']
+    into grad_a[b] — the mirror tables make every write land in THIS bin's
+    resident output block (no scatters)."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        grad_a_ref[...] = jnp.zeros_like(grad_a_ref)
+
+    eta = scal_ref[0, 0]
+    rc = scal_ref[0, 1]
+
+    ci = coord_partner_ref[0]  # (4, C)  forward self side (rows of W)
+    shift = mshift_ref[0, 0]
+    cj = coord_recv_ref[0] + shift.reshape(4, 1)  # forward candidate side
+
+    d2 = jnp.zeros((c, c), jnp.float32)
+    for k in range(3):
+        dk = cj[k][None, :] - ci[k][:, None]
+        d2 = d2 + dk * dk
+
+    real_i = mask_partner_ref[0, 0][:, None] > 0.5
+    real_j = mask_recv_ref[0, 0][None, :] > 0.5
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    not_self = jnp.logical_or(s != 0, row_ids != col_ids)
+    vp = jnp.logical_and(jnp.logical_and(real_i, real_j), not_self)
+
+    d2s = jnp.where(vp, d2, 1.0)
+    d = jnp.sqrt(d2s)
+    inv_d = 1.0 / d
+    within = jnp.logical_and(vp, d < rc)
+    fc = jnp.where(
+        within, 0.5 * (jnp.cos(jnp.minimum(d, rc) * (jnp.pi / rc)) + 1.0), 0.0
+    )
+
+    n_groups = g // gamma
+
+    def body(w_scratch):
+        for gi in range(n_groups):
+            for g2 in range(gamma):
+                g_abs = gi * gamma + g2
+                dd = d - shifts_g_ref[0, g_abs]
+                gs = jnp.exp(-eta * dd * dd) * fc
+                w_scratch[0 * c : 1 * c, g2 * c : (g2 + 1) * c] = gs
+                for k in range(3):
+                    dk = cj[k][None, :] - ci[k][:, None]
+                    w_scratch[(k + 1) * c : (k + 2) * c, g2 * c : (g2 + 1) * c] = (
+                        gs * dk * inv_d
+                    )
+            # grad_abig = W^T @ gbar_group : (gamma*C, gamma*F)
+            gbar_grp = gbar_ref[0][:, gi * gamma * f : (gi + 1) * gamma * f]
+            grad_abig = jax.lax.dot_general(
+                w_scratch[...],
+                gbar_grp,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # diagonal blocks -> grad_a columns of the matching g
+            for g2 in range(gamma):
+                g_abs = gi * gamma + g2
+                grad_a_ref[0, :, g_abs * f : (g_abs + 1) * f] += grad_abig[
+                    g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f
+                ]
+
+    pl.run_scoped(body, w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("b_tot", "c", "g", "f", "gamma"))
+def conv_stencil_bwd_a(
+    mnbr_flat: jax.Array,  # (S*B,) int32 (receiver-centric mirror table)
+    coord_t: jax.Array,  # (B, 4, C)
+    mask: jax.Array,  # (B, 1, C)
+    gbar: jax.Array,  # (B, 4C, G*F) cotangent of the forward output
+    mshift_cart: jax.Array,  # (S, B, 1, 4) forward shift, receiver frame
+    shifts_g: jax.Array,
+    scal: jax.Array,
+    b_tot: int,
+    c: int,
+    g: int,
+    f: int,
+    gamma: int = 8,
+) -> jax.Array:
+    s_tot = mshift_cart.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_tot, s_tot),
+        in_specs=[
+            pl.BlockSpec((1, 4, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
+            pl.BlockSpec((1, 4, c), lambda b, s, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda b, s, t: (b, 0, 0)),
+            pl.BlockSpec((1, 4 * c, g * f), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
+            pl.BlockSpec((1, 1, 1, 4), lambda b, s, t: (s, b, 0, 0)),
+            pl.BlockSpec((1, g), lambda b, s, t: (0, 0)),
+            pl.BlockSpec((1, 4), lambda b, s, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, g * f), lambda b, s, t: (b, 0, 0)),
+    )
+    kernel = functools.partial(_bwd_a_kernel, c=c, g=g, f=f, gamma=gamma)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_tot, c, g * f), jnp.float32),
+    )(
+        mnbr_flat,
+        coord_t,
+        coord_t,
+        mask,
+        mask,
+        gbar,
+        mshift_cart,
+        shifts_g,
+        scal,
+    )

@@ -296,3 +296,23 @@ def to_binned_system(system, grid: BinGrid):
         bins=grid,
     )
     return binned, perm, overflow
+
+
+def mirror_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """Receiver-centric stencil tables for adjoint (mirror) sweeps.
+
+    For sweep step s and bin b, ``mnbr[s, b]`` is the bin b' whose FORWARD
+    step s had b as its candidate (nbr[s, b'] == b), and ``mwrap[s, b]`` is
+    the lattice wrap that forward step applied — i.e. coordinates satisfy
+    cand_position = coord[b-region] + mwrap @ cell as seen from b'.
+    Built from the offset mirror: b' = nbr(-offset, b), mwrap = -wrap(-offset, b).
+    Gas-phase out-of-grid entries are -1.
+    """
+    offs = stencil_offsets(radius)
+    # index of -offset for each offset
+    key = {tuple(o): i for i, o in enumerate(offs)}
+    mirror = np.array([key[tuple(-o)] for o in offs], dtype=np.int64)
+    nbr, wrap, _zero = stencil_tables(grid, radius)
+    mnbr = nbr[mirror]
+    mwrap = -wrap[mirror]
+    return mnbr.astype(np.int32), mwrap.astype(np.float32)
