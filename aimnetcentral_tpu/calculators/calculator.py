@@ -338,7 +338,9 @@ class AIMNet2Calculator:
     ) -> np.ndarray:
         """Matrix-free H @ v, exact for every LR method
         (reference aimnet/calculators/calculator.py:1755-1987)."""
-        system = self.prepare_system(data)
+        # indexed layout: v is ordered by input atoms, which only matches the
+        # system's atom order on the non-binned path
+        system = self.prepare_system(data, allow_binned=False)
         if self._hvp_fn is None:
             self._hvp_fn = jax.jit(derivatives.make_hvp_fn(self.cfg))
         n_real = int(np.asarray(system.numbers > 0).sum())

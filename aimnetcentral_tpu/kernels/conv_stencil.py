@@ -17,8 +17,11 @@ Why: in the XLA formulation the per-pair weight tensor must materialize in
 HBM as an einsum operand (~100s of MB per offset sweep); here it never leaves
 VMEM.  Gradients: `conv_stencil` is wrapped in `jax.custom_vjp` whose
 backward re-runs the mathematically-identical XLA formulation under
-`jax.vjp` — forward speed from Pallas, correctness-by-construction backward
-(dedicated backward kernels are the next step).
+`jax.vjp` — forward speed from Pallas, correctness-by-construction backward.
+The first dedicated backward kernel (``conv_stencil_bwd_a``, the mirror-sweep
+feature adjoint) is implemented and autodiff-validated below; the coordinate
+adjoint and bin tiling (which amortizes the per-program overhead that
+currently caps both directions) are scheduled in ROADMAP.md.
 
 Layout contracts:
 - coords are passed TRANSPOSED per bin: (B, 4, C) (lanes = C),
