@@ -14,6 +14,8 @@ def system_from_molecules(
     molecules: list[dict],
     cutoff: float | None = None,
     lr_cutoff: float | None = None,
+    coulomb_cutoff: float | None = None,
+    dftd3_cutoff: float | None = None,
     n_pad: int | None = None,
     max_neighbors: int | None = None,
     build_nbmat: bool = True,
@@ -76,15 +78,27 @@ def system_from_molecules(
             n_pad=n_pad,
         )
 
-    nbmat_lr = shifts_lr = None
-    if lr_cutoff is not None and build_nbmat:
-        nbmat_lr, shifts_lr, _ = brute_force_nbmat(
+    def _lr_build(rc):
+        return brute_force_nbmat(
             coord[:n_real],
             real_mol_idx,
-            lr_cutoff,
+            rc,
             cell=cell if has_cell else None,
             n_pad=n_pad,
-        )
+        )[:2]
+
+    # shared LR list, or split per-module lists when Coulomb/D3 cutoffs
+    # diverge (reference aimnet/calculators/calculator.py:582-636)
+    nbmat_lr = shifts_lr = None
+    nbmat_coulomb = shifts_coulomb = None
+    nbmat_dftd3 = shifts_dftd3 = None
+    if build_nbmat:
+        if lr_cutoff is not None:
+            nbmat_lr, shifts_lr = _lr_build(lr_cutoff)
+        if coulomb_cutoff is not None:
+            nbmat_coulomb, shifts_coulomb = _lr_build(coulomb_cutoff)
+        if dftd3_cutoff is not None:
+            nbmat_dftd3, shifts_dftd3 = _lr_build(dftd3_cutoff)
 
     return System(
         coord=jnp.asarray(coord),
@@ -98,6 +112,10 @@ def system_from_molecules(
         shifts=jnp.asarray(shifts) if shifts is not None else None,
         nbmat_lr=jnp.asarray(nbmat_lr) if nbmat_lr is not None else None,
         shifts_lr=jnp.asarray(shifts_lr) if shifts_lr is not None else None,
+        nbmat_coulomb=jnp.asarray(nbmat_coulomb) if nbmat_coulomb is not None else None,
+        shifts_coulomb=jnp.asarray(shifts_coulomb) if shifts_coulomb is not None else None,
+        nbmat_dftd3=jnp.asarray(nbmat_dftd3) if nbmat_dftd3 is not None else None,
+        shifts_dftd3=jnp.asarray(shifts_dftd3) if shifts_dftd3 is not None else None,
     )
 
 

@@ -112,14 +112,23 @@ class AIMNet2Calculator:
         self.params = params
         self.cfg: AIMNet2Config = cfg
         self.aux = aux
+        # artifact metadata (implemented_species, family charge policy, ...)
+        # rides along in aux so the 3-tuple calculator-model contract is kept
+        self.metadata: dict = dict(aux.get("metadata") or {})
         self.atom_bucket = atom_bucket
         self.nb_safety = nb_safety
         # periodic systems larger than this route through the binned stencil
         # engine (index-free pair math; see ops/binned.py)
         self.binned_threshold = binned_threshold
         self._fn_cache: dict[tuple, Any] = {}
-        self._hvp_fn = None
         self._last_perm: np.ndarray | None = None
+        # runtime LR neighbor-list cutoff overrides
+        # (reference aimnet/calculators/calculator.py:729-784)
+        self._lr_cutoff_override: float | None = None
+        self._dftd3_cutoff_override: float | None = None
+        # identity cache so repeated evals of the same numbers array skip the
+        # species scan (reference aimnet/calculators/calculator.py:785-838)
+        self._species_cache: tuple | None = None
 
     # -- configuration ------------------------------------------------------
 
@@ -150,7 +159,67 @@ class AIMNet2Calculator:
             new_outputs.append((name, h))
         self.cfg = dataclasses.replace(self.cfg, outputs=tuple(new_outputs))
         self._fn_cache.clear()
-        self._hvp_fn = None
+
+    def set_lr_cutoff(self, cutoff: float) -> None:
+        """Unified long-range neighbor-list cutoff for Coulomb + D3 sweeps
+        (reference aimnet/calculators/calculator.py:729-752).  Ewald/PME keep
+        estimating their own real-space cutoff and ignore this."""
+        self._lr_cutoff_override = float(cutoff)
+        self._dftd3_cutoff_override = float(cutoff)
+        self._fn_cache.clear()
+
+    def set_dftd3_cutoff(
+        self, cutoff: float | None = None, smoothing_fraction: float | None = None
+    ) -> None:
+        """Set the D3 cutoff + smoothing window (changes the dispersion energy,
+        not just the list; reference aimnet/calculators/calculator.py:752-784)."""
+        if cutoff is None:
+            cutoff = 15.0
+        if smoothing_fraction is None:
+            smoothing_fraction = 0.2
+        new_outputs = []
+        for name, h in self.cfg.outputs:
+            if isinstance(h, DFTD3Head):
+                h = dataclasses.replace(
+                    h, cutoff=float(cutoff), smoothing_fraction=float(smoothing_fraction)
+                )
+            new_outputs.append((name, h))
+        self.cfg = dataclasses.replace(self.cfg, outputs=tuple(new_outputs))
+        self._dftd3_cutoff_override = float(cutoff)
+        self._fn_cache.clear()
+
+    # -- input validation -----------------------------------------------------
+
+    def _validate_species_and_charge(self, data: Mapping[str, Any]) -> None:
+        """Validate atomic numbers against ``implemented_species`` and net
+        charge against the family policy (reference aimnet/calculators/
+        calculator.py:785-878).  No-op for models without metadata."""
+        impl = self.metadata.get("implemented_species") or []
+        if impl and "numbers" in data:
+            numbers = data["numbers"]
+            key = None
+            if isinstance(numbers, np.ndarray):
+                key = (id(numbers), numbers.shape, str(numbers.dtype))
+            if key is None or self._species_cache != key:
+                seen = {int(z) for z in np.unique(np.asarray(numbers)) if int(z) > 0}
+                unsupported = sorted(seen - set(int(z) for z in impl))
+                if unsupported:
+                    raise ValueError(
+                        f"Atomic numbers {unsupported} are not in this model's "
+                        f"implemented_species {sorted(int(z) for z in impl)}. "
+                        "Evaluating untrained elements yields undefined output. "
+                        "Pass validate_species=False to bypass."
+                    )
+                self._species_cache = key
+        if self.metadata.get("supports_charged_systems") is False:
+            charge = np.atleast_1d(np.asarray(data.get("charge", 0.0), dtype=np.float64))
+            if charge.size and np.abs(charge).max() > 1e-6:
+                bad = charge[np.abs(charge) > 1e-6].tolist()
+                raise ValueError(
+                    "This model does not support net-charged systems (got "
+                    f"non-zero charge(s) {bad}). Net-neutral zwitterions are "
+                    "supported. Pass validate_species=False to bypass."
+                )
 
     def _needs_lr_nb(self) -> bool:
         return self._lr_head() is not None or self._d3_head() is not None
@@ -225,13 +294,17 @@ class AIMNet2Calculator:
             (hh for _n, hh in cfg_eff.outputs if isinstance(hh, LRCoulombHead)), None
         )
 
-        cuts: list[float] = []
+        # per-module LR neighbor-list cutoffs; split into separate lists when
+        # they diverge >20% so the D3 sweep doesn't pay the Ewald radius (and
+        # vice versa) — reference aimnet/calculators/calculator.py:559-636
+        d3_cut: float | None = None
         if d3 is not None:
-            cuts.append(d3.cutoff)
+            d3_cut = self._dftd3_cutoff_override or d3.cutoff
+        coul_cut: float | None = None
         ewald_acc = None
         if h_eff is not None:
             if h_eff.method == "dsf":
-                cuts.append(h_eff.dsf_rc)
+                coul_cut = self._lr_cutoff_override or h_eff.dsf_rc
             elif h_eff.method in ("ewald", "pme"):
                 if not has_cell:
                     raise ValueError(f"{h_eff.method} Coulomb requires a periodic cell")
@@ -240,16 +313,31 @@ class AIMNet2Calculator:
                     len(mols[0]["numbers"]),
                     h_eff.ewald_accuracy,
                 )
-                cuts.append(p.r_cutoff)
+                coul_cut = p.r_cutoff
                 ewald_acc = h_eff.ewald_accuracy
-            # simple (gas phase): base all-pairs list serves as LR list
+            elif h_eff.method == "simple" and cutoff is not None:
+                # cutoff-bounded base list (large cluster): simple Coulomb
+                # still needs all pairs (reference calculator.py:620-626)
+                coul_cut = self._lr_cutoff_override or 1e6
 
-        lr_cutoff = max(cuts) if (cuts and self._needs_lr_nb() and cutoff is not None) else None
-        if cutoff is None and self._needs_lr_nb() and cuts and has_cell:
-            lr_cutoff = max(cuts)
+        lr_cutoff = coulomb_cutoff = dftd3_cutoff = None
+        if cutoff is not None:
+            if (
+                d3_cut is not None
+                and coul_cut is not None
+                and max(d3_cut, coul_cut) / min(d3_cut, coul_cut) > 1.2
+            ):
+                coulomb_cutoff, dftd3_cutoff = coul_cut, d3_cut
+            elif d3_cut is not None or coul_cut is not None:
+                lr_cutoff = max(c for c in (d3_cut, coul_cut) if c is not None)
 
         system = system_from_molecules(
-            mols, cutoff=cutoff, lr_cutoff=lr_cutoff, n_pad=n_pad
+            mols,
+            cutoff=cutoff,
+            lr_cutoff=lr_cutoff,
+            coulomb_cutoff=coulomb_cutoff,
+            dftd3_cutoff=dftd3_cutoff,
+            n_pad=n_pad,
         )
         if ewald_acc is not None:
             system = attach_ewald(
@@ -276,7 +364,11 @@ class AIMNet2Calculator:
         forces: bool = False,
         stress: bool = False,
         hessian: bool = False,
+        *,
+        validate_species: bool = True,
     ) -> dict[str, np.ndarray]:
+        if validate_species:
+            self._validate_species_and_charge(data)
         if hessian:
             mols = _as_molecules(data)
             if len(mols) > 1:
@@ -334,17 +426,24 @@ class AIMNet2Calculator:
         return res
 
     def hessian_vector_product(
-        self, data: Mapping[str, Any], v: np.ndarray
+        self, data: Mapping[str, Any], v: np.ndarray, *, validate_species: bool = True
     ) -> np.ndarray:
         """Matrix-free H @ v, exact for every LR method
         (reference aimnet/calculators/calculator.py:1755-1987)."""
+        if validate_species:
+            self._validate_species_and_charge(data)
         # indexed layout: v is ordered by input atoms, which only matches the
         # system's atom order on the non-binned path
         system = self.prepare_system(data, allow_binned=False)
-        if self._hvp_fn is None:
-            self._hvp_fn = jax.jit(derivatives.make_hvp_fn(self.cfg))
+        # same effective config as eval: periodic systems auto-switch
+        # simple -> DSF, so HVP and dense Hessian use one Hamiltonian
+        cfg_eff = self._effective_cfg(system.cell is not None)
+        key = ("hvp", cfg_eff)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(derivatives.make_hvp_fn(cfg_eff))
+        hvp_fn = self._fn_cache[key]
         n_real = int(np.asarray(system.numbers > 0).sum())
         v_pad = np.zeros((system.natoms, 3), dtype=np.float32)
         v_pad[:n_real] = np.asarray(v, dtype=np.float32).reshape(n_real, 3)
-        hv = self._hvp_fn(self.params, system, jnp.asarray(v_pad))
+        hv = hvp_fn(self.params, system, jnp.asarray(v_pad))
         return np.asarray(hv)[:n_real]

@@ -121,6 +121,19 @@ def clear_model_cache() -> None:
         shutil.rmtree(d)
 
 
+def registry_family(model: str) -> str | None:
+    """Family declared in the registry for a name/alias (None for local paths
+    or unknown names) — feeds family-policy reconciliation at load time
+    (reference aimnet/calculators/resolve.py:36-66)."""
+    if os.path.exists(model):
+        return None
+    try:
+        _canonical, entry = resolve_name(model)
+    except KeyError:
+        return None
+    return entry.get("family")
+
+
 def resolve_model(model: str) -> str:
     """Registry name/alias -> cached artifact path; or pass through an
     existing local path (reference aimnet/calculators/resolve.py:69-120)."""

@@ -22,11 +22,11 @@ def cli() -> None:
 
 def _load_calc(model: str):
     from aimnetcentral_tpu.calculators import AIMNet2Calculator
-    from aimnetcentral_tpu.calculators.registry import resolve_model
+    from aimnetcentral_tpu.calculators.registry import registry_family, resolve_model
     from aimnetcentral_tpu.models.loader import load_model
 
     path = resolve_model(model)
-    loaded = load_model(path)
+    loaded = load_model(path, registry_family=registry_family(model))
     return AIMNet2Calculator(loaded.as_calculator_model()), loaded
 
 

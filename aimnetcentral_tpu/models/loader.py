@@ -83,6 +83,44 @@ def _metadata_from_artifact(data: Mapping[str, Any]) -> dict:
     }
 
 
+def apply_family_defaults(
+    metadata: Mapping[str, Any], registry_family: str | None = None
+) -> dict:
+    """Reconcile artifact metadata with the registry family policy
+    (reference aimnet/calculators/resolve.py:36-66): rxn models must refuse
+    net-charged systems; D3-posthoc families get dispersion params attached
+    when the artifact doesn't embed D3TS."""
+    from aimnetcentral_tpu.calculators.registry import get_family_policy
+
+    metadata = dict(metadata)
+    if registry_family is not None:
+        fam = metadata.get("family")
+        if fam is None:
+            metadata["family"] = registry_family
+        elif fam != registry_family:
+            raise ValueError(
+                f"Registry family {registry_family!r} does not match model "
+                f"metadata family {fam!r}. Refusing to load ambiguous energy scale."
+            )
+    policy = get_family_policy(metadata.get("family"))
+    if policy.supports_charged_systems is not None:
+        declared = metadata.get("supports_charged_systems")
+        if declared is None:
+            metadata["supports_charged_systems"] = policy.supports_charged_systems
+        elif bool(declared) is not policy.supports_charged_systems:
+            raise ValueError(
+                f"{metadata.get('family')} models must declare "
+                f"supports_charged_systems={policy.supports_charged_systems}."
+            )
+    if policy.posthoc_d3_params is not None and not metadata.get(
+        "has_embedded_d3ts", False
+    ):
+        metadata["needs_dispersion"] = True
+        if metadata.get("d3_params") is None:
+            metadata["d3_params"] = dict(policy.posthoc_d3_params)
+    return metadata
+
+
 def attach_external_lr(cfg: AIMNet2Config, metadata: Mapping[str, Any]) -> AIMNet2Config:
     """Append external Coulomb / D3 heads per artifact metadata
     (reference aimnet/calculators/calculator.py:214-247)."""
@@ -122,7 +160,9 @@ def attach_external_lr(cfg: AIMNet2Config, metadata: Mapping[str, Any]) -> AIMNe
     return dataclasses.replace(cfg, outputs=tuple(outputs))
 
 
-def load_v2_artifact(path: str, attach_lr: bool = True) -> LoadedModel:
+def load_v2_artifact(
+    path: str, attach_lr: bool = True, registry_family: str | None = None
+) -> LoadedModel:
     """Load a reference v2 ``.pt`` artifact into JAX params."""
     import torch
 
@@ -134,7 +174,8 @@ def load_v2_artifact(path: str, attach_lr: bool = True) -> LoadedModel:
     cfg = config_from_yaml(model_cfg)
     sd = {k: v.numpy() for k, v in data["state_dict"].items()}
     params, aux = convert_state_dict(sd, cfg)
-    metadata = _metadata_from_artifact(data)
+    metadata = apply_family_defaults(_metadata_from_artifact(data), registry_family)
+    aux["metadata"] = metadata
     # external heads need extra params (D3 tables etc.)
     if attach_lr:
         cfg2 = attach_external_lr(cfg, metadata)
@@ -149,7 +190,9 @@ def load_v2_artifact(path: str, attach_lr: bool = True) -> LoadedModel:
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
-def load_hf_repo(repo_dir: str, member: int | str = 0) -> LoadedModel:
+def load_hf_repo(
+    repo_dir: str, member: int | str = 0, registry_family: str | None = None
+) -> LoadedModel:
     """Load from an HF-style directory: ``config.json`` +
     ``ensemble_N.safetensors`` (reference aimnet/calculators/hf_hub.py:275-400).
     ``repo_dir`` must be a local snapshot directory (zero-egress environment:
@@ -167,7 +210,8 @@ def load_hf_repo(repo_dir: str, member: int | str = 0) -> LoadedModel:
     cfg = config_from_yaml(model_cfg)
     sd = load_file(os.path.join(repo_dir, f"ensemble_{member}.safetensors"))
     params, aux = convert_state_dict(sd, cfg)
-    metadata = _metadata_from_artifact(config)
+    metadata = apply_family_defaults(_metadata_from_artifact(config), registry_family)
+    aux["metadata"] = metadata
     cfg = attach_external_lr(cfg, metadata)
     from aimnetcentral_tpu.models.heads import head_init
     import jax
@@ -178,15 +222,15 @@ def load_hf_repo(repo_dir: str, member: int | str = 0) -> LoadedModel:
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
-def load_model(path: str) -> LoadedModel:
+def load_model(path: str, registry_family: str | None = None) -> LoadedModel:
     """Dispatch on artifact kind (v2 .pt / HF dir).  Legacy ``.jpt``
     TorchScript requires conversion first (``aimnet-tpu convert``)."""
     if os.path.isdir(path):
-        return load_hf_repo(path)
+        return load_hf_repo(path, registry_family=registry_family)
     if path.lower().endswith(".jpt"):
         raise ValueError(
             "legacy TorchScript .jpt artifacts must be converted to v2 .pt "
             "first (see the reference's `aimnet convert`); direct TorchScript "
             "execution is torch-specific"
         )
-    return load_v2_artifact(path)
+    return load_v2_artifact(path, registry_family=registry_family)
