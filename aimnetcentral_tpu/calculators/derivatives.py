@@ -47,6 +47,7 @@ def make_eval_fn(
     hessian: bool = False,
     sae_external: bool = True,
     extra_keys: tuple[str, ...] = (),
+    conv_engine: str | None = None,
 ) -> Callable[[dict, System], dict]:
     """Build a jittable evaluation function ``f(params, system) -> outputs``.
 
@@ -66,7 +67,9 @@ def make_eval_fn(
         return out
 
     def energy_of(params: dict, system: System) -> tuple[Array, dict]:
-        data = aimnet2_apply(params, cfg, system, sae_external=sae_external)
+        data = aimnet2_apply(
+            params, cfg, system, sae_external=sae_external, conv_engine=conv_engine
+        )
         return data["energy"].sum(), collect(data)
 
     if not (forces or stress or hessian):
@@ -104,9 +107,17 @@ def make_eval_fn(
             out["forces"] = -de_dc
 
         if hessian:
+            # forward-over-reverse cannot traverse a custom_vjp (the Pallas
+            # conv), so the Hessian graph pins the XLA conv engine
             def force_of(coord: Array) -> Array:
                 return -jax.grad(
-                    lambda c: energy_of(params, system.replace(coord=c))[0]
+                    lambda c: aimnet2_apply(
+                        params,
+                        cfg,
+                        system.replace(coord=c),
+                        sae_external=sae_external,
+                        conv_engine="xla",
+                    )["energy"].sum()
                 )(coord)
 
             h = -jax.jacfwd(force_of)(system.coord)  # (N, 3, N, 3)
@@ -121,10 +132,15 @@ def make_hvp_fn(cfg: AIMNet2Config, sae_external: bool = True):
     (replaces reference aimnet/calculators/calculator.py:1755-1987)."""
 
     def hvp(params: dict, system: System, v: Array) -> Array:
+        # jvp-of-grad cannot traverse a custom_vjp (the Pallas conv): pin XLA
         def grad_e(coord: Array) -> Array:
             return jax.grad(
                 lambda c: aimnet2_apply(
-                    params, cfg, system.replace(coord=c), sae_external=sae_external
+                    params,
+                    cfg,
+                    system.replace(coord=c),
+                    sae_external=sae_external,
+                    conv_engine="xla",
                 )["energy"].sum()
             )(coord)
 

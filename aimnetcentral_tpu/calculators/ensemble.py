@@ -45,8 +45,15 @@ class EnsembleCalculator(AIMNet2Calculator):
             )
         key = ("ens", forces, stress, hessian, cfg)
         if key not in self._fn_cache:
+            # vmap over member params cannot batch the Pallas conv's scalar-
+            # prefetch grid: pin the XLA engine for ensemble evaluation
             single = make_eval_fn(
-                cfg, forces=forces, stress=stress, hessian=False, sae_external=True
+                cfg,
+                forces=forces,
+                stress=stress,
+                hessian=False,
+                sae_external=True,
+                conv_engine="xla",
             )
 
             def ens_fn(params, system):

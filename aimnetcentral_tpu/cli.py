@@ -30,28 +30,21 @@ def _load_calc(model: str):
     return AIMNet2Calculator(loaded.as_calculator_model()), loaded
 
 
-def _read_xyz(path: str):
-    """Minimal xyz reader (ASE not required)."""
-    from aimnetcentral_tpu.constants import get_masses
+def _read_structure(path: str):
+    """Read XYZ or CIF: returns (coord, numbers, cell-or-None)."""
+    from aimnetcentral_tpu.io import read_cif, read_xyz
 
-    symbols = {
-        s: z
-        for z, s in enumerate(
-            "X H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe Co "
-            "Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In Sn Sb Te "
-            "I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W Re Os Ir "
-            "Pt Au Hg Tl Pb Bi Po At Rn".split()
-        )
-    }
-    with open(path) as f:
-        lines = f.read().splitlines()
-    n = int(lines[0].split()[0])
-    numbers, coords = [], []
-    for line in lines[2 : 2 + n]:
-        parts = line.split()
-        numbers.append(symbols[parts[0]] if parts[0] in symbols else int(parts[0]))
-        coords.append([float(x) for x in parts[1:4]])
-    return np.array(coords, dtype=np.float32), np.array(numbers, dtype=np.int64)
+    if path.lower().endswith(".cif"):
+        s = read_cif(path)
+        return s["coord"], s["numbers"], s["cell"]
+    coord, numbers = read_xyz(path)
+    return coord, numbers, None
+
+
+def _read_xyz(path: str):
+    from aimnetcentral_tpu.io import read_xyz
+
+    return read_xyz(path)
 
 
 @cli.command()
@@ -60,14 +53,19 @@ def _read_xyz(path: str):
 @click.option("--charge", default=0.0)
 @click.option("--forces/--no-forces", default=True)
 def sp(model: str, xyz: str, charge: float, forces: bool) -> None:
-    """Single-point energy (and forces) for an XYZ file."""
+    """Single-point energy (and forces) for an XYZ or CIF file."""
     calc, _ = _load_calc(model)
-    coord, numbers = _read_xyz(xyz)
-    out = calc({"coord": coord, "numbers": numbers, "charge": charge}, forces=forces)
+    coord, numbers, cell = _read_structure(xyz)
+    data = {"coord": coord, "numbers": numbers, "charge": charge}
+    if cell is not None:
+        data["cell"] = cell
+    out = calc(data, forces=forces, stress=cell is not None)
     click.echo(f"energy (eV): {out['energy'][0]:.6f}")
     click.echo(f"charges: {np.round(out['charges'], 4).tolist()}")
     if forces:
         click.echo(f"max |force| (eV/A): {np.abs(out['forces']).max():.6f}")
+    if "stress" in out:
+        click.echo(f"stress (eV/A^3): {np.round(out['stress'], 6).tolist()}")
 
 
 @cli.command()

@@ -1,2 +1,3 @@
 from aimnetcentral_tpu.dynamics.md import MDConfig, MDDriver  # noqa: F401
 from aimnetcentral_tpu.dynamics.optimize import fire_relax  # noqa: F401
+from aimnetcentral_tpu.dynamics.saddle import min_mode_search, ts_search  # noqa: F401

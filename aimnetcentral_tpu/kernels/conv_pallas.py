@@ -3,19 +3,16 @@
 ``conv_pass_pallas`` is a drop-in twin of
 ``models/engine_binned.py::conv_pass_binned``: same inputs, same outputs,
 but the offset sweep runs in the fused Pallas kernel (kernels/conv_stencil.py).
-Gradients come from ``jax.custom_vjp`` whose backward evaluates the
-mathematically-identical XLA formulation (``_conv_acc_xla``) under ``jax.vjp``
-— Pallas forward speed, autograd-exact backward (including cell/strain
-gradients through the lattice shifts, so stress works).
+Gradients are ``jax.custom_vjp`` with dedicated Pallas adjoint kernels on both
+sides: the mirror-sweep candidate kernel (grad-a + candidate-side grad-coord)
+and the forward-orientation self kernel (self-side grad-coord + lattice-shift
+adjoint, so cell/strain gradients and stress work).  Set
+``AIMNET_CONV_BWD=xla`` to fall back to autodiff of the mathematically
+identical XLA formulation (``_conv_acc_xla``).
 
-Status (measured, TPU v5e, 2k atoms / 64 bins / C=48): forward 7.3 ms vs
-9.8 ms XLA (1.34x) with ~10x faster compiles (4 s vs 45 s); per-program grid
-overhead (~4 us x bins x offsets) is the current floor — bin-tiled manual-DMA
-variants are the next step.  The gradient path through this wrapper re-runs
-the XLA forward inside the vjp, so force-driven workloads should stay on the
-XLA engine until the dedicated backward kernels (mirror-sweep grad-a +
-pair-scalar grad-coord, both with resident accumulation) land; use
-``conv_pass_pallas`` for energy-only evaluation and UQ screening.
+This replaces the reference's Warp K1-K3 family
+(aimnet/kernels/conv_sv_2d_sp_wp.py:90-244); double-backward (K3) is not
+needed here because Hessian/HVP paths run on the indexed layout.
 """
 
 from __future__ import annotations
@@ -148,30 +145,87 @@ def _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def conv_acc(st: ConvStatic, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+def conv_acc(
+    st: ConvStatic,
+    a_gmajor,
+    coord_t,
+    shift_cart,
+    mask,
+    nbr,
+    mnbr,
+    mshift_cart,
+    shifts_g,
+    scal,
+):
+    """Pallas stencil conv with Pallas adjoints on both sides.
+
+    ``mnbr``/``mshift_cart`` are the receiver-centric mirror tables (see
+    ops/binned.py::mirror_stencil_tables); the forward ignores them — they
+    exist so the backward sweeps can keep every write resident in its own
+    bin's output block instead of scattering (the TPU-native answer to the
+    reference's atomic-add scatter backward, kernels/conv_sv_2d_sp_wp.py:115-164).
+    """
     return _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
 
 
-def _conv_acc_fwd(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+def _conv_acc_fwd(
+    st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal
+):
     out = _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
-    return out, (a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+    return out, (a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal)
 
 
 def _conv_acc_bwd(st, res, g_out):
-    a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal = res
-    _, vjp = jax.vjp(
-        lambda a_, c_, s_: _conv_acc_xla(st, a_, c_, s_, mask, nbr, shifts_g, scal),
-        a_gmajor,
-        coord_t,
-        shift_cart,
-    )
-    da, dc, ds = vjp(g_out)
+    import os
+
+    a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal = res
+    if os.environ.get("AIMNET_CONV_BWD", "pallas") == "xla":
+        _, vjp = jax.vjp(
+            lambda a_, c_, s_: _conv_acc_xla(st, a_, c_, s_, mask, nbr, shifts_g, scal),
+            a_gmajor,
+            coord_t,
+            shift_cart,
+        )
+        da, dc, ds = vjp(g_out)
+    else:
+        from aimnetcentral_tpu.kernels.conv_stencil import (
+            conv_stencil_bwd_cand,
+            conv_stencil_bwd_self,
+        )
+
+        kw = dict(b_tot=st.b_tot, c=st.c, g=st.g, f=st.f, gamma=st.gamma)
+        da, dc_cand = conv_stencil_bwd_cand(
+            mnbr.reshape(-1),
+            coord_t,
+            mask,
+            a_gmajor,
+            g_out,
+            mshift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+            shifts_g,
+            scal,
+            **kw,
+        )
+        dc_self, ds4 = conv_stencil_bwd_self(
+            nbr.reshape(-1),
+            coord_t,
+            mask,
+            a_gmajor,
+            g_out,
+            shift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+            shifts_g,
+            scal,
+            **kw,
+        )
+        dc = dc_self + dc_cand
+        ds = ds4.reshape(st.s_tot, st.b_tot, 4)
     return (
         da,
         dc,
         ds,
         jnp.zeros_like(mask),
-        None if nbr is None else jnp.zeros_like(nbr),
+        jnp.zeros_like(nbr),
+        jnp.zeros_like(mnbr),
+        jnp.zeros_like(mshift_cart),
         jnp.zeros_like(shifts_g),
         jnp.zeros_like(scal),
     )
@@ -224,6 +278,21 @@ def conv_pass_pallas(
         [shift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
     )
 
+    # receiver-centric mirror tables for the backward sweeps (same push for
+    # invalid gas-phase probes so out-of-grid partners never contribute)
+    mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
+    minvalid = mnbr_np < 0
+    mnbr = jnp.asarray(np.where(minvalid, 0, mnbr_np))
+    if cell0 is not None:
+        mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
+    else:
+        mshift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
+    if minvalid.any():
+        mshift3 = mshift3 + jnp.asarray(minvalid[..., None].astype(np.float32)) * 1e6
+    mshift_cart = jnp.concatenate(
+        [mshift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
+    )
+
     coord_t = jnp.concatenate(
         [
             system.coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
@@ -254,7 +323,10 @@ def conv_pass_pallas(
             st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal
         )
     else:
-        acc = conv_acc(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+        acc = conv_acc(
+            st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart,
+            shifts_g, scal,
+        )
 
     # --- post-process: split (g-major) acc into scalar + vector parts
     acc = acc.reshape(b_tot, 4, c, g_dim, f_pad)

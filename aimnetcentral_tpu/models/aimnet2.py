@@ -202,11 +202,37 @@ def _conv_sv(agh: Array, a: Array, g_sv: Array, nbmat: Array, d2features: bool) 
     return jnp.concatenate([avf_s.reshape(n, -1), avf_v.reshape(n, -1)], axis=-1)
 
 
+def _resolve_conv_engine(cfg: AIMNet2Config, conv_engine: str | None) -> str:
+    """Pick the binned ConvSV implementation.
+
+    ``auto`` routes d2features models to the fused Pallas kernel on TPU
+    backends (forward + dedicated adjoint sweeps, kernels/conv_stencil.py)
+    and keeps the XLA stencil-roll engine elsewhere.  Override per-call or
+    with ``AIMNET_CONV_ENGINE={auto,pallas,xla}``.
+    """
+    import os
+
+    engine = conv_engine or os.environ.get("AIMNET_CONV_ENGINE", "auto")
+    if engine == "auto":
+        from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_available
+
+        use_pallas = (
+            cfg.d2features
+            and conv_stencil_available()
+            and jax.default_backend() == "tpu"
+        )
+        return "pallas" if use_pallas else "xla"
+    if engine == "pallas" and not cfg.d2features:
+        return "xla"  # the fused kernel assumes (L, F, G) features
+    return engine
+
+
 def aimnet2_apply(
     params: dict,
     cfg: AIMNet2Config,
     system: System,
     sae_external: bool = False,
+    conv_engine: str | None = None,
 ) -> dict:
     """Full forward pass.  Returns the output data bus with at least:
     ``energy`` (num_mol,) eV [without SAE when ``sae_external``],
@@ -246,20 +272,35 @@ def aimnet2_apply(
     npass = len(cfg.hidden)
     a_flat = a.reshape(n, -1) if cfg.d2features else a
 
+    engine = _resolve_conv_engine(cfg, conv_engine) if binned else "xla"
+
     for ipass in range(npass):
         if binned:
-            from aimnetcentral_tpu.models.engine_binned import conv_pass_binned
+            if engine == "pallas":
+                from aimnetcentral_tpu.kernels.conv_pallas import conv_pass_pallas
 
-            conv_a, conv_q = conv_pass_binned(
-                system,
-                params["aev"],
-                a,
-                charges if ipass > 0 else None,
-                params["conv_a"]["agh"],
-                params["conv_q"]["agh"],
-                cfg.d2features,
-                rc_static=cfg.aev.rc_s,
-            )
+                conv_a, conv_q = conv_pass_pallas(
+                    system,
+                    params["aev"],
+                    a,
+                    charges if ipass > 0 else None,
+                    params["conv_a"]["agh"],
+                    params["conv_q"]["agh"],
+                    rc_static=cfg.aev.rc_s,
+                )
+            else:
+                from aimnetcentral_tpu.models.engine_binned import conv_pass_binned
+
+                conv_a, conv_q = conv_pass_binned(
+                    system,
+                    params["aev"],
+                    a,
+                    charges if ipass > 0 else None,
+                    params["conv_a"]["agh"],
+                    params["conv_q"]["agh"],
+                    cfg.d2features,
+                    rc_static=cfg.aev.rc_s,
+                )
         else:
             conv_a = _conv_sv(
                 params["conv_a"]["agh"], a, g_sv, system.nbmat, cfg.d2features

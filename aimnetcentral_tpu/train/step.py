@@ -114,8 +114,15 @@ def make_train_step(
         if with_forces:
 
             def e_of(coord):
+                # grad-of-grad (force loss) cannot traverse a custom_vjp:
+                # pin the XLA conv engine (training batches are indexed
+                # anyway; the pin is inert there)
                 out = aimnet2_apply(
-                    params, cfg, system.replace(coord=coord), sae_external=False
+                    params,
+                    cfg,
+                    system.replace(coord=coord),
+                    sae_external=False,
+                    conv_engine="xla",
                 )
                 return out["energy"].sum(), out
 

@@ -4,6 +4,8 @@ correctness + gradient correctness of the custom_vjp wrapper."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes on CPU
+
 import jax
 import jax.numpy as jnp
 
