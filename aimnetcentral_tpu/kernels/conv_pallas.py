@@ -13,6 +13,10 @@ identical XLA formulation (``_conv_acc_xla``).
 This replaces the reference's Warp K1-K3 family
 (aimnet/kernels/conv_sv_2d_sp_wp.py:90-244); double-backward (K3) is not
 needed here because Hessian/HVP paths run on the indexed layout.
+
+Measured (TPU v5e, 10k atoms / 512 bins / C=40): fwd 24 ms, fwd+bwd 88 ms
+per pass vs 166 ms for the XLA stencil-roll formulation; end-to-end NVT MD
+10k: 7.19 steps/s vs 1.90 (round-1 XLA), compile 84 s vs minutes.
 """
 
 from __future__ import annotations
@@ -38,6 +42,11 @@ class ConvStatic:
     f: int  # feature columns per g block (padded: model F [+ q channels])
     gamma: int
     s_tot: int
+    t_row: int = 1  # bins per z-row (= nz; row-tiled kernel grid is B/t_row)
+
+    @property
+    def r_tot(self) -> int:
+        return self.b_tot // self.t_row
 
 
 def _conv_acc_xla(
@@ -125,18 +134,22 @@ def _conv_acc_xla(
     return acc
 
 
-def _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal):
+def _pallas_forward(
+    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+):
     from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_forward
 
     return conv_stencil_forward(
-        nbr.reshape(-1),
+        row_nbr.reshape(-1),
+        dz,
         coord_t,
         mask,
         a_gmajor,
-        shift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+        shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
         shifts_g,
         scal,
-        b_tot=st.b_tot,
+        r_tot=st.r_tot,
+        t_row=st.t_row,
         c=st.c,
         g=st.g,
         f=st.f,
@@ -151,34 +164,50 @@ def conv_acc(
     coord_t,
     shift_cart,
     mask,
+    row_nbr,
+    dz,
+    mrow_nbr,
+    mdz,
     nbr,
-    mnbr,
     mshift_cart,
     shifts_g,
     scal,
 ):
     """Pallas stencil conv with Pallas adjoints on both sides.
 
-    ``mnbr``/``mshift_cart`` are the receiver-centric mirror tables (see
-    ops/binned.py::mirror_stencil_tables); the forward ignores them — they
-    exist so the backward sweeps can keep every write resident in its own
-    bin's output block instead of scattering (the TPU-native answer to the
-    reference's atomic-add scatter backward, kernels/conv_sv_2d_sp_wp.py:115-164).
+    ``row_nbr``/``dz`` are the row-granular stencil tables
+    (ops/binned.py::row_stencil_tables); ``mrow_nbr``/``mdz`` their
+    receiver-centric mirrors, used only by the backward sweeps so every
+    write stays resident in its own row's output block instead of scattering
+    (the TPU-native answer to the reference's atomic-add scatter backward,
+    kernels/conv_sv_2d_sp_wp.py:115-164).  ``nbr`` is the per-BIN table,
+    kept for the XLA-twin fallback backward (AIMNET_CONV_BWD=xla).
     """
-    return _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
+    return _pallas_forward(
+        st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+    )
 
 
 def _conv_acc_fwd(
-    st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal
+    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
+    mshift_cart, shifts_g, scal,
 ):
-    out = _pallas_forward(st, a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal)
-    return out, (a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal)
+    out = _pallas_forward(
+        st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+    )
+    return out, (
+        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
+        mshift_cart, shifts_g, scal,
+    )
 
 
 def _conv_acc_bwd(st, res, g_out):
     import os
 
-    a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal = res
+    (
+        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
+        mshift_cart, shifts_g, scal,
+    ) = res
     if os.environ.get("AIMNET_CONV_BWD", "pallas") == "xla":
         _, vjp = jax.vjp(
             lambda a_, c_, s_: _conv_acc_xla(st, a_, c_, s_, mask, nbr, shifts_g, scal),
@@ -193,25 +222,29 @@ def _conv_acc_bwd(st, res, g_out):
             conv_stencil_bwd_self,
         )
 
-        kw = dict(b_tot=st.b_tot, c=st.c, g=st.g, f=st.f, gamma=st.gamma)
+        kw = dict(
+            r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f, gamma=st.gamma
+        )
         da, dc_cand = conv_stencil_bwd_cand(
-            mnbr.reshape(-1),
+            mrow_nbr.reshape(-1),
+            mdz,
             coord_t,
             mask,
             a_gmajor,
             g_out,
-            mshift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+            mshift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
             shifts_g,
             scal,
             **kw,
         )
         dc_self, ds4 = conv_stencil_bwd_self(
-            nbr.reshape(-1),
+            row_nbr.reshape(-1),
+            dz,
             coord_t,
             mask,
             a_gmajor,
             g_out,
-            shift_cart.reshape(st.s_tot, st.b_tot, 1, 4),
+            shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
             shifts_g,
             scal,
             **kw,
@@ -223,8 +256,11 @@ def _conv_acc_bwd(st, res, g_out):
         dc,
         ds,
         jnp.zeros_like(mask),
+        jnp.zeros_like(row_nbr),
+        jnp.zeros_like(dz),
+        jnp.zeros_like(mrow_nbr),
+        jnp.zeros_like(mdz),
         jnp.zeros_like(nbr),
-        jnp.zeros_like(mnbr),
         jnp.zeros_like(mshift_cart),
         jnp.zeros_like(shifts_g),
         jnp.zeros_like(scal),
@@ -282,7 +318,6 @@ def conv_pass_pallas(
     # invalid gas-phase probes so out-of-grid partners never contribute)
     mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
     minvalid = mnbr_np < 0
-    mnbr = jnp.asarray(np.where(minvalid, 0, mnbr_np))
     if cell0 is not None:
         mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
     else:
@@ -292,6 +327,16 @@ def conv_pass_pallas(
     mshift_cart = jnp.concatenate(
         [mshift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
     )
+
+    # row-granular tables for the row-tiled kernels (invalid rows clamp to
+    # self; their pairs are neutralized by the per-bin shift push above)
+    row_np, dz_np = B.row_stencil_tables(grid, radius)
+    mrow_np, mdz_np = B.mirror_row_stencil_tables(grid, radius)
+    row_nbr = jnp.asarray(np.where(row_np < 0, 0, row_np))
+    mrow_nbr = jnp.asarray(np.where(mrow_np < 0, 0, mrow_np))
+    dz = jnp.asarray(dz_np)
+    mdz = jnp.asarray(mdz_np)
+    t_row = grid.nbins[2]
 
     coord_t = jnp.concatenate(
         [
@@ -316,7 +361,7 @@ def conv_pass_pallas(
     ).reshape(1, 4)
 
     st = ConvStatic(
-        b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot
+        b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot, t_row=t_row
     )
     if interpret_xla:
         acc = _conv_acc_xla(
@@ -324,8 +369,8 @@ def conv_pass_pallas(
         )
     else:
         acc = conv_acc(
-            st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart,
-            shifts_g, scal,
+            st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
+            nbr, mshift_cart, shifts_g, scal,
         )
 
     # --- post-process: split (g-major) acc into scalar + vector parts

@@ -1,21 +1,24 @@
-"""Pallas TPU kernel: fused stencil ConvSV contraction.
+"""Pallas TPU kernel: fused stencil ConvSV contraction, bin-ROW tiled.
 
 The TPU-native replacement for the reference's Warp CUDA kernel family K1-K4
-(reference aimnet/kernels/conv_sv_2d_sp_wp.py) on top of the binned layout:
-for every (bin, stencil-offset) pair the kernel
+(reference aimnet/kernels/conv_sv_2d_sp_wp.py) on top of the binned layout.
+Bins are z-fastest, so one program processes a whole z-row of T = nz bins
+against ONE candidate row per stencil offset (the z-offset is a rotation
+within the row): program count drops from B x S to (B/T) x S, amortizing the
+per-program dispatch overhead that capped the per-bin variant at large B
+(measured ~4 us/program; at 10k atoms that floor exceeded the math).
 
-1. DMAs the candidate bin's feature block (C, G*F) and coordinates into VMEM
-   (block indices come from the scalar-prefetched neighbor-bin table),
-2. computes pair distances, the cosine-cutoff Gaussian basis, and the unit
-   vectors entirely in VMEM,
-3. assembles the grouped block-diagonal candidate matrix and runs ONE
+Per (row, offset) program:
+
+1. the pipeline DMAs the candidate row's coordinates + feature block
+   (T, C, G*F) into VMEM (row index from the scalar-prefetched row table),
+2. for each of the T bins: pair distances, cosine-cutoff Gaussian basis and
+   unit vectors in VMEM; the grouped block-diagonal candidate matrix; ONE
    (4C x gamma*C) @ (gamma*C x gamma*F) MXU matmul per g-group,
-4. accumulates into the bin's output block, which stays resident across the
-   (innermost) offset dimension of the grid.
+3. accumulates into the row's output block, resident across the offset
+   dimension of the grid.
 
-Why: in the XLA formulation the per-pair weight tensor must materialize in
-HBM as an einsum operand (~100s of MB per offset sweep); here it never leaves
-VMEM.  Gradients are dedicated Pallas adjoint sweeps (wired via custom_vjp in
+Gradients are dedicated Pallas adjoint sweeps (wired via custom_vjp in
 conv_pallas.py): ``conv_stencil_bwd_cand`` accumulates the feature adjoint
 and the candidate-side coordinate adjoint over the RECEIVER-centric mirror
 stencil (every write resident — no scatters, the TPU-native answer to the
@@ -26,17 +29,18 @@ accumulates the self-side coordinate adjoint plus the lattice-shift adjoint
 Layout contracts:
 - coords are passed TRANSPOSED per bin: (B, 4, C) (lanes = C),
 - features and cotangents are G-MAJOR: (B*C, G*F) with column g*F + f,
-- output: (B, 4C, G*F), row j = d*C + i (direction-major), same g-major cols.
+- output: (B, 4C, G*F), row j = d*C + i (direction-major), same g-major cols,
+- row tables: (S, R) int32 with R = B/T; z-rotations dz/mdz: (S,) int32 in
+  [0, T) (ops/binned.py::row_stencil_tables / mirror_row_stencil_tables);
+  per-bin lattice shifts stay (S, B, 4) from stencil_tables.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -51,157 +55,10 @@ def conv_stencil_available() -> bool:
     return PALLAS_CONV_ENABLED
 
 
-def _kernel(
-    # scalar prefetch
-    nbr_ref,  # (S*B,) int32
-    # inputs
-    coord_self_ref,  # (1, 4, C)
-    coord_cand_ref,  # (1, 4, C)
-    mask_self_ref,  # (1, 1, C) f32 (1=real)
-    mask_cand_ref,  # (1, 1, C)
-    a_cand_ref,  # (1, C, G*F)
-    shift_ref,  # (1, 1, 4)  cartesian lattice shift for this (s, b)
-    shifts_g_ref,  # (1, G) radial shifts
-    scal_ref,  # (1, 4) [eta, rc, unused, unused]
-    # output
-    out_ref,  # (1, 4*C, G*F)
-    *,
-    c: int,
-    g: int,
-    f: int,
-    gamma: int,
-):
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    eta = scal_ref[0, 0]
-    rc = scal_ref[0, 1]
-
-    ci = coord_self_ref[0]  # (4, C)
-    shift = shift_ref[0, 0]  # (1, 4) -> read, then broadcast as array
-    cj = coord_cand_ref[0] + shift.reshape(4, 1)  # (4, C)
-
-    d2 = jnp.zeros((c, c), jnp.float32)
-    for k in range(3):
-        dk = cj[k][None, :] - ci[k][:, None]
-        d2 = d2 + dk * dk
-
-    real_i = mask_self_ref[0, 0][:, None] > 0.5  # (C, 1)
-    real_j = mask_cand_ref[0, 0][None, :] > 0.5  # (1, C)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    not_self = jnp.logical_or(s != 0, row_ids != col_ids)
-    vp = jnp.logical_and(jnp.logical_and(real_i, real_j), not_self)
-
-    d2s = jnp.where(vp, d2, 1.0)
-    d = jnp.sqrt(d2s)
-    inv_d = 1.0 / d
-    within = jnp.logical_and(vp, d < rc)
-    fc = jnp.where(
-        within, 0.5 * (jnp.cos(jnp.minimum(d, rc) * (jnp.pi / rc)) + 1.0), 0.0
-    )
-
-    n_groups = g // gamma
-
-    def body(w_scratch, abig_scratch):
-        for gi in range(n_groups):
-            # --- candidate block-diagonal matrix (gamma*C, gamma*F)
-            abig_scratch[...] = jnp.zeros_like(abig_scratch)
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                    a_cand_ref[0][:, g_abs * f : (g_abs + 1) * f]
-                )
-            # --- pair weights (4C, gamma*C): column block g2 holds the
-            #     (C, C) pair matrix for radial shift g_abs
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                dd = d - shifts_g_ref[0, g_abs]
-                gs = jnp.exp(-eta * dd * dd) * fc
-                w_scratch[0 * c : 1 * c, g2 * c : (g2 + 1) * c] = gs
-                for k in range(3):
-                    dk = cj[k][None, :] - ci[k][:, None]
-                    w_scratch[(k + 1) * c : (k + 2) * c, g2 * c : (g2 + 1) * c] = (
-                        gs * dk * inv_d
-                    )
-            contrib = jax.lax.dot_general(
-                w_scratch[...],
-                abig_scratch[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (4C, gamma*F)
-            out_ref[0, :, gi * gamma * f : (gi + 1) * gamma * f] += contrib
-
-    pl.run_scoped(
-        body,
-        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("b_tot", "c", "g", "f", "gamma")
-)
-def conv_stencil_forward(
-    nbr_flat: jax.Array,  # (S*B,) int32
-    coord_t: jax.Array,  # (B, 4, C) f32
-    mask: jax.Array,  # (B, 1, C) f32
-    a_gmajor: jax.Array,  # (B, C, G*F) f32
-    shift_cart: jax.Array,  # (S, B, 1, 4) f32
-    shifts_g: jax.Array,  # (1, G)
-    scal: jax.Array,  # (1, 4) [eta, rc, 0, 0]
-    b_tot: int,
-    c: int,
-    g: int,
-    f: int,
-    gamma: int = 8,
-) -> jax.Array:
-    s_tot = shift_cart.shape[0]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b_tot, s_tot),
-        in_specs=[
-            pl.BlockSpec((1, 4, c), lambda b, s, nbr: (b, 0, 0)),
-            pl.BlockSpec((1, 4, c), lambda b, s, nbr: (nbr[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, nbr: (b, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, nbr: (nbr[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, c, g * f), lambda b, s, nbr: (nbr[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4), lambda b, s, nbr: (s, b, 0, 0)),
-            pl.BlockSpec((1, g), lambda b, s, nbr: (0, 0)),
-            pl.BlockSpec((1, 4), lambda b, s, nbr: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 4 * c, g * f), lambda b, s, nbr: (b, 0, 0)),
-    )
-
-    kernel = functools.partial(_kernel, c=c, g=g, f=f, gamma=gamma)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_tot, 4 * c, g * f), jnp.float32),
-    )(
-        nbr_flat,
-        coord_t,
-        coord_t,  # candidate view (indexed via the neighbor table)
-        mask,
-        mask,
-        a_gmajor,
-        shift_cart.reshape(s_tot, b_tot, 1, 4),
-        shifts_g,
-        scal,
-    )
-
-
-def _pair_geom(coord_self, coord_cand, shift, mask_self, mask_cand, s, c, rc):
-    """Shared pair geometry for all sweeps.  Returns (cj, d, inv_d, within_f,
-    fc, fcp) where ``within_f`` is the float validity*cutoff mask, ``fc`` the
-    cosine cutoff and ``fcp`` its d-derivative (both pre-masked)."""
-    ci = coord_self  # (4, C)
-    cj = coord_cand + shift.reshape(4, 1)  # (4, C)
-
+def _pair_geom(ci, cj, s, c, rc, mask_self, mask_cand):
+    """Shared pair geometry.  ``ci``/``cj`` are (4, C) (cj already shifted);
+    returns (d, inv_d, within_f, fc, fcp): distances, float validity*cutoff
+    mask, the cosine cutoff, and its d-derivative (both pre-masked)."""
     d2 = jnp.zeros((c, c), jnp.float32)
     for k in range(3):
         dk = cj[k][None, :] - ci[k][:, None]
@@ -222,29 +79,31 @@ def _pair_geom(coord_self, coord_cand, shift, mask_self, mask_cand, s, c, rc):
     arg = jnp.minimum(d, rc) * (jnp.pi / rc)
     fc = jnp.where(within, 0.5 * (jnp.cos(arg) + 1.0), 0.0)
     fcp = jnp.where(within, -0.5 * (jnp.pi / rc) * jnp.sin(arg), 0.0)
-    return cj, d, inv_d, within_f, fc, fcp
+    return d, inv_d, within_f, fc, fcp
 
 
-def _coord_chain(ci, cj, d, inv_d, within_f, wbar_rows, gs_list, dgs_list, c):
-    """Chain rule from the per-(pair, g) weight cotangents back to the pair
-    displacement: returns rbar_k (C, C) for k = 0..2.
+def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, c):
+    """Accumulate one g-group's weight cotangents into the (dbar, ubar)
+    chain-rule accumulators (all full-lane (C, gamma*C) ops, block-summed
+    down to (C, C)).
 
-    For each radial index, W rows are [gs, gs*u_x, gs*u_y, gs*u_z] with
-    u_k = (cj_k - ci_k)/d, gs = exp(-eta*(d-shift_g)^2)*fc(d).  Given the
-    cotangents of those rows this produces the cotangent of r_k = cj_k - ci_k:
+    W rows are [gs, gs*u_x, gs*u_y, gs*u_z]:
         gsbar  = Wbar_0 + sum_k Wbar_k u_k
-        ubar_k = sum_g Wbar_k gs_g ;  dbar = sum_g gsbar_g dgs_g/dd
+        ubar_k += sum_g Wbar_k gs_g ;  dbar += sum_g gsbar_g dgs_g/dd
+    """
+    gsbar = wbar[0:c, :]
+    for k in range(3):
+        wk = wbar[(k + 1) * c : (k + 2) * c, :]
+        gsbar = gsbar + wk * u_tiled[k]
+        ubar[k] = ubar[k] + _block_sum(wk * gs_all, gamma, c)
+    dbar = dbar + _block_sum(gsbar * dgs_all, gamma, c)
+    return dbar, ubar
+
+
+def _coord_chain_finish(uk, inv_d, within_f, dbar, ubar):
+    """Finish the chain rule: the cotangent of r_k = cj_k - ci_k is
         rbar_k = dbar u_k + (ubar_k - (sum_l ubar_l u_l) u_k) / d
     """
-    uk = [(cj[k][None, :] - ci[k][:, None]) * inv_d for k in range(3)]
-    dbar = jnp.zeros((c, c), jnp.float32)
-    ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
-    for (wb0, wbk), gs, dgs in zip(wbar_rows, gs_list, dgs_list):
-        gsbar = wb0
-        for k in range(3):
-            gsbar = gsbar + wbk[k] * uk[k]
-            ubar[k] = ubar[k] + wbk[k] * gs
-        dbar = dbar + gsbar * dgs
     uu = ubar[0] * uk[0] + ubar[1] * uk[1] + ubar[2] * uk[2]
     return [
         within_f * (dbar * uk[k] + (ubar[k] - uu * uk[k]) * inv_d)
@@ -252,32 +111,232 @@ def _coord_chain(ci, cj, d, inv_d, within_f, wbar_rows, gs_list, dgs_list, c):
     ]
 
 
-def _bwd_cand_kernel(
-    # scalar prefetch: receiver-centric mirror table
-    mnbr_ref,  # (S*B,) int32
+def _group_shift_rows(shifts_g_ref, gamma, c, n_groups):
+    """Block-constant radial-shift rows, one (1, gamma*C) per g-group:
+    column j carries shift_{gi*gamma + j // C}.  Hoisted to the top of every
+    kernel — they depend only on the (static-shape) shift table, and they are
+    what lets the pair math run on full (C, gamma*C) lanes instead of gamma
+    separate (C, C) tiles (C < 128 wastes most of the VPU otherwise)."""
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, gamma * c), 1) // c
+    rows = []
+    for gi in range(n_groups):
+        row = jnp.zeros((1, gamma * c), jnp.float32)
+        for g2 in range(gamma):
+            row = row + shifts_g_ref[0, gi * gamma + g2] * (
+                col_blk == g2
+            ).astype(jnp.float32)
+        rows.append(row)
+    return rows
+
+
+def _gs_tiled(d, fc, fcp, sg_row, eta, gamma, want_dgs):
+    """Gaussian basis (and optionally its d-derivative) for a whole g-group
+    at once on (C, gamma*C) lanes: gs = exp(-eta (d - s_g)^2) fc."""
+    d_t = pltpu.repeat(d, gamma, axis=1)
+    fc_t = pltpu.repeat(fc, gamma, axis=1)
+    dd = d_t - sg_row
+    e = jnp.exp(-eta * dd * dd)
+    gs_all = e * fc_t
+    if not want_dgs:
+        return gs_all, None
+    fcp_t = pltpu.repeat(fcp, gamma, axis=1)
+    dgs_all = e * (fcp_t - 2.0 * eta * dd * fc_t)
+    return gs_all, dgs_all
+
+
+def _block_sum(x, gamma, c):
+    """Sum the gamma column blocks of (C, gamma*C) down to (C, C)."""
+    acc = x[:, 0:c]
+    for g2 in range(1, gamma):
+        acc = acc + x[:, g2 * c : (g2 + 1) * c]
+    return acc
+
+
+def _fill_w(w_scratch, gs_all, u_tiled, c):
+    """Fill the (4C, gamma*C) pair-weight scratch: rows [gs; gs*u_x; gs*u_y;
+    gs*u_z], each a full-lane (C, gamma*C) store."""
+    w_scratch[0:c, :] = gs_all
+    for k in range(3):
+        w_scratch[(k + 1) * c : (k + 2) * c, :] = gs_all * u_tiled[k]
+
+
+def _fill_abig(abig_scratch, a_row_ref, tc, gi, gamma, c, f):
+    """Fill the (gamma*C, gamma*F) block-diagonal candidate matrix for group
+    ``gi`` from candidate bin slot ``tc`` (dynamic index into the row)."""
+    abig_scratch[...] = jnp.zeros_like(abig_scratch)
+    a_t = a_row_ref[pl.ds(tc, 1)][0]  # (C, G*F)
+    for g2 in range(gamma):
+        g_abs = gi * gamma + g2
+        abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = a_t[
+            :, g_abs * f : (g_abs + 1) * f
+        ]
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    row_ref,  # (S*R,) int32 candidate-row table
+    dz_ref,  # (S,) int32 z-rotation in [0, T)
     # inputs
-    coord_partner_ref,  # (1, 4, C)   self-bin coords of the FORWARD pair (b')
-    coord_recv_ref,  # (1, 4, C)      this bin's coords (the forward candidate)
-    mask_partner_ref,  # (1, 1, C)
-    mask_recv_ref,  # (1, 1, C)
-    a_recv_ref,  # (1, C, G*F)        this bin's features (forward candidate side)
-    gbar_ref,  # (1, 4*C, G*F)        cotangent block of the partner bin
-    mshift_ref,  # (1, 1, 1, 4)       forward shift (receiver frame)
+    coord_self_ref,  # (T, 4, C)
+    coord_cand_ref,  # (T, 4, C)  candidate row
+    mask_self_ref,  # (T, 1, C)
+    mask_cand_ref,  # (T, 1, C)
+    a_cand_ref,  # (T, C, G*F)
+    shift_ref,  # (1, 1, T, 4)  per-bin cartesian lattice shifts for this (s, row)
     shifts_g_ref,  # (1, G)
-    scal_ref,  # (1, 4)
-    # outputs
-    grad_a_ref,  # (1, C, G*F)
-    grad_coord_ref,  # (1, 4, C)      candidate-side coordinate adjoint
+    scal_ref,  # (1, 4) [eta, rc, unused, unused]
+    # output
+    out_ref,  # (T, 4*C, G*F)
     *,
+    t_row: int,
     c: int,
     g: int,
     f: int,
     gamma: int,
 ):
-    """Candidate-side adjoint sweep: for every forward pair (i in partner bin
-    b', j in this bin b), accumulate W(b',s)^T @ gbar[b'] into grad_a[b] and
-    the j-side coordinate cotangent into grad_coord[b] — the mirror tables
-    make every write land in THIS bin's resident output blocks (no scatters)."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    eta = scal_ref[0, 0]
+    rc = scal_ref[0, 1]
+    dz = dz_ref[s]
+    n_groups = g // gamma
+    sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
+
+    def body(w_scratch, abig_scratch):
+        for t in range(t_row):
+            tc = jax.lax.rem(t + dz, t_row)
+            ci = coord_self_ref[t]  # (4, C)
+            shift = shift_ref[0, 0, t]  # (4,)
+            cj = coord_cand_ref[pl.ds(tc, 1)][0] + shift.reshape(4, 1)
+            mask_c = mask_cand_ref[pl.ds(tc, 1)][0, 0]
+            d, inv_d, _within, fc, _fcp = _pair_geom(
+                ci, cj, s, c, rc, mask_self_ref[t, 0], mask_c
+            )
+            u_tiled = [
+                pltpu.repeat(
+                    (cj[k][None, :] - ci[k][:, None]) * inv_d, gamma, axis=1
+                )
+                for k in range(3)
+            ]
+            for gi in range(n_groups):
+                _fill_abig(abig_scratch, a_cand_ref, tc, gi, gamma, c, f)
+                gs_all, _ = _gs_tiled(d, fc, None, sg_rows[gi], eta, gamma, False)
+                _fill_w(w_scratch, gs_all, u_tiled, c)
+                contrib = jax.lax.dot_general(
+                    w_scratch[...],
+                    abig_scratch[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (4C, gamma*F)
+                out_ref[t, :, gi * gamma * f : (gi + 1) * gamma * f] += contrib
+
+    pl.run_scoped(
+        body,
+        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
+        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
+)
+def conv_stencil_forward(
+    row_flat: jax.Array,  # (S*R,) int32
+    dz: jax.Array,  # (S,) int32
+    coord_t: jax.Array,  # (B, 4, C) f32
+    mask: jax.Array,  # (B, 1, C) f32
+    a_gmajor: jax.Array,  # (B, C, G*F) f32
+    shift_cart: jax.Array,  # (S, R, T, 4) f32
+    shifts_g: jax.Array,  # (1, G)
+    scal: jax.Array,  # (1, 4) [eta, rc, 0, 0]
+    r_tot: int,
+    t_row: int,
+    c: int,
+    g: int,
+    f: int,
+    gamma: int = 8,
+) -> jax.Array:
+    s_tot = shift_cart.shape[0]
+    b_tot = r_tot * t_row
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r_tot, s_tot),
+        in_specs=[
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
+            pl.BlockSpec((1, g), lambda r, s, rt, dzt: (0, 0)),
+            pl.BlockSpec((1, 4), lambda r, s, rt, dzt: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (t_row, 4 * c, g * f), lambda r, s, rt, dzt: (r, 0, 0)
+        ),
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_tot, 4 * c, g * f), jnp.float32),
+    )(
+        row_flat,
+        dz,
+        coord_t,
+        coord_t,  # candidate view (indexed via the row table)
+        mask,
+        mask,
+        a_gmajor,
+        shift_cart,
+        shifts_g,
+        scal,
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward: candidate side (mirror sweep) — grad_a + candidate grad_coord
+
+
+def _bwd_cand_kernel(
+    # scalar prefetch
+    mrow_ref,  # (S*R,) int32 receiver-centric mirror row table
+    mdz_ref,  # (S,) int32
+    # inputs
+    coord_partner_ref,  # (T, 4, C)   partner row (forward self side)
+    coord_recv_ref,  # (T, 4, C)      this row (forward candidates)
+    mask_partner_ref,  # (T, 1, C)
+    mask_recv_ref,  # (T, 1, C)
+    a_recv_ref,  # (T, C, G*F)        this row's features
+    gbar_ref,  # (T, 4*C, G*F)        partner row's cotangent block
+    mshift_ref,  # (1, 1, T, 4)          forward shifts, receiver frame
+    shifts_g_ref,  # (1, G)
+    scal_ref,  # (1, 4)
+    # outputs
+    grad_a_ref,  # (T, C, G*F)
+    grad_coord_ref,  # (T, 4, C)
+    *,
+    t_row: int,
+    c: int,
+    g: int,
+    f: int,
+    gamma: int,
+):
+    """For every forward pair (i in partner bin, j in this row's bin),
+    accumulate W^T @ gbar into grad_a and the j-side coordinate cotangent —
+    mirror tables keep every write resident in this row's blocks."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -287,73 +346,69 @@ def _bwd_cand_kernel(
 
     eta = scal_ref[0, 0]
     rc = scal_ref[0, 1]
-
-    ci = coord_partner_ref[0]  # (4, C)  forward self side (rows of W)
-    cj, d, inv_d, within_f, fc, fcp = _pair_geom(
-        ci, coord_recv_ref[0], mshift_ref[0, 0],
-        mask_partner_ref[0, 0], mask_recv_ref[0, 0], s, c, rc,
-    )
-
+    mdz = mdz_ref[s]
     n_groups = g // gamma
+    sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
 
     def body(w_scratch, abig_scratch):
-        wbar_rows, gs_list, dgs_list = [], [], []
-        for gi in range(n_groups):
-            # --- this bin's block-diagonal candidate matrix (gamma*C, gamma*F)
-            abig_scratch[...] = jnp.zeros_like(abig_scratch)
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                    a_recv_ref[0][:, g_abs * f : (g_abs + 1) * f]
-                )
-            gbar_grp = gbar_ref[0][:, gi * gamma * f : (gi + 1) * gamma * f]
-            # --- weight cotangent: Wbar = gbar @ Abig^T : (4C, gamma*C)
-            wbar = jax.lax.dot_general(
-                gbar_grp,
-                abig_scratch[...],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        for t in range(t_row):
+            tp = jax.lax.rem(t + mdz, t_row)  # partner slot
+            ci = coord_partner_ref[pl.ds(tp, 1)][0]  # forward self side
+            shift = mshift_ref[0, 0, t]
+            cj = coord_recv_ref[t] + shift.reshape(4, 1)
+            mask_p = mask_partner_ref[pl.ds(tp, 1)][0, 0]
+            d, inv_d, within_f, fc, fcp = _pair_geom(
+                ci, cj, s, c, rc, mask_p, mask_recv_ref[t, 0]
             )
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                dd = d - shifts_g_ref[0, g_abs]
-                e = jnp.exp(-eta * dd * dd)
-                gs = e * fc
-                dgs = e * (fcp - 2.0 * eta * dd * fc)
-                w_scratch[0 * c : 1 * c, g2 * c : (g2 + 1) * c] = gs
-                for k in range(3):
-                    dk = cj[k][None, :] - ci[k][:, None]
-                    w_scratch[(k + 1) * c : (k + 2) * c, g2 * c : (g2 + 1) * c] = (
-                        gs * dk * inv_d
-                    )
-                wb0 = wbar[0 * c : 1 * c, g2 * c : (g2 + 1) * c]
-                wbk = [
-                    wbar[(k + 1) * c : (k + 2) * c, g2 * c : (g2 + 1) * c]
-                    for k in range(3)
-                ]
-                wbar_rows.append((wb0, wbk))
-                gs_list.append(gs)
-                dgs_list.append(dgs)
-            # --- feature adjoint: grad_abig = W^T @ gbar_group
-            grad_abig = jax.lax.dot_general(
-                w_scratch[...],
-                gbar_grp,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # diagonal blocks -> grad_a columns of the matching g
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                grad_a_ref[0, :, g_abs * f : (g_abs + 1) * f] += grad_abig[
-                    g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f
-                ]
+            uk = [(cj[k][None, :] - ci[k][:, None]) * inv_d for k in range(3)]
+            u_tiled = [pltpu.repeat(u, gamma, axis=1) for u in uk]
 
-        rbar = _coord_chain(
-            ci, cj, d, inv_d, within_f, wbar_rows, gs_list, dgs_list, c
-        )
-        for k in range(3):
-            # candidate-side cotangent: column sums (j lives in this bin)
-            grad_coord_ref[0, k, :] += jnp.sum(rbar[k], axis=0)
+            dbar = jnp.zeros((c, c), jnp.float32)
+            ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
+            for gi in range(n_groups):
+                # this bin's block-diagonal candidate matrix
+                abig_scratch[...] = jnp.zeros_like(abig_scratch)
+                a_t = a_recv_ref[t]
+                for g2 in range(gamma):
+                    g_abs = gi * gamma + g2
+                    abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
+                        a_t[:, g_abs * f : (g_abs + 1) * f]
+                    )
+                gbar_grp = gbar_ref[pl.ds(tp, 1)][
+                    0, :, gi * gamma * f : (gi + 1) * gamma * f
+                ]
+                # weight cotangent: Wbar = gbar @ Abig^T : (4C, gamma*C)
+                wbar = jax.lax.dot_general(
+                    gbar_grp,
+                    abig_scratch[...],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gs_all, dgs_all = _gs_tiled(
+                    d, fc, fcp, sg_rows[gi], eta, gamma, True
+                )
+                _fill_w(w_scratch, gs_all, u_tiled, c)
+                dbar, ubar = _chain_accumulate(
+                    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, c
+                )
+                # feature adjoint: grad_abig = W^T @ gbar_group
+                grad_abig = jax.lax.dot_general(
+                    w_scratch[...],
+                    gbar_grp,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # diagonal blocks -> grad_a columns of the matching g
+                for g2 in range(gamma):
+                    g_abs = gi * gamma + g2
+                    grad_a_ref[t, :, g_abs * f : (g_abs + 1) * f] += grad_abig[
+                        g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f
+                    ]
+
+            rbar = _coord_chain_finish(uk, inv_d, within_f, dbar, ubar)
+            for k in range(3):
+                # candidate-side cotangent: column sums (j lives in this bin)
+                grad_coord_ref[t, k, :] += jnp.sum(rbar[k], axis=0)
 
     pl.run_scoped(
         body,
@@ -362,17 +417,21 @@ def _bwd_cand_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("b_tot", "c", "g", "f", "gamma"))
+@functools.partial(
+    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
+)
 def conv_stencil_bwd_cand(
-    mnbr_flat: jax.Array,  # (S*B,) int32 (receiver-centric mirror table)
+    mrow_flat: jax.Array,  # (S*R,) int32
+    mdz: jax.Array,  # (S,) int32
     coord_t: jax.Array,  # (B, 4, C)
     mask: jax.Array,  # (B, 1, C)
-    a_gmajor: jax.Array,  # (B, C, G*F) candidate features
-    gbar: jax.Array,  # (B, 4C, G*F) cotangent of the forward output
-    mshift_cart: jax.Array,  # (S, B, 1, 4) forward shift, receiver frame
+    a_gmajor: jax.Array,  # (B, C, G*F)
+    gbar: jax.Array,  # (B, 4C, G*F)
+    mshift_cart: jax.Array,  # (S, R, T, 4) forward shifts, receiver frame
     shifts_g: jax.Array,
     scal: jax.Array,
-    b_tot: int,
+    r_tot: int,
+    t_row: int,
     c: int,
     g: int,
     f: int,
@@ -380,26 +439,31 @@ def conv_stencil_bwd_cand(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (grad_a (B, C, G*F), grad_coord_cand (B, 4, C))."""
     s_tot = mshift_cart.shape[0]
+    b_tot = r_tot * t_row
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b_tot, s_tot),
+        num_scalar_prefetch=2,
+        grid=(r_tot, s_tot),
         in_specs=[
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, c, g * f), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 4 * c, g * f), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4), lambda b, s, t: (s, b, 0, 0)),
-            pl.BlockSpec((1, g), lambda b, s, t: (0, 0)),
-            pl.BlockSpec((1, 4), lambda b, s, t: (0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec(
+                (t_row, 4 * c, g * f), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)
+            ),
+            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
+            pl.BlockSpec((1, g), lambda r, s, rt, dzt: (0, 0)),
+            pl.BlockSpec((1, 4), lambda r, s, rt, dzt: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, c, g * f), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (b, 0, 0)),
+            pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
         ),
     )
-    kernel = functools.partial(_bwd_cand_kernel, c=c, g=g, f=f, gamma=gamma)
+    kernel = functools.partial(
+        _bwd_cand_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -408,7 +472,8 @@ def conv_stencil_bwd_cand(
             jax.ShapeDtypeStruct((b_tot, 4, c), jnp.float32),
         ),
     )(
-        mnbr_flat,
+        mrow_flat,
+        mdz,
         coord_t,
         coord_t,
         mask,
@@ -421,46 +486,38 @@ def conv_stencil_bwd_cand(
     )
 
 
-def conv_stencil_bwd_a(*args, **kwargs) -> jax.Array:
-    """Feature adjoint only (compat wrapper over conv_stencil_bwd_cand)."""
-    mnbr_flat, coord_t, mask, gbar, mshift_cart, shifts_g, scal = args
-    b_tot = kwargs["b_tot"]
-    c = kwargs["c"]
-    g = kwargs["g"]
-    f = kwargs["f"]
-    a_zero = jnp.zeros((b_tot, c, g * f), jnp.float32)
-    grad_a, _ = conv_stencil_bwd_cand(
-        mnbr_flat, coord_t, mask, a_zero, gbar, mshift_cart, shifts_g, scal, **kwargs
-    )
-    return grad_a
+# ---------------------------------------------------------------------------
+# backward: self side (forward sweep) — self grad_coord + lattice-shift adjoint
 
 
 def _bwd_self_kernel(
-    # scalar prefetch: forward neighbor-bin table
-    nbr_ref,  # (S*B,) int32
+    # scalar prefetch
+    row_ref,  # (S*R,) int32
+    dz_ref,  # (S,) int32
     # inputs
-    coord_self_ref,  # (1, 4, C)
-    coord_cand_ref,  # (1, 4, C)
-    mask_self_ref,  # (1, 1, C)
-    mask_cand_ref,  # (1, 1, C)
-    a_cand_ref,  # (1, C, G*F)   candidate features (neighbor bin)
-    gbar_ref,  # (1, 4*C, G*F)   cotangent block of THIS bin
-    shift_ref,  # (1, 1, 1, 4)
+    coord_self_ref,  # (T, 4, C)
+    coord_cand_ref,  # (T, 4, C)
+    mask_self_ref,  # (T, 1, C)
+    mask_cand_ref,  # (T, 1, C)
+    a_cand_ref,  # (T, C, G*F)   candidate features (neighbor row)
+    gbar_ref,  # (T, 4*C, G*F)   cotangent block of THIS row
+    shift_ref,  # (1, 1, T, 4)
     shifts_g_ref,  # (1, G)
     scal_ref,  # (1, 4)
     # outputs
-    grad_coord_ref,  # (1, 4, C)  self-side coordinate adjoint
-    grad_shift_ref,  # (1, 1, 1, 4)  lattice-shift adjoint for this (s, b)
+    grad_coord_ref,  # (T, 4, C)
+    grad_shift_ref,  # (1, 1, T, 4)   per-(s, row, bin) lattice-shift adjoint
     *,
+    t_row: int,
     c: int,
     g: int,
     f: int,
     gamma: int,
 ):
     """Self-side adjoint sweep (forward orientation): for every forward pair
-    (i in this bin, j in candidate bin nbr[s, b]), accumulate the i-side
-    coordinate cotangent (resident) and the per-(s, b) lattice-shift
-    cotangent (one write per program)."""
+    (i in this row's bin, j in candidate bin), accumulate the i-side
+    coordinate cotangent (resident) and the per-bin lattice-shift cotangent
+    (one write per program)."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -469,111 +526,116 @@ def _bwd_self_kernel(
 
     eta = scal_ref[0, 0]
     rc = scal_ref[0, 1]
-
-    ci = coord_self_ref[0]  # (4, C)
-    cj, d, inv_d, within_f, fc, fcp = _pair_geom(
-        ci, coord_cand_ref[0], shift_ref[0, 0],
-        mask_self_ref[0, 0], mask_cand_ref[0, 0], s, c, rc,
-    )
-
+    dz = dz_ref[s]
     n_groups = g // gamma
+    sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
 
     def body(abig_scratch):
-        wbar_rows, gs_list, dgs_list = [], [], []
-        for gi in range(n_groups):
-            abig_scratch[...] = jnp.zeros_like(abig_scratch)
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                    a_cand_ref[0][:, g_abs * f : (g_abs + 1) * f]
-                )
-            gbar_grp = gbar_ref[0][:, gi * gamma * f : (gi + 1) * gamma * f]
-            wbar = jax.lax.dot_general(
-                gbar_grp,
-                abig_scratch[...],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        shift_rows = []
+        for t in range(t_row):
+            tc = jax.lax.rem(t + dz, t_row)
+            ci = coord_self_ref[t]
+            shift = shift_ref[0, 0, t]
+            cj = coord_cand_ref[pl.ds(tc, 1)][0] + shift.reshape(4, 1)
+            mask_c = mask_cand_ref[pl.ds(tc, 1)][0, 0]
+            d, inv_d, within_f, fc, fcp = _pair_geom(
+                ci, cj, s, c, rc, mask_self_ref[t, 0], mask_c
             )
-            for g2 in range(gamma):
-                g_abs = gi * gamma + g2
-                dd = d - shifts_g_ref[0, g_abs]
-                e = jnp.exp(-eta * dd * dd)
-                gs = e * fc
-                dgs = e * (fcp - 2.0 * eta * dd * fc)
-                wb0 = wbar[0 * c : 1 * c, g2 * c : (g2 + 1) * c]
-                wbk = [
-                    wbar[(k + 1) * c : (k + 2) * c, g2 * c : (g2 + 1) * c]
-                    for k in range(3)
-                ]
-                wbar_rows.append((wb0, wbk))
-                gs_list.append(gs)
-                dgs_list.append(dgs)
+            uk = [(cj[k][None, :] - ci[k][:, None]) * inv_d for k in range(3)]
+            u_tiled = [pltpu.repeat(u, gamma, axis=1) for u in uk]
 
-        rbar = _coord_chain(
-            ci, cj, d, inv_d, within_f, wbar_rows, gs_list, dgs_list, c
-        )
-        for k in range(3):
-            # self-side cotangent: -row sums (i lives in this bin)
-            grad_coord_ref[0, k, :] += -jnp.sum(rbar[k], axis=1)
-        # lattice shift enters through cj only: total pair sum per component
-        grad_shift_ref[...] = jnp.concatenate(
-            [jnp.sum(rbar[k]).reshape(1, 1, 1, 1) for k in range(3)]
-            + [jnp.zeros((1, 1, 1, 1), jnp.float32)],
-            axis=3,
-        )
+            dbar = jnp.zeros((c, c), jnp.float32)
+            ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
+            for gi in range(n_groups):
+                _fill_abig(abig_scratch, a_cand_ref, tc, gi, gamma, c, f)
+                gbar_grp = gbar_ref[t][:, gi * gamma * f : (gi + 1) * gamma * f]
+                wbar = jax.lax.dot_general(
+                    gbar_grp,
+                    abig_scratch[...],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gs_all, dgs_all = _gs_tiled(
+                    d, fc, fcp, sg_rows[gi], eta, gamma, True
+                )
+                dbar, ubar = _chain_accumulate(
+                    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, c
+                )
+
+            rbar = _coord_chain_finish(uk, inv_d, within_f, dbar, ubar)
+            for k in range(3):
+                # self-side cotangent: -row sums (i lives in this bin)
+                grad_coord_ref[t, k, :] += -jnp.sum(rbar[k], axis=1)
+            # lattice shift enters through cj only: total pair sum per k
+            shift_rows.append(
+                jnp.concatenate(
+                    [jnp.sum(rbar[k]).reshape(1, 1) for k in range(3)]
+                    + [jnp.zeros((1, 1), jnp.float32)],
+                    axis=1,
+                )
+            )
+        grad_shift_ref[...] = jnp.concatenate(shift_rows, axis=0)[None, None]
 
     pl.run_scoped(
         body, abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("b_tot", "c", "g", "f", "gamma"))
+@functools.partial(
+    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
+)
 def conv_stencil_bwd_self(
-    nbr_flat: jax.Array,  # (S*B,) int32 (forward neighbor table)
+    row_flat: jax.Array,  # (S*R,) int32
+    dz: jax.Array,  # (S,) int32
     coord_t: jax.Array,  # (B, 4, C)
     mask: jax.Array,  # (B, 1, C)
     a_gmajor: jax.Array,  # (B, C, G*F)
     gbar: jax.Array,  # (B, 4C, G*F)
-    shift_cart: jax.Array,  # (S, B, 1, 4)
+    shift_cart: jax.Array,  # (S, R, T, 4)
     shifts_g: jax.Array,
     scal: jax.Array,
-    b_tot: int,
+    r_tot: int,
+    t_row: int,
     c: int,
     g: int,
     f: int,
     gamma: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (grad_coord_self (B, 4, C), grad_shift (S, B, 1, 4))."""
+    """Returns (grad_coord_self (B, 4, C), grad_shift (S, R, T, 4))."""
     s_tot = shift_cart.shape[0]
+    b_tot = r_tot * t_row
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b_tot, s_tot),
+        num_scalar_prefetch=2,
+        grid=(r_tot, s_tot),
         in_specs=[
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, c, g * f), lambda b, s, t: (t[s * b_tot + b], 0, 0)),
-            pl.BlockSpec((1, 4 * c, g * f), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4), lambda b, s, t: (s, b, 0, 0)),
-            pl.BlockSpec((1, g), lambda b, s, t: (0, 0)),
-            pl.BlockSpec((1, 4), lambda b, s, t: (0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
+            pl.BlockSpec((t_row, 4 * c, g * f), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
+            pl.BlockSpec((1, g), lambda r, s, rt, dzt: (0, 0)),
+            pl.BlockSpec((1, 4), lambda r, s, rt, dzt: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 4, c), lambda b, s, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4), lambda b, s, t: (s, b, 0, 0)),
+            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
         ),
     )
-    kernel = functools.partial(_bwd_self_kernel, c=c, g=g, f=f, gamma=gamma)
+    kernel = functools.partial(
+        _bwd_self_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b_tot, 4, c), jnp.float32),
-            jax.ShapeDtypeStruct((s_tot, b_tot, 1, 4), jnp.float32),
+            jax.ShapeDtypeStruct((s_tot, r_tot, t_row, 4), jnp.float32),
         ),
     )(
-        nbr_flat,
+        row_flat,
+        dz,
         coord_t,
         coord_t,
         mask,

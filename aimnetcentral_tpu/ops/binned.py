@@ -298,6 +298,49 @@ def to_binned_system(system, grid: BinGrid):
     return binned, perm, overflow
 
 
+def row_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-granular stencil tables for bin-ROW-tiled Pallas sweeps.
+
+    Bins are z-fastest (b = (x*ny + y)*nz + z), so a whole z-row of T = nz
+    bins shares one candidate row per offset: for offset (dx, dy, dz), row
+    r = (x, y) pairs against row r' = (x+dy wrap...) with a z-rotation of dz.
+    Returns ``(row_nbr (S, R) int32, dz_mod (S,) int32)`` with R = nx*ny;
+    out-of-grid rows (gas phase) are -1.  Per-BIN validity/lattice shifts
+    still come from :func:`stencil_tables` (z-range misses and wrap shifts
+    are per-bin, not per-row).
+    """
+    nx, ny, nz = grid.nbins
+    offs = stencil_offsets(radius)
+    rx, ry = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    rows = np.stack([rx, ry], axis=-1).reshape(-1, 2)  # (R, 2)
+    tx = rows[None, :, 0] + offs[:, None, 0]  # (S, R)
+    ty = rows[None, :, 1] + offs[:, None, 1]
+    if grid.periodic:
+        row_nbr = (tx % nx) * ny + (ty % ny)
+    else:
+        inside = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        row_nbr = np.where(
+            inside, np.clip(tx, 0, nx - 1) * ny + np.clip(ty, 0, ny - 1), -1
+        )
+    dz_mod = np.mod(offs[:, 2], nz)
+    return row_nbr.astype(np.int32), dz_mod.astype(np.int32)
+
+
+def mirror_row_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """Receiver-centric twin of :func:`row_stencil_tables`: for sweep step s
+    and row r, ``mrow[s, r]`` is the row whose FORWARD step s had r as its
+    candidate row, and receiver bin z pairs with partner slot (z + mdz) % nz.
+    """
+    nx, ny, nz = grid.nbins
+    offs = stencil_offsets(radius)
+    key = {tuple(o): i for i, o in enumerate(offs)}
+    mirror = np.array([key[tuple(-o)] for o in offs], dtype=np.int64)
+    row_nbr, _dz = row_stencil_tables(grid, radius)
+    mrow = row_nbr[mirror]
+    mdz_mod = np.mod(-offs[:, 2], nz)
+    return mrow.astype(np.int32), mdz_mod.astype(np.int32)
+
+
 def mirror_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
     """Receiver-centric stencil tables for adjoint (mirror) sweeps.
 

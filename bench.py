@@ -3,11 +3,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no quantitative throughput numbers (BASELINE.md); the
-north-star target derived there is >=5x an (unpublished) reference-GPU rate.
-``vs_baseline`` is therefore measured against this repo's recorded round-1
-number (bench_baseline.json, committed after the first TPU run) so the judge
-sees round-over-round progression; 1.0 = round-1 throughput.
+Baselines (bench_baseline.json, PINNED — never overwritten by this script):
+- "pinned": this repo's round-1 XLA-engine numbers per atom count
+  (10k: 1.901 steps/s, 2k: 7.392 steps/s).  ``vs_baseline`` is the
+  progression ratio against the matching pin.
+- "reference_cpu_sp": measured PyTorch-reference energy+forces calls/s on
+  the identical box (bench_reference.py; torch CPU — this image has no
+  CUDA).  ``vs_reference_cpu`` compares our MD steps/s against it (one
+  force call per MD step is the dominant cost; our number additionally
+  includes integration + neighbor maintenance, so the ratio is
+  conservative).  The reference publishes no GPU numbers (BASELINE.md).
+
+Config: BENCH_ATOMS (default 10000 — the BASELINE north-star box; 2000 for
+quick iteration), BENCH_STEPS, BENCH_ENSEMBLE, AIMNET_CONV_ENGINE
+(default auto = fused Pallas stencil conv on TPU).
 """
 
 from __future__ import annotations
@@ -21,11 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# default 2000: structurally identical graph to the 10k config but
-# reliably compilable through the remote-compile relay (the 10k
-# BASELINE config is available via BENCH_ATOMS=10000; see docs/performance.md
-# for measured numbers at both sizes)
-N_ATOMS = int(os.environ.get("BENCH_ATOMS", "2000"))
+N_ATOMS = int(os.environ.get("BENCH_ATOMS", "10000"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
@@ -52,7 +57,6 @@ def main() -> None:
 
     from aimnetcentral_tpu.builders import system_from_molecules
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
-    from aimnetcentral_tpu.models import aimnet2_init
     from __graft_entry__ import _flagship
 
     cfg, params = _flagship()
@@ -68,11 +72,11 @@ def main() -> None:
         )
 
     coord, numbers, cell = build_box(N_ATOMS)
-    # builder nbmat is replaced by the driver's cell list; keep it tiny
+    # the MD driver builds its own binned layout: skip the host NL entirely
+    # (a brute-force 10k-atom host build costs minutes and is never used)
     system = system_from_molecules(
         [{"coord": coord, "numbers": numbers, "cell": cell}],
-        cutoff=5.5,
-        max_neighbors=80,
+        build_nbmat=False,
     )
 
     md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.75)
@@ -88,27 +92,30 @@ def main() -> None:
     elapsed = time.time() - t0
     steps_per_sec = N_STEPS / elapsed
 
-    vs_baseline = None
+    pins = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            base = json.load(f)
-        if base.get("metric_atoms") == N_ATOMS and base.get("value"):
-            vs_baseline = steps_per_sec / base["value"]
+            pins = json.load(f)
+    pin = pins.get("pinned", {}).get(str(N_ATOMS))
+    ref = pins.get("reference_cpu_sp", {}).get(str(N_ATOMS))
 
     result = {
         "metric": f"nvt_md_steps_per_sec_{N_ATOMS}atoms",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else 1.0,
+        "vs_baseline": round(steps_per_sec / pin, 3) if pin else 1.0,
         "atoms": N_ATOMS,
         "steps": N_STEPS,
         "compile_s": round(compile_s, 1),
+        "conv_engine": os.environ.get("AIMNET_CONV_ENGINE", "auto"),
         "device": str(jax.devices()[0]),
         "ns_per_day": round(steps_per_sec * 0.5e-6 * 86400, 4),
     }
-    if not os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE, "w") as f:
-            json.dump({"metric_atoms": N_ATOMS, "value": steps_per_sec}, f)
+    if pin:
+        result["baseline_round1_steps_per_sec"] = pin
+    if ref:
+        result["vs_reference_cpu"] = round(steps_per_sec / ref, 2)
+        result["reference_cpu_calls_per_sec"] = ref
     print(json.dumps(result))
 
 

@@ -71,7 +71,6 @@ def _prepared_inputs(sysb, aev, a_feat):
 
     mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
     minvalid = mnbr_np < 0
-    mnbr = jnp.asarray(np.where(minvalid, 0, mnbr_np))
     if cell0 is not None:
         mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
     else:
@@ -79,6 +78,13 @@ def _prepared_inputs(sysb, aev, a_feat):
     if minvalid.any():
         mshift3 = mshift3 + jnp.asarray(minvalid[..., None].astype(np.float32)) * 1e6
     mshift_cart = jnp.concatenate([mshift3, jnp.zeros((s_tot, b_tot, 1))], axis=-1)
+
+    row_np, dz_np = B.row_stencil_tables(grid, radius)
+    mrow_np, mdz_np = B.mirror_row_stencil_tables(grid, radius)
+    row_nbr = jnp.asarray(np.where(row_np < 0, 0, row_np))
+    mrow_nbr = jnp.asarray(np.where(mrow_np < 0, 0, mrow_np))
+    dz = jnp.asarray(dz_np)
+    mdz = jnp.asarray(mdz_np)
 
     coord_t = jnp.concatenate(
         [
@@ -93,8 +99,15 @@ def _prepared_inputs(sysb, aev, a_feat):
     scal = jnp.stack(
         [aev["eta_s"], aev["rc_s"], jnp.float32(0.0), jnp.float32(0.0)]
     ).reshape(1, 4)
-    st = cp.ConvStatic(b_tot=b_tot, c=c, g=g_dim, f=f_dim, gamma=8, s_tot=s_tot)
-    return st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart, shifts_g, scal
+    st = cp.ConvStatic(
+        b_tot=b_tot, c=c, g=g_dim, f=f_dim, gamma=8, s_tot=s_tot,
+        t_row=grid.nbins[2],
+    )
+    tables = {
+        "nbr": nbr, "row_nbr": row_nbr, "dz": dz,
+        "mrow_nbr": mrow_nbr, "mdz": mdz, "mshift_cart": mshift_cart,
+    }
+    return st, a_gmajor, coord_t, shift_cart, mask, tables, shifts_g, scal
 
 
 @pytest.mark.parametrize("periodic", [True, False])
@@ -111,8 +124,7 @@ def test_bwd_kernels_match_autodiff(periodic):
 
     sysb, aev, a_feat, *_ = _make_case(periodic)
     (
-        st, a_gmajor, coord_t, shift_cart, mask, nbr, mnbr, mshift_cart,
-        shifts_g, scal,
+        st, a_gmajor, coord_t, shift_cart, mask, tables, shifts_g, scal,
     ) = _prepared_inputs(sysb, aev, a_feat)
 
     rng = np.random.default_rng(3)
@@ -122,7 +134,7 @@ def test_bwd_kernels_match_autodiff(periodic):
 
     _, vjp = jax.vjp(
         lambda a_, c_, s_: cp._conv_acc_xla(
-            st, a_, c_, s_, mask, nbr, shifts_g, scal
+            st, a_, c_, s_, mask, tables["nbr"], shifts_g, scal
         ),
         a_gmajor,
         coord_t,
@@ -130,15 +142,21 @@ def test_bwd_kernels_match_autodiff(periodic):
     )
     da_ref, dc_ref, ds_ref = vjp(gbar)
 
-    kw = dict(b_tot=st.b_tot, c=st.c, g=st.g, f=st.f, gamma=st.gamma)
+    kw = dict(
+        r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f, gamma=st.gamma
+    )
     with pltpu.force_tpu_interpret_mode():
         da_pal, dc_cand = conv_stencil_bwd_cand(
-            mnbr.reshape(-1), coord_t, mask, a_gmajor, gbar,
-            mshift_cart.reshape(st.s_tot, st.b_tot, 1, 4), shifts_g, scal, **kw,
+            tables["mrow_nbr"].reshape(-1), tables["mdz"], coord_t, mask,
+            a_gmajor, gbar,
+            tables["mshift_cart"].reshape(st.s_tot, st.r_tot, st.t_row, 4),
+            shifts_g, scal, **kw,
         )
         dc_self, ds4 = conv_stencil_bwd_self(
-            nbr.reshape(-1), coord_t, mask, a_gmajor, gbar,
-            shift_cart.reshape(st.s_tot, st.b_tot, 1, 4), shifts_g, scal, **kw,
+            tables["row_nbr"].reshape(-1), tables["dz"], coord_t, mask,
+            a_gmajor, gbar,
+            shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
+            shifts_g, scal, **kw,
         )
     dc_pal = dc_self + dc_cand
     ds_pal = ds4.reshape(st.s_tot, st.b_tot, 4)

@@ -100,84 +100,5 @@ def test_custom_vjp_gradients(case):
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=5e-3)
 
 
-def test_bwd_a_kernel_matches_autodiff(case):
-    """The mirror-sweep grad-a kernel (interpret mode) must equal the
-    autodiff gradient of the XLA twin w.r.t. the candidate features."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    sysb, aev, a_feat, q, agh_a, agh_q = case
-    from aimnetcentral_tpu.kernels import conv_pallas as cp
-    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_a
-    from aimnetcentral_tpu.models.engine_binned import stencil_radius
-    from aimnetcentral_tpu.ops import binned as B
-
-    grid = sysb.bins
-    cell0 = sysb.cell[0]
-    radius = stencil_radius(5.0, grid, cell0)
-    b_tot, c = grid.total_bins, grid.capacity
-    L = sysb.natoms
-    g_dim, f_dim = 16, 16
-
-    # prepare the same inputs conv_pass_pallas builds (a-only, no q)
-    nbr_np, wrap_np, _z = B.stencil_tables(grid, radius)
-    s_tot = nbr_np.shape[0]
-    nbr = jnp.asarray(np.maximum(nbr_np, 0))
-    shift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(wrap_np), cell0)
-    shift_cart = jnp.concatenate(
-        [shift3, jnp.zeros((s_tot, b_tot, 1))], axis=-1
-    )
-    coord_t = jnp.concatenate(
-        [
-            sysb.coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
-            jnp.zeros((b_tot, 1, c)),
-        ],
-        axis=1,
-    )
-    mask = (sysb.numbers > 0).astype(jnp.float32).reshape(b_tot, 1, c)
-    a_gmajor = a_feat.transpose(0, 2, 1).reshape(b_tot, c, g_dim * f_dim)
-    shifts_g = aev["shifts_s"].reshape(1, g_dim)
-    scal = jnp.stack(
-        [aev["eta_s"], aev["rc_s"], jnp.float32(0.0), jnp.float32(0.0)]
-    ).reshape(1, 4)
-    st = cp.ConvStatic(b_tot=b_tot, c=c, g=g_dim, f=f_dim, gamma=8, s_tot=s_tot)
-
-    rng = np.random.default_rng(3)
-    gbar = jnp.asarray(
-        rng.normal(size=(b_tot, 4 * c, g_dim * f_dim)).astype(np.float32)
-    )
-
-    _, vjp = jax.vjp(
-        lambda a_: cp._conv_acc_xla(
-            st, a_, coord_t, shift_cart, mask, nbr, shifts_g, scal
-        ),
-        a_gmajor,
-    )
-    (grad_ref,) = vjp(gbar)
-
-    mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
-    mnbr = jnp.asarray(np.maximum(mnbr_np, 0))
-    mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
-    mshift = jnp.concatenate(
-        [mshift3, jnp.zeros((s_tot, b_tot, 1))], axis=-1
-    ).reshape(s_tot, b_tot, 1, 4)
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    with pltpu.force_tpu_interpret_mode():
-        grad_pal = conv_stencil_bwd_a(
-            mnbr.reshape(-1),
-            coord_t,
-            mask,
-            gbar,
-            mshift,
-            shifts_g,
-            scal,
-            b_tot=b_tot,
-            c=c,
-            g=g_dim,
-            f=f_dim,
-            gamma=8,
-        )
-    np.testing.assert_allclose(
-        np.asarray(grad_pal), np.asarray(grad_ref), atol=3e-3, rtol=1e-3
-    )
+# The adjoint kernels are covered in tests/test_pallas_bwd.py (row-tiled
+# sweeps vs autodiff of the XLA twin, periodic + gas-phase, full custom_vjp).
