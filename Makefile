@@ -1,7 +1,16 @@
 # Development targets (reference Makefile parity)
 
+# fast CI lane: excludes compile-heavy `slow` tests (interpret-mode Pallas
+# kernels, saddle search) so it stays bounded on CPU; `make test-all` is the
+# full suite (reference Makefile:15-23 marker-split scheme)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
+
+test-slow:
+	python -m pytest tests/ -q -m slow
 
 test-fast:
 	python -m pytest tests/test_ops.py tests/test_physics.py tests/test_train.py -q

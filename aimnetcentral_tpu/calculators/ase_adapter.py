@@ -155,3 +155,18 @@ class AIMNet2Pysis:
             "energy": float(out["energy"][0]) / self._hartree,
             "hessian": h,
         }
+
+
+def run_pysis() -> None:
+    """Console entry: register ``aimnet`` in PySisyphus's CALC_DICT and hand
+    off to its runner (reference aimnet/calculators/aimnet2pysis.py:109-117).
+    Installed as the ``aimnet2pysis-tpu`` script."""
+    try:
+        import pysisyphus.run
+    except ImportError as e:  # pragma: no cover — optional extra
+        raise ImportError(
+            "run_pysis requires PySisyphus (`pip install pysisyphus`)."
+        ) from e
+
+    pysisyphus.run.CALC_DICT["aimnet"] = AIMNet2Pysis
+    pysisyphus.run.run()

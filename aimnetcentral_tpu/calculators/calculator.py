@@ -37,9 +37,24 @@ from aimnetcentral_tpu.system import System
 def _as_molecules(data: Mapping[str, Any]) -> list[dict]:
     """Normalize user input into a list of molecule dicts.
 
-    Accepted: single molecule (coord (N,3)) or dense batch (coord (B,N,3),
-    padding atoms numbers==0), charge scalar or (B,), mult, cell (3,3) or
+    Accepted: single molecule (coord (N,3)), dense batch (coord (B,N,3),
+    padding atoms numbers==0), or a list/tuple of per-molecule dicts
+    (heterogeneous sizes/cells); charge scalar or (B,), mult, cell (3,3) or
     (B,3,3)."""
+    if isinstance(data, (list, tuple)):
+        mols = []
+        for m in data:
+            mol = {
+                "coord": np.asarray(m["coord"], dtype=np.float32),
+                "numbers": np.asarray(m["numbers"]),
+                "charge": float(np.asarray(m.get("charge", 0.0)).reshape(())),
+            }
+            if m.get("mult") is not None:
+                mol["mult"] = float(np.asarray(m["mult"]).reshape(()))
+            if m.get("cell") is not None:
+                mol["cell"] = np.asarray(m["cell"], dtype=np.float32)
+            mols.append(mol)
+        return mols
     coord = np.asarray(data["coord"], dtype=np.float32)
     numbers = np.asarray(data["numbers"])
     if coord.ndim == 2:
@@ -99,11 +114,24 @@ class AIMNet2Calculator:
 
     def __init__(
         self,
-        model: tuple,
+        model: tuple | str,
         atom_bucket: int = 16,
         nb_safety: float = 1.25,
         binned_threshold: int = 1024,
     ):
+        if isinstance(model, str):
+            # registry name / alias / artifact path / HF snapshot dir
+            # (reference aimnet/calculators/resolve.py:69)
+            from aimnetcentral_tpu.calculators.registry import (
+                registry_family,
+                resolve_model,
+            )
+            from aimnetcentral_tpu.models.loader import load_model
+
+            loaded = load_model(
+                resolve_model(model), registry_family=registry_family(model)
+            )
+            model = loaded.as_calculator_model()
         if len(model) == 2:
             params, cfg = model
             aux: dict = {"sae": {}}
@@ -115,6 +143,19 @@ class AIMNet2Calculator:
         # artifact metadata (implemented_species, family charge policy, ...)
         # rides along in aux so the 3-tuple calculator-model contract is kept
         self.metadata: dict = dict(aux.get("metadata") or {})
+        if self.metadata:
+            # runtime metadata validation against the resolved external-LR
+            # attachment (reference aimnet/models/artifact_validation.py:503)
+            from aimnetcentral_tpu.models.validation import (
+                validate_runtime_model_metadata,
+            )
+
+            head_names = {n for n, _ in cfg.outputs}
+            validate_runtime_model_metadata(
+                self.metadata,
+                needs_coulomb="external_coulomb" in head_names,
+                needs_dispersion="external_dftd3" in head_names,
+            )
         self.atom_bucket = atom_bucket
         self.nb_safety = nb_safety
         # periodic systems larger than this route through the binned stencil
@@ -194,6 +235,10 @@ class AIMNet2Calculator:
         """Validate atomic numbers against ``implemented_species`` and net
         charge against the family policy (reference aimnet/calculators/
         calculator.py:785-878).  No-op for models without metadata."""
+        if isinstance(data, (list, tuple)):
+            for m in data:
+                self._validate_species_and_charge(m)
+            return
         impl = self.metadata.get("implemented_species") or []
         if impl and "numbers" in data:
             numbers = data["numbers"]
@@ -246,30 +291,41 @@ class AIMNet2Calculator:
         has_cell = any("cell" in m for m in mols)
         self._last_perm = None
 
-        # large periodic systems: the binned stencil engine (no O(N^2) host
-        # neighbor build, no index matrices)
+        # large single-structure systems: the binned stencil engine (no
+        # O(N^2) host neighbor build, no index matrices).  Periodic cells
+        # always qualify; gas-phase clusters qualify unless the model needs
+        # simple (all-pairs) Coulomb, which the binned engine does not
+        # implement for open boundaries (round-1 gap: big clusters paid a
+        # host-side O(N^2) indexed build).
+        cfg_eff0 = self._effective_cfg(has_cell)
+        h_eff0 = next(
+            (hh for _n, hh in cfg_eff0.outputs if isinstance(hh, LRCoulombHead)), None
+        )
+        binned_ok = has_cell or h_eff0 is None or h_eff0.method == "dsf"
         if (
             allow_binned
-            and has_cell
+            and binned_ok
             and len(mols) == 1
             and n_real >= self.binned_threshold
         ):
-            import dataclasses as _dc
-
             import jax as _jax
 
             from aimnetcentral_tpu.ops import binned as B
 
-            cfg_eff = self._effective_cfg(True)
-            h_eff = next(
-                (hh for _n, hh in cfg_eff.outputs if isinstance(hh, LRCoulombHead)),
-                None,
-            )
+            h_eff = h_eff0
             system = system_from_molecules(mols, n_pad=n_pad, build_nbmat=False)
-            cell_np = np.asarray(mols[0]["cell"])
+            if has_cell:
+                cell_np = np.asarray(mols[0]["cell"])
+                extent = None
+            else:
+                cell_np = None
+                coord_np = np.asarray(mols[0]["coord"])
+                extent = (coord_np.min(axis=0), coord_np.max(axis=0))
             safety = 1.5
             while True:
-                grid = B.plan_bins(cell_np, n_real, self.cutoff, safety=safety)
+                grid = B.plan_bins(
+                    cell_np, n_real, self.cutoff, extent=extent, safety=safety
+                )
                 sysb, perm, ovf = _jax.jit(B.to_binned_system, static_argnums=1)(
                     system, grid
                 )
@@ -308,12 +364,15 @@ class AIMNet2Calculator:
             elif h_eff.method in ("ewald", "pme"):
                 if not has_cell:
                     raise ValueError(f"{h_eff.method} Coulomb requires a periodic cell")
-                p = estimate_ewald_parameters(
-                    np.asarray(mols[0]["cell"]),
-                    len(mols[0]["numbers"]),
-                    h_eff.ewald_accuracy,
+                # per-molecule accuracy: the shared list must cover the
+                # LARGEST real-space cutoff of the batch (attach_ewald then
+                # carries per-molecule eta/k_cutoff arrays)
+                coul_cut = max(
+                    estimate_ewald_parameters(
+                        np.asarray(m["cell"]), len(m["numbers"]), h_eff.ewald_accuracy
+                    ).r_cutoff
+                    for m in mols
                 )
-                coul_cut = p.r_cutoff
                 ewald_acc = h_eff.ewald_accuracy
             elif h_eff.method == "simple" and cutoff is not None:
                 # cutoff-bounded base list (large cluster): simple Coulomb

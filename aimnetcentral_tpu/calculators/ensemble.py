@@ -39,10 +39,6 @@ class EnsembleCalculator(AIMNet2Calculator):
         return cls((params, cfg, aux))
 
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
-        if hessian:
-            raise NotImplementedError(
-                "ensemble Hessians: evaluate members individually"
-            )
         key = ("ens", forces, stress, hessian, cfg)
         if key not in self._fn_cache:
             # vmap over member params cannot batch the Pallas conv's scalar-
@@ -51,12 +47,16 @@ class EnsembleCalculator(AIMNet2Calculator):
                 cfg,
                 forces=forces,
                 stress=stress,
-                hessian=False,
+                hessian=hessian,
                 sae_external=True,
                 conv_engine="xla",
             )
 
             def ens_fn(params, system):
+                # the mean is linear, so the ensemble Hessian is exactly the
+                # member-mean Hessian (same for forces/stress); vmap keeps it
+                # one compilation (lax.map would halve peak memory if a large
+                # ensemble-Hessian workload ever needs it)
                 outs = jax.vmap(lambda p: single(p, system))(params)
                 res = {k: v.mean(axis=0) for k, v in outs.items()}
                 res["energy_std"] = outs["energy"].std(axis=0)

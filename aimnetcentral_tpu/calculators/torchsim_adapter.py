@@ -20,9 +20,13 @@ except ImportError:  # pragma: no cover
 
 
 class AIMNet2TorchSim:
+    """Duck-typed on the SimState attribute surface (positions, cell, pbc,
+    atomic_numbers, system_idx, extras) — torch_sim itself is only needed by
+    the surrounding simulation loop, so construction works without it (the
+    reference tests the same seam with a fake state,
+    reference tests/test_torchsim.py:21)."""
+
     def __init__(self, base_calc, compute_stress: bool = False):
-        if not TORCHSIM_AVAILABLE:
-            raise ImportError("torch_sim is required for AIMNet2TorchSim")
         self.base_calc = base_calc
         self.compute_stress = compute_stress
 

@@ -125,10 +125,17 @@ def md(model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell)
 @cli.command()
 @click.option("--config", "config_path", required=True, help="training yaml")
 @click.option("--load", "load_path", default=None, help="checkpoint to resume from")
-def train(config_path: str, load_path: str | None) -> None:
-    """Train a model from a YAML config (see docs/training.md)."""
+@click.option(
+    "--hyperpar",
+    default=None,
+    help="YAML file of Jinja2 hyperparameters rendered into the config",
+)
+def train(config_path: str, load_path: str | None, hyperpar: str | None) -> None:
+    """Train a model from a YAML config (see docs/training.md).
+
+    The config supports Jinja2 ``{{ name }}`` hyperparameter templating and
+    nested .yaml file references (reference aimnet/config.py:83-152)."""
     import jax
-    import yaml
 
     from aimnetcentral_tpu.data.sgdataset import SizeGroupedDataset
     from aimnetcentral_tpu.models.convert import config_from_yaml
@@ -140,8 +147,9 @@ def train(config_path: str, load_path: str | None) -> None:
         load_checkpoint_params,
     )
 
-    with open(config_path) as f:
-        cfg_dict = yaml.safe_load(f)
+    from aimnetcentral_tpu.config import load_yaml
+
+    cfg_dict = load_yaml(config_path, hyperpar)
 
     model_cfg = config_from_yaml(cfg_dict["model"])
     params = aimnet2_init(jax.random.key(cfg_dict.get("seed", 0)), model_cfg)

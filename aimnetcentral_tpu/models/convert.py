@@ -117,6 +117,16 @@ _HEAD_BUILDERS = {
 }
 
 
+def register_head_builder(name: str, builder) -> None:
+    """Register a third-party output-head builder so artifacts naming it can
+    convert (pair with ``model_import_paths``/``model_import_mode='extend'``
+    on load — the import policy gates which class paths are ACCEPTED, this
+    registry defines what they CONSTRUCT)."""
+    if name in _HEAD_BUILDERS:
+        raise ValueError(f"head builder {name!r} is already registered")
+    _HEAD_BUILDERS[name] = builder
+
+
 def head_from_config(class_path: str, kwargs: Mapping[str, Any]) -> HeadSpec:
     name = class_path.rsplit(".", 1)[-1]
     if name not in _HEAD_BUILDERS:

@@ -86,16 +86,28 @@ def ewald_energy(
     cutoff-bounded neighbor matrix; the reciprocal part evaluates all
     molecules' structure factors in one batched matmul.  Includes self and
     neutralizing-background terms, so charged cells are well-defined.
+
+    ``eta`` / ``r_cutoff`` / ``k_cutoff`` may be scalars (shared) or
+    (num_mol,) arrays (per-molecule accuracy for heterogeneous cells).
     """
     q = jnp.where(numbers > 0, charges, 0.0)
+    ones_b = jnp.ones((num_mol,), coord.dtype)
+    eta_b = jnp.asarray(eta).reshape(-1) * jnp.ones_like(ones_b)  # (B,)
+    rcut_b = jnp.asarray(r_cutoff).reshape(-1) * jnp.ones_like(ones_b)
+    kcut_b = jnp.asarray(k_cutoff).reshape(-1) * jnp.ones_like(ones_b)
+    # per-atom views (padding atoms read inert values)
+    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
+    rcut_at = jnp.take(jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx)
 
     # --- real space (ordered pairs, 1/2 factor via FACTOR convention)
     from aimnetcentral_tpu.ops.math import calc_distances
 
     d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
-    valid = nbops.pair_mask(nbmat) & (d_ij < r_cutoff)
+    valid = nbops.pair_mask(nbmat) & (d_ij < rcut_at[:, None])
     q_ij = q[:, None] * nbops.gather_nb(q, nbmat)
-    e_pair = jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta)) / d_ij
+    e_pair = (
+        jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta_at[:, None])) / d_ij
+    )
     e_real_i = jnp.where(valid, q_ij * e_pair, 0.0).sum(-1)
     e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
 
@@ -103,7 +115,7 @@ def ewald_energy(
     recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B, 3, 3)
     kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip)  # (B, K, 3)
     k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, K)
-    kmask = (k2 > 1e-12) & (k2 < k_cutoff * k_cutoff)
+    kmask = (k2 > 1e-12) & (k2 < (kcut_b * kcut_b)[:, None])
 
     cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
     atom_recip = jnp.take(cell_ext, mol_idx, axis=0)  # (N, 3, 3)
@@ -113,16 +125,20 @@ def ewald_energy(
     s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)  # (B, K)
     s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
     volume = jnp.abs(jnp.linalg.det(cell))  # (B,)
-    w = jnp.where(kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0)
+    w = jnp.where(
+        kmask,
+        jnp.exp(-0.5 * (eta_b * eta_b)[:, None] * k2) / jnp.where(kmask, k2, 1.0),
+        0.0,
+    )
     e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im), axis=-1)
 
     # --- self interaction
-    e_self = -nbops.mol_sum(q * q, mol_idx, num_mol) / (math.sqrt(2.0 * math.pi) * eta)
+    e_self = -nbops.mol_sum(q * q / eta_at, mol_idx, num_mol) / math.sqrt(2.0 * math.pi)
 
     # --- neutralizing background for charged cells:
     # E_bg = -pi * Q_tot^2 / (2 V alpha^2) with alpha = 1/(sqrt(2) eta)
     q_tot = nbops.mol_sum(q, mol_idx, num_mol)
-    e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
+    e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b) / volume
 
     return KE * (e_real + e_recip + e_self + e_bg)
 
@@ -144,7 +160,9 @@ def coulomb_periodic_binned(
         raise ValueError("call models.ewald.attach_ewald on the System first")
 
     q = jnp.where(system.numbers > 0, data[key_in], 0.0)
-    eta = system.ewald_eta
+    # binned systems are single-molecule: collapse per-mol params to scalars
+    eta = jnp.asarray(system.ewald_eta).reshape(-1)[0]
+    k_cutoff = jnp.asarray(system.ewald_k_cutoff).reshape(-1)[0]
     e_real = ewald_real_binned(system, q, eta, system.ewald_r_static)
 
     e_other = _ewald_nonreal(
@@ -154,7 +172,7 @@ def coulomb_periodic_binned(
         system.mol_idx,
         system.num_mol,
         eta,
-        system.ewald_k_cutoff,
+        k_cutoff,
         system.ewald_kpts,
     )
     return KE * (e_real + e_other)
@@ -188,24 +206,40 @@ def _ewald_nonreal(
 
 
 def attach_ewald(system: System, accuracy: float = 1e-6, pme: bool = False) -> System:
-    """Host-side: estimate Ewald discretization from the (concrete) cell and
+    """Host-side: estimate Ewald discretization from the (concrete) cells and
     attach it to the System.  Call OUTSIDE jit (the calculator does).
-    With ``pme=True`` also attaches static FFT mesh dims."""
+    With ``pme=True`` also attaches static FFT mesh dims.
+
+    Batched heterogeneous cells get PER-MOLECULE parameters (eta/k_cutoff
+    arrays of shape (num_mol,)); the shared integer k-grid covers the largest
+    per-molecule kmax and each molecule masks it at its own k_cutoff, so the
+    requested accuracy holds for every cell — not just the first (closes the
+    reference-parity gap noted in round 1; cf. reference
+    aimnet/calculators/calculator.py:1565-1603 which estimates per call)."""
     assert system.cell is not None
-    cell0 = np.asarray(system.cell)[0]
-    n_at = int(np.asarray(system.numbers > 0).sum())
-    p = estimate_ewald_parameters(cell0, max(n_at // system.num_mol, 1), accuracy)
+    cells = np.asarray(system.cell)
+    numbers = np.asarray(system.numbers)
+    mol_idx = np.asarray(system.mol_idx)
+    etas, r_cuts, k_cuts = [], [], []
+    kmax = (1, 1, 1)
+    for m in range(system.num_mol):
+        n_at = max(int(((mol_idx == m) & (numbers > 0)).sum()), 1)
+        p = estimate_ewald_parameters(cells[m], n_at, accuracy)
+        etas.append(p.eta)
+        r_cuts.append(p.r_cutoff)
+        k_cuts.append(p.k_cutoff)
+        kmax = tuple(max(a, b) for a, b in zip(kmax, p.kmax))
     pme_mesh = None
     if pme:
         from aimnetcentral_tpu.models.pme import estimate_pme_mesh
 
-        pme_mesh = estimate_pme_mesh(cell0, accuracy)
+        pme_mesh = estimate_pme_mesh(cells[0], accuracy)
     return system.replace(
-        ewald_kpts=jnp.asarray(_k_grid(p.kmax)),
-        ewald_eta=jnp.float32(p.eta),
-        ewald_r_cutoff=jnp.float32(p.r_cutoff),
-        ewald_k_cutoff=jnp.float32(p.k_cutoff),
-        ewald_r_static=float(p.r_cutoff),
+        ewald_kpts=jnp.asarray(_k_grid(kmax)),
+        ewald_eta=jnp.asarray(np.array(etas, dtype=np.float32)),
+        ewald_r_cutoff=jnp.asarray(np.array(r_cuts, dtype=np.float32)),
+        ewald_k_cutoff=jnp.asarray(np.array(k_cuts, dtype=np.float32)),
+        ewald_r_static=float(max(r_cuts)),
         pme_mesh=pme_mesh,
     )
 
@@ -243,16 +277,18 @@ def coulomb_periodic(
 
         from aimnetcentral_tpu.ops import nb as nbops
 
-        valid = nbops.pair_mask(nb) & (d < system.ewald_r_cutoff)
+        eta0 = jnp.asarray(system.ewald_eta).reshape(-1)[0]
+        rcut0 = jnp.asarray(system.ewald_r_cutoff).reshape(-1)[0]
+        valid = nbops.pair_mask(nb) & (d < rcut0)
         qq = q[:, None] * nbops.gather_nb(q, nb)
-        e_pair = jax.scipy.special.erfc(d / (_math.sqrt(2.0) * system.ewald_eta)) / d
+        e_pair = jax.scipy.special.erfc(d / (_math.sqrt(2.0) * eta0)) / d
         e_real = 0.5 * jnp.where(valid, qq * e_pair, 0.0).sum()
         e = pme_energy(
             system.coord,
             q,
             system.cell[0],
             system.numbers,
-            system.ewald_eta,
+            eta0,
             system.pme_mesh,
             e_real,
         )

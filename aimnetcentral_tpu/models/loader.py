@@ -32,6 +32,14 @@ from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dic
 from aimnetcentral_tpu.models.heads import DFTD3Head, LRCoulombHead
 from aimnetcentral_tpu.models.modules import MLPSpec
 
+from aimnetcentral_tpu.models.validation import (
+    REGISTRY_IMPORT_POLICY,
+    ModelImportPolicy,
+    resolve_model_import_policy,
+    validate_model_metadata,
+    validate_model_yaml_tree,
+)
+
 FORBIDDEN_KWARGS = ("ptfile",)
 
 
@@ -45,23 +53,11 @@ class LoadedModel(NamedTuple):
         return (self.params, self.cfg, self.aux)
 
 
-def _validate_model_yaml(tree: Any) -> None:
-    """Reject forbidden constructor kwargs anywhere in the config tree
-    (reference aimnet/models/artifact_validation.py:100-107)."""
-    if isinstance(tree, Mapping):
-        if "class" in tree:
-            kw = tree.get("kwargs", {}) or {}
-            for bad in FORBIDDEN_KWARGS:
-                if bad in kw:
-                    raise ValueError(
-                        f"forbidden constructor kwarg {bad!r} in model yaml "
-                        f"(class {tree['class']!r})"
-                    )
-        for v in tree.values():
-            _validate_model_yaml(v)
-    elif isinstance(tree, (list, tuple)):
-        for v in tree:
-            _validate_model_yaml(v)
+def _validate_model_yaml(tree: Any, policy: ModelImportPolicy | None = None) -> None:
+    """Enforce the import policy + forbidden constructor kwargs on the config
+    tree (reference aimnet/models/artifact_validation.py:100-330).  ``None``
+    uses the frozen registry default policy."""
+    validate_model_yaml_tree(tree, policy or REGISTRY_IMPORT_POLICY)
 
 
 def _metadata_from_artifact(data: Mapping[str, Any]) -> dict:
@@ -161,20 +157,32 @@ def attach_external_lr(cfg: AIMNet2Config, metadata: Mapping[str, Any]) -> AIMNe
 
 
 def load_v2_artifact(
-    path: str, attach_lr: bool = True, registry_family: str | None = None
+    path: str,
+    attach_lr: bool = True,
+    registry_family: str | None = None,
+    model_import_paths: tuple[str, ...] | None = None,
+    model_import_mode: Literal["extend", "replace", "unsafe"] = "extend",
 ) -> LoadedModel:
-    """Load a reference v2 ``.pt`` artifact into JAX params."""
+    """Load a reference v2 ``.pt`` artifact into JAX params.
+
+    ``model_import_paths``/``model_import_mode`` configure the artifact trust
+    boundary (reference aimnet/models/artifact_validation.py:129-241): which
+    class paths the artifact yaml may name.  Registry artifacts are always
+    validated under the frozen default policy regardless of these arguments
+    (pass them only for explicit local/third-party paths)."""
     import torch
 
+    policy = resolve_model_import_policy(model_import_paths, model_import_mode)
     data = torch.load(path, map_location="cpu", weights_only=True)
     if not isinstance(data, dict) or "model_yaml" not in data or "state_dict" not in data:
         raise ValueError(f"{path}: not a v2 AIMNet2 artifact")
     model_cfg = yaml.safe_load(data["model_yaml"])
-    _validate_model_yaml(model_cfg)
+    _validate_model_yaml(model_cfg, policy)
     cfg = config_from_yaml(model_cfg)
     sd = {k: v.numpy() for k, v in data["state_dict"].items()}
     params, aux = convert_state_dict(sd, cfg)
     metadata = apply_family_defaults(_metadata_from_artifact(data), registry_family)
+    validate_model_metadata(metadata, require_cutoff=True)
     aux["metadata"] = metadata
     # external heads need extra params (D3 tables etc.)
     if attach_lr:
@@ -190,13 +198,78 @@ def load_v2_artifact(
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
+def fetch_hf_snapshot(
+    repo_id: str,
+    member: int | str = 0,
+    revision: str | None = None,
+    token: str | None = None,
+    policy: ModelImportPolicy | None = None,
+) -> str:
+    """Fetch an AIMNet2 HF repo with metadata-validated-BEFORE-weights
+    ordering (reference aimnet/calculators/hf_hub.py:275-401):
+
+    1. download only ``config.json`` (revision-pinned),
+    2. validate its metadata schema and the ``model_yaml`` import policy,
+    3. only then download the requested ensemble member's safetensors.
+
+    Returns the local snapshot directory (both files land in the same
+    revision-pinned HF cache snapshot).  If the config is a family-level
+    schema without ``model_yaml``, falls back to the model registry via the
+    config's ``member_names`` list (reference hf_hub.py:217-273) — the
+    returned path is then the registry ``.pt`` artifact instead.
+    """
+    import json
+
+    from huggingface_hub import hf_hub_download
+
+    policy = policy or REGISTRY_IMPORT_POLICY
+    cfg_path = hf_hub_download(
+        repo_id, "config.json", revision=revision, token=token
+    )
+    with open(cfg_path) as f:
+        config = json.load(f)
+    if not isinstance(config, Mapping):
+        raise TypeError("config.json root must be a mapping.")
+    validate_model_metadata(config)
+
+    model_yaml = config.get("model_yaml")
+    if model_yaml is None:
+        # family-level schema: registry fallback by member name
+        member_names = config.get("member_names")
+        if not isinstance(member_names, list) or not member_names:
+            raise ValueError(
+                f"config.json in {repo_id!r} has no 'model_yaml' and no "
+                "'member_names' list for a registry fallback; re-upload the "
+                "repo with a complete config.json."
+            )
+        idx = int(member)
+        if idx >= len(member_names):
+            raise ValueError(
+                f"ensemble member {idx} out of range for {len(member_names)} members"
+            )
+        from aimnetcentral_tpu.calculators.registry import download_model
+
+        return download_model(member_names[idx])
+
+    tree = yaml.safe_load(model_yaml) if isinstance(model_yaml, str) else model_yaml
+    validate_model_yaml_tree(tree, policy)
+
+    w_path = hf_hub_download(
+        repo_id,
+        f"ensemble_{member}.safetensors",
+        revision=revision,
+        token=token,
+    )
+    return os.path.dirname(w_path)
+
+
 def load_hf_repo(
     repo_dir: str, member: int | str = 0, registry_family: str | None = None
 ) -> LoadedModel:
     """Load from an HF-style directory: ``config.json`` +
     ``ensemble_N.safetensors`` (reference aimnet/calculators/hf_hub.py:275-400).
-    ``repo_dir`` must be a local snapshot directory (zero-egress environment:
-    no live hub fetches; pass a downloaded snapshot)."""
+    ``repo_dir`` is a local snapshot directory; for live repo IDs use
+    ``fetch_hf_snapshot`` first (``load_model`` dispatches both)."""
     import json
 
     from safetensors.numpy import load_file
@@ -222,15 +295,32 @@ def load_hf_repo(
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
-def load_model(path: str, registry_family: str | None = None) -> LoadedModel:
-    """Dispatch on artifact kind (v2 .pt / HF dir).  Legacy ``.jpt``
-    TorchScript requires conversion first (``aimnet-tpu convert``)."""
+def load_model(
+    path: str,
+    registry_family: str | None = None,
+    model_import_paths: tuple[str, ...] | None = None,
+    model_import_mode: Literal["extend", "replace", "unsafe"] = "extend",
+) -> LoadedModel:
+    """Dispatch on artifact kind (v2 .pt / HF dir / live HF repo id).  Legacy
+    ``.jpt`` TorchScript requires conversion first (``aimnet-tpu convert``)."""
     if os.path.isdir(path):
         return load_hf_repo(path, registry_family=registry_family)
+    if not os.path.exists(path) and "/" in path and not path.endswith(".pt"):
+        # HF repo id, e.g. "isayevlab/aimnet2-wb97m-d3"
+        policy = resolve_model_import_policy(model_import_paths, model_import_mode)
+        local = fetch_hf_snapshot(path, policy=policy)
+        if os.path.isdir(local):
+            return load_hf_repo(local, registry_family=registry_family)
+        return load_v2_artifact(local, registry_family=registry_family)
     if path.lower().endswith(".jpt"):
         raise ValueError(
             "legacy TorchScript .jpt artifacts must be converted to v2 .pt "
             "first (see the reference's `aimnet convert`); direct TorchScript "
             "execution is torch-specific"
         )
-    return load_v2_artifact(path, registry_family=registry_family)
+    return load_v2_artifact(
+        path,
+        registry_family=registry_family,
+        model_import_paths=model_import_paths,
+        model_import_mode=model_import_mode,
+    )

@@ -237,6 +237,18 @@ def export_model(
     if extra_metadata:
         artifact.update(dict(extra_metadata))
 
+    # canonical validation before the artifact can exist on disk
+    # (reference aimnet/train/export_model.py:77-81 + artifact_validation.py:394)
+    from aimnetcentral_tpu.models.validation import validate_model_metadata
+
+    meta_view = {k: v for k, v in artifact.items() if k not in ("state_dict", "model_yaml")}
+    validate_model_metadata(
+        meta_view,
+        require_cutoff=True,
+        require_structural_consistency=True,
+        require_cross_field_consistency=True,
+    )
+
     # atomic save (reference aimnet/train/export_model.py:83-109)
     d = os.path.dirname(os.path.abspath(output)) or "."
     os.makedirs(d, exist_ok=True)

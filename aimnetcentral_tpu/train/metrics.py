@@ -73,7 +73,20 @@ class RegMultiMetric:
             a["sum_true"] += t.sum()
             a["sum_true_sq"] += (t**2).sum()
 
-    def compute(self) -> dict[str, float]:
+    def update_from_stats(self, stats: dict[str, dict[str, Any]]) -> None:
+        """Merge device-land ``batch_stats`` pytrees (possibly already
+        psum-reduced over the dp axis) into the host accumulators."""
+        for key, st in stats.items():
+            a = self._acc[key]
+            for f, v in st.items():
+                a[f] += float(np.asarray(v))
+
+    def compute(self, multihost: bool = False) -> dict[str, float]:
+        """``multihost=True`` all-reduces the accumulators across
+        ``jax.distributed`` processes first (the reference's
+        ``idist.all_reduce``, aimnet/train/metrics.py:146-152)."""
+        if multihost:
+            self._acc = allreduce_accumulators_multihost(self._acc)
         out: dict[str, float] = {}
         for c in self.configs:
             a = self._acc[c.key_pred]
@@ -86,3 +99,59 @@ class RegMultiMetric:
             out[f"{c.key_pred}_rmse"] = float(rmse)
             out[f"{c.key_pred}_r2"] = float(r2)
         return out
+
+
+# ---------------------------------------------------------------------------
+# distributed accumulation (reference aimnet/train/metrics.py:146-152)
+
+
+def batch_stats(
+    pred: Array, true: Array, mask: Array | None = None
+) -> dict[str, Array]:
+    """Device-land accumulator contribution for one target: jit-safe, so it
+    can run INSIDE a sharded eval step and be ``jax.lax.psum``-reduced over
+    the dp mesh axis (``reduce_stats``) before anything reaches the host."""
+    p = pred.reshape(-1).astype(jnp.float32)
+    t = true.reshape(-1).astype(jnp.float32)
+    if mask is not None:
+        m = mask.reshape(-1)
+        if m.shape[0] != p.shape[0] and p.shape[0] % m.shape[0] == 0:
+            m = jnp.repeat(m, p.shape[0] // m.shape[0])
+        m = m.astype(jnp.float32)
+    else:
+        m = jnp.ones_like(p)
+    err = (p - t) * m
+    return {
+        "n": m.sum(),
+        "sum_err": err.sum(),
+        "sum_abs": jnp.abs(err).sum(),
+        "sum_sq": (err * err).sum(),
+        "sum_true": (t * m).sum(),
+        "sum_true_sq": (t * t * m).sum(),
+    }
+
+
+def reduce_stats(stats: dict[str, Any], axis_name: str) -> dict[str, Any]:
+    """All-reduce accumulator pytrees across a mesh axis (call inside
+    ``shard_map``; the TPU-native twin of the reference's
+    ``idist.all_reduce``)."""
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+
+
+def allreduce_accumulators_multihost(acc: dict[str, dict[str, float]]) -> dict:
+    """Sum host-side accumulators across ``jax.distributed`` processes
+    (multi-host data-parallel evaluation; no-op for a single process)."""
+    if jax.process_count() == 1:
+        return acc
+    from jax.experimental import multihost_utils
+
+    keys = sorted(acc)
+    fields = sorted(next(iter(acc.values())))
+    local = np.array(
+        [[acc[k][f] for f in fields] for k in keys], dtype=np.float64
+    )
+    total = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+    return {
+        k: {f: float(total[i, j]) for j, f in enumerate(fields)}
+        for i, k in enumerate(keys)
+    }

@@ -56,6 +56,11 @@ class TrainerConfig:
     terminate_low_lr: float = 1e-6  # (reference aimnet/train/utils.py:258-265)
     checkpoint_dir: str | None = None
     log_file: str | None = None
+    # experiment tracker: None | "jsonl" | "wandb"
+    # (reference aimnet/train/utils.py:331-382 wandb integration)
+    tracker: str | None = None
+    tracker_project: str = "aimnet2-tpu"
+    tracker_run_name: str | None = None
     seed: int = 0
     with_forces: bool = True
 
@@ -225,6 +230,17 @@ class Trainer:
 
     def fit(self) -> dict[str, Any]:
         tcfg = self.tcfg
+        tracker = None
+        if tcfg.tracker:
+            from aimnetcentral_tpu.train.trackers import make_tracker
+
+            tracker = make_tracker(
+                tcfg.tracker,
+                path=tcfg.log_file or "train_log.jsonl",
+                project=tcfg.tracker_project,
+                run_name=tcfg.tracker_run_name,
+                config=dataclasses.asdict(tcfg),
+            )
         history = []
         for epoch in range(tcfg.max_epochs):
             t0 = time.time()
@@ -238,9 +254,12 @@ class Trainer:
                 **val,
             }
             history.append(rec)
-            if tcfg.log_file:
+            if tcfg.log_file and tcfg.tracker != "jsonl":
+                # (the jsonl tracker already writes this record to log_file)
                 with open(tcfg.log_file, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+            if tracker is not None:
+                tracker.log(rec, step=epoch)
 
             score = val.get("val_loss", tr["train_loss"])
             if score < self._best_val - 1e-12:

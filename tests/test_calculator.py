@@ -163,6 +163,15 @@ def test_ensemble_calculator(reference_aimnet2, rng):
     ]
     assert out["energy"][0] == pytest.approx(np.mean(singles), abs=1e-4)
     assert out["energy_std"][0] == pytest.approx(np.std(singles), abs=1e-4)
+    # ensemble Hessian == member-mean Hessian (the mean is linear)
+    hess = ens({"coord": coord, "numbers": numbers}, hessian=True)["hessian"][0]
+    h_members = [
+        AIMNet2Calculator(m)({"coord": coord, "numbers": numbers}, hessian=True)[
+            "hessian"
+        ][0]
+        for m in members
+    ]
+    np.testing.assert_allclose(hess, np.mean(h_members, axis=0), atol=1e-4)
 
 
 def test_batched_hessian_splitting(calc, rng):

@@ -98,8 +98,11 @@ def test_forbidden_kwargs_rejected(v2_artifact, tmp_path):
     path, _ = v2_artifact
     data = torch.load(path, map_location="cpu", weights_only=True)
     cfg = _yaml.safe_load(data["model_yaml"])
+    # lr.DispParam is the allowlisted spelling (the barrel path is
+    # deliberately NOT allowlisted, matching the reference); the forbidden
+    # ptfile kwarg must still be rejected on an allowlisted class
     cfg["kwargs"]["outputs"]["evil"] = {
-        "class": "aimnet.modules.DispParam",
+        "class": "aimnet.modules.lr.DispParam",
         "kwargs": {"ptfile": "/etc/passwd"},
     }
     data["model_yaml"] = _yaml.safe_dump(cfg, sort_keys=False)
@@ -120,8 +123,13 @@ def test_unknown_head_class_rejected(v2_artifact, tmp_path):
     data["model_yaml"] = _yaml.safe_dump(cfg, sort_keys=False)
     bad = tmp_path / "bad2.pt"
     torch.save(data, str(bad))
-    with pytest.raises(ValueError, match="unsupported output head"):
+    # rejected by the import policy before the builder registry is consulted
+    with pytest.raises(ValueError, match="Untrusted import path"):
         load_v2_artifact(str(bad))
+    # unsafe mode skips the allowlist but the closed builder registry still
+    # cannot construct it (structural layer; nothing ever executes)
+    with pytest.raises(ValueError, match="unsupported output head"):
+        load_v2_artifact(str(bad), model_import_mode="unsafe")
 
 
 def test_registry_resolution():

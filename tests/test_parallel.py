@@ -1,5 +1,7 @@
 """Device-mesh parallelism tests on the virtual 8-device CPU mesh."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -90,3 +92,58 @@ def test_dp_grads_match_single_device(rng):
     np.testing.assert_allclose(
         float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
     )
+
+
+def test_metrics_psum_matches_host_accumulation(rng):
+    """`batch_stats` psum-reduced over the dp mesh axis inside shard_map must
+    reproduce the host-side RegMultiMetric accumulation on the full batch
+    (the reference's idist.all_reduce, aimnet/train/metrics.py:146-152)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    from aimnetcentral_tpu.parallel import make_mesh
+    from aimnetcentral_tpu.train.metrics import (
+        MetricConfig,
+        RegMultiMetric,
+        batch_stats,
+        reduce_stats,
+    )
+
+    pred = rng.normal(size=(16, 3)).astype(np.float32)
+    true = rng.normal(size=(16, 3)).astype(np.float32)
+    mask = (rng.random(size=(16,)) > 0.25)
+
+    mesh = make_mesh(n_dp=4, n_ens=1)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=P(),
+    )
+    def sharded_stats(p, t, m):
+        return reduce_stats({"f": batch_stats(p, t, m)}, "dp")
+
+    sh = NamedSharding(mesh, P("dp"))
+    stats = sharded_stats(
+        jax.device_put(jnp.asarray(pred), sh),
+        jax.device_put(jnp.asarray(true), sh),
+        jax.device_put(jnp.asarray(mask), sh),
+    )
+
+    metric = RegMultiMetric([MetricConfig(key_pred="f", key_true="f")])
+    metric.update_from_stats(jax.tree.map(np.asarray, stats))
+    got = metric.compute()
+
+    ref = RegMultiMetric([MetricConfig(key_pred="f", key_true="f")])
+    ref.update({"f": pred}, {"f": true}, weights={"f": mask})
+    want = ref.compute()
+
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
