@@ -321,17 +321,41 @@ class AIMNet2Calculator:
                 cell_np = None
                 coord_np = np.asarray(mols[0]["coord"])
                 extent = (coord_np.min(axis=0), coord_np.max(axis=0))
+            # coarse LR twin layout when any long-range sweep exists: sized
+            # by the largest LR cutoff so its stencil stays at radius 2
+            lr_cuts = []
+            if h_eff is not None and h_eff.method == "dsf":
+                lr_cuts.append(self._lr_cutoff_override or h_eff.dsf_rc)
+            if h_eff is not None and h_eff.method in ("ewald", "pme") and has_cell:
+                ew = estimate_ewald_parameters(
+                    np.asarray(mols[0]["cell"]), n_real, h_eff.ewald_accuracy
+                )
+                lr_cuts.append(float(ew.r_cutoff))
+            d3h = self._d3_head()
+            if d3h is not None:
+                lr_cuts.append(self._dftd3_cutoff_override or d3h.cutoff)
+            lr_cut = max(lr_cuts) if lr_cuts else None
+
             safety = 1.5
+            lr_safety = 1.5
             while True:
                 grid = B.plan_bins(
                     cell_np, n_real, self.cutoff, extent=extent, safety=safety
                 )
-                sysb, perm, ovf = _jax.jit(B.to_binned_system, static_argnums=1)(
-                    system, grid
+                lr_grid = (
+                    B.plan_lr_bins(
+                        cell_np, n_real, lr_cut, extent=extent, safety=lr_safety
+                    )
+                    if lr_cut is not None
+                    else None
                 )
+                sysb, perm, ovf = _jax.jit(
+                    B.to_binned_system, static_argnums=(1, 2)
+                )(system, grid, lr_grid)
                 if int(ovf) == 0:
                     break
                 safety *= 1.5
+                lr_safety *= 1.5
                 if safety > 32:
                     raise RuntimeError("bin capacity planning failed")
             self._last_perm = np.asarray(perm)

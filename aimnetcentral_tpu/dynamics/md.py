@@ -63,7 +63,7 @@ class MDState:
     system: System  # current neighbor structure (and layout, if binned)
     ref_coord: Array  # coordinates at last neighbor build
     key: Array
-    overflow: Array  # accumulated dropped-neighbor count
+    overflow: Array  # (2,) accumulated dropped-neighbor counts [sr, lr]
     epot: Array  # last potential energy per molecule
 
 
@@ -126,23 +126,37 @@ class MDDriver:
 
         if engine == "binned":
             edge = cfg.aev.rc_s + md.skin
+            lr_cut = self._lr_cutoff()
             safety = bin_safety
+            lr_safety = 1.5
             while True:
                 grid = dataclasses.replace(
                     B.plan_bins(cell_np, n_real, edge, extent=self._extent(system), safety=safety),
                     margin=md.skin,
                 )
+                lr_grid = (
+                    B.plan_lr_bins(
+                        cell_np, n_real, lr_cut,
+                        extent=self._extent(system),
+                        safety=lr_safety, margin=md.skin,
+                    )
+                    if lr_cut is not None
+                    else None
+                )
                 sysb, _perm, ovf = jax.jit(
-                    B.to_binned_system, static_argnums=1
-                )(system, grid)
+                    B.to_binned_system, static_argnums=(1, 2)
+                )(system, grid, lr_grid)
                 if int(ovf) == 0:
                     break
                 safety *= 1.5
+                lr_safety *= 1.5
                 if safety > 32:
                     raise RuntimeError("bin capacity planning failed")
             self.grid = grid
+            self.lr_grid = lr_grid
             system0 = sysb
         else:
+            self.lr_grid = None
             extent = None
             if cell_np is None:
                 c = np.asarray(system.coord)[:n_real]
@@ -173,7 +187,7 @@ class MDDriver:
             system=system0,
             ref_coord=system0.coord,
             key=key,
-            overflow=jnp.int32(0),
+            overflow=jnp.zeros((2,), jnp.int32),
             epot=epot0,
         )
         self._chunk_fn: dict[int, Callable] = {}
@@ -263,12 +277,21 @@ class MDDriver:
                     numbers=B.to_slots(state.system.numbers, perm),
                     mol_idx=B.to_slots(state.system.mol_idx, perm),
                 )
+                lr_ovf = jnp.int32(0)
+                if self.lr_grid is not None:
+                    lr_perm, _lrw, lr_ovf = B.bin_atoms(
+                        sys2.coord, sys2.numbers, self.lr_grid, cell0
+                    )
+                    sys2 = sys2.replace(
+                        lr_slot=lr_perm,
+                        lr_inv=B.invert_slot_map(lr_perm, sys2.coord.shape[0]),
+                    )
                 return (
                     sys2,
                     B.to_slots(v, perm),
                     B.to_slots(state.masses, perm),
                     sys2.coord,
-                    ovf.astype(jnp.int32),
+                    jnp.stack([ovf, lr_ovf]).astype(jnp.int32),
                 )
 
             def keep(c, v):
@@ -277,7 +300,7 @@ class MDDriver:
                     v,
                     state.masses,
                     state.ref_coord,
-                    jnp.int32(0),
+                    jnp.zeros((2,), jnp.int32),
                 )
 
             system, v_half2, masses, ref_coord, ovf = jax.lax.cond(
@@ -288,10 +311,14 @@ class MDDriver:
 
             def rebuild(c):
                 sys2, ovf = self._build_nb_indexed(c, state.system)
-                return sys2, c, ovf
+                return sys2, c, jnp.stack([ovf, jnp.int32(0)])
 
             def keep(c):
-                return state.system.replace(coord=c), state.ref_coord, jnp.int32(0)
+                return (
+                    state.system.replace(coord=c),
+                    state.ref_coord,
+                    jnp.zeros((2,), jnp.int32),
+                )
 
             system, ref_coord, ovf = jax.lax.cond(need, rebuild, keep, coord)
             coord = system.coord
@@ -341,7 +368,10 @@ class MDDriver:
 
     # -- host API -----------------------------------------------------------
 
-    def _grow_capacity(self, state: MDState, factor: float = 1.5) -> MDState:
+    def _grow_capacity(
+        self, state: MDState, factor: float = 1.25,
+        grow_sr: bool = True, grow_lr: bool = False,
+    ) -> MDState:
         """Re-plan the binned grid with more slot capacity and re-bin the
         carried state (the TPU answer to the reference's NeighborOverflowError
         retry, aimnet/calculators/neighbors.py:127-129 — but across chunk
@@ -351,15 +381,25 @@ class MDDriver:
                 "neighbor capacity overflow on the indexed engine; "
                 "reconstruct the driver with a larger plan"
             )
-        old = self.grid
-        new_cap = int(np.ceil(old.capacity * factor / 4.0)) * 4
-        self.grid = dataclasses.replace(old, capacity=new_cap)
+        if grow_sr:
+            # growing the SR grid makes EVERY conv pair block bigger —
+            # only do it when the SR layout actually overflowed.  Capacity
+            # granularity is 8 (sublane tile rows, see ops/binned.plan_bins).
+            self.grid = dataclasses.replace(
+                self.grid,
+                capacity=int(np.ceil(self.grid.capacity * factor / 8.0)) * 8,
+            )
+        if grow_lr and self.lr_grid is not None:
+            self.lr_grid = dataclasses.replace(
+                self.lr_grid,
+                capacity=int(np.ceil(self.lr_grid.capacity * factor / 8.0)) * 8,
+            )
         cell0 = state.system.cell[0] if state.system.cell is not None else None
         perm, wrap, ovf = jax.jit(B.bin_atoms, static_argnums=2)(
             state.coord, state.system.numbers, self.grid, cell0
         )
         if int(ovf) > 0:
-            return self._grow_capacity(state, factor * 1.5)
+            return self._grow_capacity(state, factor * 1.5, grow_sr=True, grow_lr=grow_lr)
         coord = state.coord - wrap @ cell0 if cell0 is not None else state.coord
         sys2 = state.system.replace(
             coord=B.to_slots(coord, perm),
@@ -367,6 +407,17 @@ class MDDriver:
             mol_idx=B.to_slots(state.system.mol_idx, perm),
             bins=self.grid,
         )
+        if self.lr_grid is not None:
+            lr_perm, _lrw, lr_ovf = jax.jit(B.bin_atoms, static_argnums=2)(
+                sys2.coord, sys2.numbers, self.lr_grid, cell0
+            )
+            if int(lr_ovf) > 0:
+                return self._grow_capacity(state, factor * 1.5, grow_sr=grow_sr, grow_lr=True)
+            sys2 = sys2.replace(
+                lr_bins=self.lr_grid,
+                lr_slot=lr_perm,
+                lr_inv=B.invert_slot_map(lr_perm, sys2.coord.shape[0]),
+            )
         self._chunk_fn.clear()
         return MDState(
             coord=sys2.coord,
@@ -376,7 +427,7 @@ class MDDriver:
             system=sys2,
             ref_coord=sys2.coord,
             key=state.key,
-            overflow=jnp.int32(0),
+            overflow=jnp.zeros((2,), jnp.int32),
             epot=state.epot,
         )
 
@@ -407,13 +458,23 @@ class MDDriver:
         retries = 0
         while i < n_chunks:
             new_state, obs = get_chunk_fn()(state)
-            if int(new_state.overflow) > 0:
+            ovf = np.asarray(new_state.overflow)
+            if ovf.sum() > 0:
                 retries += 1
                 if retries > 6:
                     raise RuntimeError(
                         "neighbor capacity overflow persists after repeated growth"
                     )
-                state = self._grow_capacity(state)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bin capacity overflow (sr=%d, lr=%d): growing %s and "
+                    "retrying the chunk", int(ovf[0]), int(ovf[1]),
+                    "+".join(n for n, g in (("sr", ovf[0] > 0), ("lr", ovf[1] > 0)) if g),
+                )
+                state = self._grow_capacity(
+                    state, grow_sr=bool(ovf[0] > 0), grow_lr=bool(ovf[1] > 0)
+                )
                 continue  # retry this chunk with the grown capacity
             state = new_state
             all_obs.append(jax.tree.map(np.asarray, obs))

@@ -3,12 +3,13 @@
 ``conv_pass_pallas`` is a drop-in twin of
 ``models/engine_binned.py::conv_pass_binned``: same inputs, same outputs,
 but the offset sweep runs in the fused Pallas kernel (kernels/conv_stencil.py).
-Gradients are ``jax.custom_vjp`` with dedicated Pallas adjoint kernels on both
-sides: the mirror-sweep candidate kernel (grad-a + candidate-side grad-coord)
-and the forward-orientation self kernel (self-side grad-coord + lattice-shift
-adjoint, so cell/strain gradients and stress work).  Set
-``AIMNET_CONV_BWD=xla`` to fall back to autodiff of the mathematically
-identical XLA formulation (``_conv_acc_xla``).
+The gradient is ``jax.custom_vjp`` with ONE fused Pallas mirror-sweep adjoint:
+grad-a + candidate-side grad-coord accumulate resident, and the self-side
+grad-coord + lattice-shift adjoint (cell/strain gradients, stress) are
+reassembled from the sweep's partner-contribution side output by a static
+XLA scatter-add (see ``_conv_acc_bwd``).  Set ``AIMNET_CONV_BWD=xla`` to
+fall back to autodiff of the mathematically identical XLA formulation
+(``_conv_acc_xla``).
 
 This replaces the reference's Warp K1-K3 family
 (aimnet/kernels/conv_sv_2d_sp_wp.py:90-244); double-backward (K3) is not
@@ -168,20 +169,27 @@ def conv_acc(
     dz,
     mrow_nbr,
     mdz,
+    pinv,
+    pvalid,
     nbr,
     mshift_cart,
     shifts_g,
     scal,
 ):
-    """Pallas stencil conv with Pallas adjoints on both sides.
+    """Pallas stencil conv with ONE fused Pallas adjoint sweep.
 
     ``row_nbr``/``dz`` are the row-granular stencil tables
     (ops/binned.py::row_stencil_tables); ``mrow_nbr``/``mdz`` their
-    receiver-centric mirrors, used only by the backward sweeps so every
+    receiver-centric mirrors, used only by the backward sweep so every
     write stays resident in its own row's output block instead of scattering
     (the TPU-native answer to the reference's atomic-add scatter backward,
-    kernels/conv_sv_2d_sp_wp.py:115-164).  ``nbr`` is the per-BIN table,
-    kept for the XLA-twin fallback backward (AIMNET_CONV_BWD=xla).
+    kernels/conv_sv_2d_sp_wp.py:115-164).  ``pinv``/``pvalid`` are the
+    STATIC inverse tables ((S*B,) int32 / (S, B) f32) that turn the sweep's
+    partner-contribution side output into the self-side coordinate and
+    lattice-shift adjoints with one GATHER — scatters lower to serial loops
+    on TPU and are avoided everywhere on the hot path.  ``nbr`` is the
+    per-BIN table, kept for the XLA-twin fallback backward
+    (AIMNET_CONV_BWD=xla).
     """
     return _pallas_forward(
         st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
@@ -189,15 +197,15 @@ def conv_acc(
 
 
 def _conv_acc_fwd(
-    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
-    mshift_cart, shifts_g, scal,
+    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
+    pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
 ):
     out = _pallas_forward(
         st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
     )
     return out, (
-        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
-        mshift_cart, shifts_g, scal,
+        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
+        pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
     )
 
 
@@ -205,8 +213,8 @@ def _conv_acc_bwd(st, res, g_out):
     import os
 
     (
-        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz, nbr,
-        mshift_cart, shifts_g, scal,
+        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
+        pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
     ) = res
     if os.environ.get("AIMNET_CONV_BWD", "pallas") == "xla":
         _, vjp = jax.vjp(
@@ -217,15 +225,12 @@ def _conv_acc_bwd(st, res, g_out):
         )
         da, dc, ds = vjp(g_out)
     else:
-        from aimnetcentral_tpu.kernels.conv_stencil import (
-            conv_stencil_bwd_cand,
-            conv_stencil_bwd_self,
-        )
+        from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_cand
 
         kw = dict(
             r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f, gamma=st.gamma
         )
-        da, dc_cand = conv_stencil_bwd_cand(
+        da, dc_cand, pgrad = conv_stencil_bwd_cand(
             mrow_nbr.reshape(-1),
             mdz,
             coord_t,
@@ -237,20 +242,18 @@ def _conv_acc_bwd(st, res, g_out):
             scal,
             **kw,
         )
-        dc_self, ds4 = conv_stencil_bwd_self(
-            row_nbr.reshape(-1),
-            dz,
-            coord_t,
-            mask,
-            a_gmajor,
-            g_out,
-            shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
-            shifts_g,
-            scal,
-            **kw,
-        )
-        dc = dc_self + dc_cand
-        ds = ds4.reshape(st.s_tot, st.b_tot, 4)
+        # reassemble the partner(self)-side adjoints with one static GATHER:
+        # pinv[s, b] flat-indexes the (S*R*T, 4, C) side output at the
+        # receiver slot whose forward-step-s partner bin is b (pvalid masks
+        # (s, b) pairs with no receiver — gas-phase grid boundaries).
+        pg = pgrad.reshape(-1, 4, st.c)  # (S*R*T, 4, C)
+        taken = jnp.take(pg, pinv, axis=0).reshape(
+            st.s_tot, st.b_tot, 4, st.c
+        ) * pvalid[:, :, None, None]
+        dc = dc_cand + taken.sum(0)  # self-side coordinate adjoint
+        # lattice-shift adjoint (forward frame, index (s, self bin)): the
+        # total pair sum = -(lane sum of the partner contribution).
+        ds = -taken.sum(-1)  # (S, B, 4)
     return (
         da,
         dc,
@@ -260,6 +263,8 @@ def _conv_acc_bwd(st, res, g_out):
         jnp.zeros_like(dz),
         jnp.zeros_like(mrow_nbr),
         jnp.zeros_like(mdz),
+        jnp.zeros_like(pinv),
+        jnp.zeros_like(pvalid),
         jnp.zeros_like(nbr),
         jnp.zeros_like(mshift_cart),
         jnp.zeros_like(shifts_g),
@@ -338,6 +343,26 @@ def conv_pass_pallas(
     mdz = jnp.asarray(mdz_np)
     t_row = grid.nbins[2]
 
+    # static inverse tables for the backward reassembly GATHER: for forward
+    # step s and self bin b, pinv[s, b] flat-indexes the (S*R*T) side-output
+    # slot of the receiver that claims b as its partner; pvalid masks (s, b)
+    # with no receiver (gas-phase boundaries).  Gathers, never scatters.
+    r_tot_ = row_np.shape[1]
+    pinv_np = np.zeros((s_tot, b_tot), np.int32)
+    pvalid_np = np.zeros((s_tot, b_tot), np.float32)
+    t_idx = np.arange(t_row)
+    for s_i in range(s_tot):
+        tp = (t_idx + mdz_np[s_i]) % t_row  # partner slot per receiver slot
+        for r_i in range(r_tot_):
+            pr = mrow_np[s_i, r_i]
+            if pr < 0:
+                continue
+            b_ids = pr * t_row + tp  # partner bins of this receiver row
+            pinv_np[s_i, b_ids] = (s_i * r_tot_ + r_i) * t_row + t_idx
+            pvalid_np[s_i, b_ids] = 1.0
+    pinv = jnp.asarray(pinv_np.reshape(-1))
+    pvalid = jnp.asarray(pvalid_np)
+
     coord_t = jnp.concatenate(
         [
             system.coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
@@ -370,7 +395,7 @@ def conv_pass_pallas(
     else:
         acc = conv_acc(
             st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
-            nbr, mshift_cart, shifts_g, scal,
+            pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
         )
 
     # --- post-process: split (g-major) acc into scalar + vector parts

@@ -18,13 +18,17 @@ Per (row, offset) program:
 3. accumulates into the row's output block, resident across the offset
    dimension of the grid.
 
-Gradients are dedicated Pallas adjoint sweeps (wired via custom_vjp in
-conv_pallas.py): ``conv_stencil_bwd_cand`` accumulates the feature adjoint
-and the candidate-side coordinate adjoint over the RECEIVER-centric mirror
-stencil (every write resident — no scatters, the TPU-native answer to the
-reference's atomic-add scatter backward), and ``conv_stencil_bwd_self``
-accumulates the self-side coordinate adjoint plus the lattice-shift adjoint
-(cell/strain gradients) over the forward stencil.
+The gradient is ONE fused Pallas adjoint sweep (wired via custom_vjp in
+conv_pallas.py): ``conv_stencil_bwd_cand`` runs the RECEIVER-centric mirror
+stencil and accumulates the feature adjoint and the candidate-side
+coordinate adjoint resident (no scatters — the TPU-native answer to the
+reference's atomic-add scatter backward, conv_sv_2d_sp_wp.py:115-164),
+while emitting the partner(self)-side row sums of the same per-pair
+cotangent into a small (S, R, T, 4, C) side output; the self-side
+coordinate adjoint and the lattice-shift adjoint (cell/strain gradients)
+are reassembled from it with one static XLA scatter-add
+(conv_pallas._conv_acc_bwd).  A second forward-orientation sweep — a full
+extra set of pair geometry + Wbar matmuls — is thereby eliminated.
 
 Layout contracts:
 - coords are passed TRANSPOSED per bin: (B, 4, C) (lanes = C),
@@ -307,7 +311,17 @@ def conv_stencil_forward(
 
 
 # ---------------------------------------------------------------------------
-# backward: candidate side (mirror sweep) — grad_a + candidate grad_coord
+# backward: ONE fused mirror sweep — grad_a + both coordinate adjoints
+#
+# The mirror sweep already forms every forward pair's full chain-rule
+# cotangent rbar (rows = partner/self atoms i, cols = receiver/candidate
+# atoms j).  The receiver-side gradient is resident (column sums into this
+# row's block); the partner-side gradient and the lattice-shift adjoint are
+# ROW sums of the same rbar, emitted per (offset, receiver-row) into a small
+# (S, R, T, 4, C) side output and reassembled on the XLA side with one
+# static scatter-add (conv_pallas._conv_acc_bwd).  This replaces the former
+# second (forward-orientation) adjoint sweep entirely — one full set of pair
+# geometry + Wbar matmuls per pass saved.
 
 
 def _bwd_cand_kernel(
@@ -327,6 +341,7 @@ def _bwd_cand_kernel(
     # outputs
     grad_a_ref,  # (T, C, G*F)
     grad_coord_ref,  # (T, 4, C)
+    pgrad_ref,  # (1, T*4, C)  partner-side row sums for this (s, row)
     *,
     t_row: int,
     c: int,
@@ -336,7 +351,9 @@ def _bwd_cand_kernel(
 ):
     """For every forward pair (i in partner bin, j in this row's bin),
     accumulate W^T @ gbar into grad_a and the j-side coordinate cotangent —
-    mirror tables keep every write resident in this row's blocks."""
+    mirror tables keep every write resident in this row's blocks.  The
+    i-side cotangent (row sums of the same rbar) goes to ``pgrad_ref``,
+    written once per (s, row) program."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -409,6 +426,11 @@ def _bwd_cand_kernel(
             for k in range(3):
                 # candidate-side cotangent: column sums (j lives in this bin)
                 grad_coord_ref[t, k, :] += jnp.sum(rbar[k], axis=0)
+                # partner-side cotangent: -row sums (i lives in the partner
+                # bin at slot (t + mdz) % T of row mrow[s, r]; reassembled by
+                # a static scatter in conv_pallas._conv_acc_bwd)
+                pgrad_ref[0, t * 4 + k, :] = -jnp.sum(rbar[k], axis=1)
+            pgrad_ref[0, t * 4 + 3, :] = jnp.zeros((c,), jnp.float32)
 
     pl.run_scoped(
         body,
@@ -436,8 +458,11 @@ def conv_stencil_bwd_cand(
     g: int,
     f: int,
     gamma: int = 8,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (grad_a (B, C, G*F), grad_coord_cand (B, 4, C))."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (grad_a (B, C, G*F), grad_coord_cand (B, 4, C),
+    pgrad (S*R, T*4, C)) — reshaped to (S, R, T, 4, C), ``pgrad[s, r, t]``
+    is the partner-side coordinate cotangent destined for bin
+    ``mrow[s,r]*T + (t+mdz[s])%T``."""
     s_tot = mshift_cart.shape[0]
     b_tot = r_tot * t_row
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -459,6 +484,9 @@ def conv_stencil_bwd_cand(
         out_specs=(
             pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (r, 0, 0)),
             pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
+            pl.BlockSpec(
+                (1, t_row * 4, c), lambda r, s, rt, dzt: (s * r_tot + r, 0, 0)
+            ),
         ),
     )
     kernel = functools.partial(
@@ -470,6 +498,7 @@ def conv_stencil_bwd_cand(
         out_shape=(
             jax.ShapeDtypeStruct((b_tot, c, g * f), jnp.float32),
             jax.ShapeDtypeStruct((b_tot, 4, c), jnp.float32),
+            jax.ShapeDtypeStruct((s_tot * r_tot, t_row * 4, c), jnp.float32),
         ),
     )(
         mrow_flat,
@@ -481,168 +510,6 @@ def conv_stencil_bwd_cand(
         a_gmajor,
         gbar,
         mshift_cart,
-        shifts_g,
-        scal,
-    )
-
-
-# ---------------------------------------------------------------------------
-# backward: self side (forward sweep) — self grad_coord + lattice-shift adjoint
-
-
-def _bwd_self_kernel(
-    # scalar prefetch
-    row_ref,  # (S*R,) int32
-    dz_ref,  # (S,) int32
-    # inputs
-    coord_self_ref,  # (T, 4, C)
-    coord_cand_ref,  # (T, 4, C)
-    mask_self_ref,  # (T, 1, C)
-    mask_cand_ref,  # (T, 1, C)
-    a_cand_ref,  # (T, C, G*F)   candidate features (neighbor row)
-    gbar_ref,  # (T, 4*C, G*F)   cotangent block of THIS row
-    shift_ref,  # (1, 1, T, 4)
-    shifts_g_ref,  # (1, G)
-    scal_ref,  # (1, 4)
-    # outputs
-    grad_coord_ref,  # (T, 4, C)
-    grad_shift_ref,  # (1, 1, T, 4)   per-(s, row, bin) lattice-shift adjoint
-    *,
-    t_row: int,
-    c: int,
-    g: int,
-    f: int,
-    gamma: int,
-):
-    """Self-side adjoint sweep (forward orientation): for every forward pair
-    (i in this row's bin, j in candidate bin), accumulate the i-side
-    coordinate cotangent (resident) and the per-bin lattice-shift cotangent
-    (one write per program)."""
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _init():
-        grad_coord_ref[...] = jnp.zeros_like(grad_coord_ref)
-
-    eta = scal_ref[0, 0]
-    rc = scal_ref[0, 1]
-    dz = dz_ref[s]
-    n_groups = g // gamma
-    sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
-
-    def body(abig_scratch):
-        shift_rows = []
-        for t in range(t_row):
-            tc = jax.lax.rem(t + dz, t_row)
-            ci = coord_self_ref[t]
-            shift = shift_ref[0, 0, t]
-            cj = coord_cand_ref[pl.ds(tc, 1)][0] + shift.reshape(4, 1)
-            mask_c = mask_cand_ref[pl.ds(tc, 1)][0, 0]
-            d, inv_d, within_f, fc, fcp = _pair_geom(
-                ci, cj, s, c, rc, mask_self_ref[t, 0], mask_c
-            )
-            uk = [(cj[k][None, :] - ci[k][:, None]) * inv_d for k in range(3)]
-            u_tiled = [pltpu.repeat(u, gamma, axis=1) for u in uk]
-
-            dbar = jnp.zeros((c, c), jnp.float32)
-            ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
-            for gi in range(n_groups):
-                _fill_abig(abig_scratch, a_cand_ref, tc, gi, gamma, c, f)
-                gbar_grp = gbar_ref[t][:, gi * gamma * f : (gi + 1) * gamma * f]
-                wbar = jax.lax.dot_general(
-                    gbar_grp,
-                    abig_scratch[...],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                gs_all, dgs_all = _gs_tiled(
-                    d, fc, fcp, sg_rows[gi], eta, gamma, True
-                )
-                dbar, ubar = _chain_accumulate(
-                    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, c
-                )
-
-            rbar = _coord_chain_finish(uk, inv_d, within_f, dbar, ubar)
-            for k in range(3):
-                # self-side cotangent: -row sums (i lives in this bin)
-                grad_coord_ref[t, k, :] += -jnp.sum(rbar[k], axis=1)
-            # lattice shift enters through cj only: total pair sum per k
-            shift_rows.append(
-                jnp.concatenate(
-                    [jnp.sum(rbar[k]).reshape(1, 1) for k in range(3)]
-                    + [jnp.zeros((1, 1), jnp.float32)],
-                    axis=1,
-                )
-            )
-        grad_shift_ref[...] = jnp.concatenate(shift_rows, axis=0)[None, None]
-
-    pl.run_scoped(
-        body, abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32)
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
-)
-def conv_stencil_bwd_self(
-    row_flat: jax.Array,  # (S*R,) int32
-    dz: jax.Array,  # (S,) int32
-    coord_t: jax.Array,  # (B, 4, C)
-    mask: jax.Array,  # (B, 1, C)
-    a_gmajor: jax.Array,  # (B, C, G*F)
-    gbar: jax.Array,  # (B, 4C, G*F)
-    shift_cart: jax.Array,  # (S, R, T, 4)
-    shifts_g: jax.Array,
-    scal: jax.Array,
-    r_tot: int,
-    t_row: int,
-    c: int,
-    g: int,
-    f: int,
-    gamma: int = 8,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (grad_coord_self (B, 4, C), grad_shift (S, R, T, 4))."""
-    s_tot = shift_cart.shape[0]
-    b_tot = r_tot * t_row
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(r_tot, s_tot),
-        in_specs=[
-            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-            pl.BlockSpec((t_row, c, g * f), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-            pl.BlockSpec((t_row, 4 * c, g * f), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
-            pl.BlockSpec((1, g), lambda r, s, rt, dzt: (0, 0)),
-            pl.BlockSpec((1, 4), lambda r, s, rt, dzt: (0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
-        ),
-    )
-    kernel = functools.partial(
-        _bwd_self_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b_tot, 4, c), jnp.float32),
-            jax.ShapeDtypeStruct((s_tot, r_tot, t_row, 4), jnp.float32),
-        ),
-    )(
-        row_flat,
-        dz,
-        coord_t,
-        coord_t,
-        mask,
-        mask,
-        a_gmajor,
-        gbar,
-        shift_cart,
         shifts_g,
         scal,
     )

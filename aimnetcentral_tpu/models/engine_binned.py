@@ -185,9 +185,10 @@ def pair_energy_binned(
     cutoff: float,
     e_pair_fn: Callable,
     extra_blocks: dict[str, Array] | None = None,
+    layout: str = "sr",
 ) -> Array:
     """Sum a SYMMETRIC pair term over all pairs within ``cutoff``: returns
-    per-atom (ordered-pair-convention) sums (L,).
+    per-atom (ordered-pair-convention) sums (L,) in the SR slot layout.
 
     ``e_pair_fn(d, valid_pair, self_b, cand_b)`` must be symmetric under
     i<->j (true for every physics term here: Coulomb, dispersion, repulsion,
@@ -195,15 +196,28 @@ def pair_energy_binned(
     computed once and its value accumulated to both endpoints (the mirror
     side lands via a bin-granular scatter back to the candidate bin) —
     half the pair math of a full sweep.
+
+    ``layout="lr"`` runs the sweep on the coarse long-range twin layout
+    (``system.lr_bins``/``lr_slot``) when attached: one gather into LR slot
+    order, the sweep on the radius-2 coarse stencil, one scatter-add back to
+    SR order (empty LR slots point at SR padding, contributing zero).  Falls
+    back to the SR grid when no LR layout is attached.
     """
     grid = system.bins
     assert grid is not None
+    lr_slot = None
+    if layout == "lr" and system.lr_bins is not None:
+        grid = system.lr_bins
+        lr_slot = system.lr_slot
     cell0 = system.cell[0] if system.cell is not None else None
     radius = stencil_radius(cutoff, grid, cell0)
 
     blocks = {"coord": system.coord, "numbers": system.numbers}
     if extra_blocks:
         blocks.update(extra_blocks)
+    n_sr = system.coord.shape[0]
+    if lr_slot is not None:
+        blocks = {k: jnp.take(v, lr_slot, axis=0) for k, v in blocks.items()}
 
     b_tot, c = grid.total_bins, grid.capacity
     self_blocks = {k: v.reshape((b_tot, c) + v.shape[1:]) for k, v in blocks.items()}
@@ -246,7 +260,14 @@ def pair_energy_binned(
         return inner(acc, step), None
 
     acc, _ = jax.lax.scan(body, acc0, (nbr, wraps, is_zero))
-    return acc.reshape(-1)
+    acc = acc.reshape(-1)
+    if lr_slot is not None:
+        # back to SR slot order via the prebuilt inverse map — a GATHER
+        # (sentinel row appended for SR padding slots absent from the LR
+        # layout; real atoms map bijectively)
+        acc_ext = jnp.concatenate([acc, jnp.zeros((1,), acc.dtype)])
+        acc = jnp.take(acc_ext, system.lr_inv, axis=0)
+    return acc
 
 
 def coulomb_sr_binned(system: System, q: Array, rc, envelope: str) -> Array:
@@ -311,7 +332,7 @@ def coulomb_dsf_binned(
             e_pair = e_pair - fc / d
         return qq * e_pair
 
-    e_i = pair_energy_binned(system, dsf_rc, e_fn, {"q": q})
+    e_i = pair_energy_binned(system, dsf_rc, e_fn, {"q": q}, layout="lr")
     e = FACTOR * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
     self_coeff = -(shift_val / 2.0 + alpha / math.sqrt(math.pi))
@@ -357,7 +378,7 @@ def ewald_real_binned(
         qq = self_b["q"][..., :, None] * cand_b["q"][..., None, :]
         return qq * jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta)) / d
 
-    e_i = pair_energy_binned(system, r_cutoff_static, e_fn, {"q": q})
+    e_i = pair_energy_binned(system, r_cutoff_static, e_fn, {"q": q}, layout="lr")
     return 0.5 * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
 
@@ -366,10 +387,11 @@ def pair_sum_binned(
     cutoff: float,
     e_pair_fn: Callable,
     extra_blocks: dict[str, Array] | None = None,
+    layout: str = "sr",
 ) -> Array:
     """Alias of :func:`pair_energy_binned` for non-energy per-atom pair sums
     (coordination numbers etc.)."""
-    return pair_energy_binned(system, cutoff, e_pair_fn, extra_blocks)
+    return pair_energy_binned(system, cutoff, e_pair_fn, extra_blocks, layout)
 
 
 def dftd3_binned(
@@ -407,9 +429,14 @@ def dftd3_binned(
         zmap[zz] = i
     spec_idx = jnp.asarray(zmap)[z]  # (L,)
 
+    # the D3 reference tables are fixed physical constants; the factorized
+    # (nref, cnref, M) structure is built HOST-side from the canonical
+    # constant copies — ``tables`` entries may be jit tracers (they ride in
+    # the param pytree), which must never feed host numpy control flow
     species_arr = np.asarray(species)
-    c6_sp = tables["c6ab"][species_arr[:, None], species_arr[None, :]]  # (S,S,5,5)
-    cn_sp = tables["cn_ref"][species_arr[:, None], species_arr[None, :]]  # (S,S,5,5)
+    tables_np = constants.get_d3_tables()
+    c6_sp = tables_np["c6ab"][species_arr[:, None], species_arr[None, :]]  # (S,S,5,5)
+    cn_sp = tables_np["cn_ref"][species_arr[:, None], species_arr[None, :]]
     nz = np.asarray(c6_sp) != 0
     nref = jnp.asarray(nz.any(axis=(1, 3)).sum(axis=1).astype(np.int32))  # (S,)
     # cnref_i(z, k): read off any valid (zj, l) column
@@ -434,7 +461,7 @@ def dftd3_binned(
         rsum = self_b["rcov"][..., :, None] + cand_b["rcov"][..., None, :]
         return jax.nn.sigmoid(16.0 * (rsum / jnp.clip(d * bohr_inv, 1e-12, None) - 1.0))
 
-    cn = pair_sum_binned(system, smoothing_off, cn_fn, {"rcov": rcov_at})
+    cn = pair_sum_binned(system, smoothing_off, cn_fn, {"rcov": rcov_at}, layout="lr")
 
     # --- per-atom factorized weights
     k_ids = jnp.arange(5, dtype=jnp.int32)
@@ -470,7 +497,8 @@ def dftd3_binned(
         return -c6 * damping * switch
 
     e_i = pair_energy_binned(
-        system, smoothing_off, e_fn, {"p": p_vec, "r": r_vec, "rr": r4r2_at}
+        system, smoothing_off, e_fn, {"p": p_vec, "r": r_vec, "rr": r4r2_at},
+        layout="lr",
     )
     return constants.half_Hartree * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
@@ -505,5 +533,7 @@ def d3ts_binned(
             s6 / (d_b**6 + r0**6) + s8 * rr / (d_b**8 + r0**8)
         )
 
-    e_i = pair_energy_binned(system, cutoff, e_fn, {"dp": disp_param, "rr": rr_at})
+    e_i = pair_energy_binned(
+        system, cutoff, e_fn, {"dp": disp_param, "rr": rr_at}, layout="lr"
+    )
     return constants.half_Hartree * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)

@@ -80,10 +80,36 @@ def plan_bins(
         vol = float(np.prod(span))
     total = nbins[0] * nbins[1] * nbins[2]
     per_bin = n_atoms / total
-    capacity = max(4, int(math.ceil(per_bin * safety / 4)) * 4)
+    # capacity covers a relative safety factor AND a fluctuation tail
+    # (mean + 3.5 sqrt(mean) + 2 — measured: a 300 K liquid at mean 19.5
+    # atoms/bin reaches max occupancies of ~33-35, i.e. ~3σ excursions are
+    # routine over thousands of rebuilds); rarer excursions are handled by
+    # the graceful capacity regrow at chunk boundaries.  Rounded UP to a
+    # multiple of 8: pair blocks are (C, C)/(C, gamma*C) f32 tiles of
+    # (8, 128), so off-8 capacities pay whole phantom sublane rows (C=36
+    # costs exactly as much as C=40) — 8 is the capacity granularity on TPU.
+    need = max(per_bin * safety, per_bin + 3.5 * math.sqrt(per_bin) + 2.0)
+    capacity = max(8, int(math.ceil(need / 8)) * 8)
     return BinGrid(
         nbins=nbins, capacity=capacity, edge_hint=edge, periodic=cell is not None
     )
+
+
+def plan_lr_bins(
+    cell: np.ndarray | None,
+    n_atoms: int,
+    lr_cutoff: float,
+    extent: tuple[np.ndarray, np.ndarray] | None = None,
+    safety: float = 1.6,
+    margin: float = 0.0,
+) -> BinGrid:
+    """Coarse grid for long-range sweeps: bin edge ~ (cutoff+margin)/2 keeps
+    the stencil at radius 2 (125 offsets) while the ~4x larger average bin
+    occupancy shrinks the relative capacity slack — together roughly halving
+    LR pair-slot work vs sweeping the fine SR grid at radius 3+."""
+    edge = max((lr_cutoff + margin) / 2.0, 1e-3)
+    grid = plan_bins(cell, n_atoms, edge, extent=extent, safety=safety)
+    return dataclasses.replace(grid, margin=margin)
 
 
 def stencil_offsets(radius: int) -> np.ndarray:
@@ -266,13 +292,19 @@ def stencil_map(
     return acc
 
 
-def to_binned_system(system, grid: BinGrid):
+def to_binned_system(system, grid: BinGrid, lr_grid: BinGrid | None = None):
     """Convert a compact flat System into the slot-padded binned layout.
 
     Returns ``(binned_system, perm, overflow)``; ``perm`` maps slots to
     compact rows (for scattering results back).  Coordinates are wrapped
     into the cell (gradients flow through unchanged: the wrap is a
     piecewise-constant shift).  Single shared cell only.
+
+    ``lr_grid`` additionally attaches the coarse long-range twin layout
+    (``lr_bins``/``lr_slot``, consumed by engine_binned.pair_energy_binned
+    with ``layout="lr"``); its bin-capacity overflow is folded into the
+    returned ``overflow`` count.  Any stale LR layout is dropped when
+    ``lr_grid`` is None (SR slots are re-permuted here, invalidating it).
     """
     cell0 = None
     if system.cell is not None:
@@ -294,8 +326,33 @@ def to_binned_system(system, grid: BinGrid):
         nbmat_dftd3=None,
         shifts_dftd3=None,
         bins=grid,
+        lr_bins=None,
+        lr_slot=None,
     )
+    if lr_grid is not None:
+        lr_perm, _lr_wrap, lr_ovf = bin_atoms(
+            binned.coord, binned.numbers, lr_grid, cell0
+        )
+        binned = binned.replace(
+            lr_bins=lr_grid,
+            lr_slot=lr_perm,
+            lr_inv=invert_slot_map(lr_perm, binned.coord.shape[0]),
+        )
+        overflow = overflow + lr_ovf
     return binned, perm, overflow
+
+
+def invert_slot_map(lr_perm: Array, n_src: int) -> Array:
+    """Invert an (L_dst,) slot->source map: returns (n_src,) int32 giving the
+    destination slot of each source row (sentinel = L_dst for sources no
+    destination points at — only padding rows, by construction).  One
+    scatter-set per REBUILD so every per-eval reassembly can be a gather."""
+    l_dst = lr_perm.shape[0]
+    return (
+        jnp.full((n_src,), l_dst, jnp.int32)
+        .at[lr_perm]
+        .set(jnp.arange(l_dst, dtype=jnp.int32))
+    )
 
 
 def row_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:

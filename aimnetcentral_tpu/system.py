@@ -66,6 +66,19 @@ class System:
     bins: "BinGrid | None" = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Optional COARSE twin layout for long-range sweeps (DSF/D3/Ewald-real):
+    # a second grid with bin edge ~ lr_cutoff/2 (radius-2 stencil) instead of
+    # reusing the fine SR grid at radius 3+ with its ~2x slot slack squared.
+    # ``lr_slot`` maps each LR slot to its source SR slot (empty LR slots
+    # point at an SR padding slot); set by ops/binned.py::to_binned_system.
+    lr_bins: "BinGrid | None" = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    lr_slot: Array | None = None  # (lr_bins.num_slots,) int32
+    # inverse map SR slot -> LR slot (sentinel = lr num_slots for SR padding
+    # slots absent from the LR layout); built once per rebuild so per-eval
+    # reassembly is a gather, never a scatter (scatters serialize on TPU)
+    lr_inv: Array | None = None  # (num_slots,) int32
     # Static copy of the Ewald real-space cutoff (the binned engine needs a
     # host value to size its stencil radius)
     ewald_r_static: float | None = dataclasses.field(

@@ -79,10 +79,28 @@ def main() -> None:
         build_nbmat=False,
     )
 
-    md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.75)
+    # skin 0.3: the finer 9-bin grid at 10k lands on capacity 32 — exact
+    # (8,128) f32 tiles with ~4.5-sigma occupancy headroom (no mid-run
+    # regrow); on-device rebuilds cost ~3 ms, so the short skin is free
+    md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.3)
     chunk = max(10, N_STEPS // 4)
     t0 = time.time()
-    drv = MDDriver(params, cfg, system, md, ensemble=ensemble > 1)
+    # equilibration pass: the synthetic box's first steps are violent (large
+    # initial forces); density spikes there can trigger a capacity regrow
+    # that is NOT representative of steady-state throughput.  Run the
+    # transient out, then RE-PLAN the grid from equilibrated coordinates
+    # (exactly what a production MD user does) and time the steady state.
+    drv0 = MDDriver(params, cfg, system, md, ensemble=ensemble > 1)
+    drv0.run(2 * chunk, chunk=chunk)
+    # map the (possibly binned) carried state back to a compact system
+    numbers_b = np.asarray(drv0.state.system.numbers)
+    coord_b = np.asarray(drv0.state.coord)
+    real = numbers_b > 0
+    system_eq = system_from_molecules(
+        [{"coord": coord_b[real], "numbers": numbers_b[real], "cell": cell}],
+        build_nbmat=False,
+    )
+    drv = MDDriver(params, cfg, system_eq, md, ensemble=ensemble > 1)
     # warmup with the SAME chunk size as the timed run (one compile)
     drv.run(chunk, chunk=chunk)
     compile_s = time.time() - t0

@@ -37,6 +37,7 @@ def _periodic_case(rng, n=40, a=12.0):
     return sys_idx, coord, numbers, cell
 
 
+@pytest.mark.slow
 def test_binned_energy_matches_indexed(model, rng):
     params, cfg = model
     cfg = auto_switch_simple_to_dsf(cfg)
@@ -63,6 +64,7 @@ def test_binned_energy_matches_indexed(model, rng):
     np.testing.assert_allclose(q_back[:40], q_idx[:40], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_binned_forces_match_indexed(model, rng):
     params, cfg = model
     cfg = auto_switch_simple_to_dsf(cfg)
@@ -90,6 +92,7 @@ def test_binned_forces_match_indexed(model, rng):
     np.testing.assert_allclose(f_back[:30], f_idx[:30], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_binned_gas_phase(model, rng):
     params, cfg = model
     coord, numbers = random_molecule(rng, 25, spread=6.0)
@@ -129,6 +132,7 @@ def test_binned_gas_phase(model, rng):
     )
 
 
+@pytest.mark.slow
 def test_binned_dftd3_matches_indexed(reference_aimnet2, rng):
     """Factorized binned D3 vs indexed per-pair-table D3."""
     torch_model, cfg_yaml = reference_aimnet2("aimnet2_dftd3_wb97m.yaml")

@@ -100,6 +100,7 @@ def test_ewald_periodic_energy(calc, rng):
         calc.set_lrcoulomb_method("simple")
 
 
+@pytest.mark.slow
 def test_hvp_matches_dense_hessian(calc, rng):
     coord, numbers = random_molecule(rng, 5)
     data = {"coord": coord, "numbers": numbers}
@@ -125,6 +126,7 @@ def test_pme_periodic_energy_matches_ewald(calc, rng):
         calc.set_lrcoulomb_method("simple")
 
 
+@pytest.mark.slow
 def test_validation_observables_roundtrip(calc, tmp_path):
     from aimnetcentral_tpu.validation import compare_observables, dump_observables
 
@@ -137,6 +139,7 @@ def test_validation_observables_roundtrip(calc, tmp_path):
     assert "OK" in report
 
 
+@pytest.mark.slow
 def test_ensemble_calculator(reference_aimnet2, rng):
     from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
 
@@ -174,6 +177,7 @@ def test_ensemble_calculator(reference_aimnet2, rng):
     np.testing.assert_allclose(hess, np.mean(h_members, axis=0), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_hessian_splitting(calc, rng):
     c1, z1 = random_molecule(rng, 4)
     c2, z2 = random_molecule(rng, 5)
@@ -187,6 +191,7 @@ def test_batched_hessian_splitting(calc, rng):
     assert out["hessian"][1].shape == (5, 3, 5, 3)
 
 
+@pytest.mark.slow
 def test_binned_facade_matches_indexed(calc, rng):
     """Large periodic single points route through the binned engine and must
     match the indexed path (including atom-order mapping of outputs)."""

@@ -27,6 +27,7 @@ def small_model(reference_aimnet2):
     return model, cfg, params
 
 
+@pytest.mark.slow
 def test_forces_parity_vs_torch(small_model, rng):
     model, cfg, params = small_model
     coord, numbers = random_molecule(rng, 10)
@@ -51,6 +52,7 @@ def test_forces_parity_vs_torch(small_model, rng):
     )
 
 
+@pytest.mark.slow
 def test_forces_match_fd(small_model, rng):
     _, cfg, params = small_model
     coord, numbers = random_molecule(rng, 6)
@@ -78,6 +80,7 @@ def test_forces_match_fd(small_model, rng):
         assert f[i, d] == pytest.approx(fd, abs=2e-3)
 
 
+@pytest.mark.slow
 def test_hessian_symmetric_and_matches_hvp(small_model, rng):
     _, cfg, params = small_model
     coord, numbers = random_molecule(rng, 5)
@@ -97,6 +100,7 @@ def test_hessian_symmetric_and_matches_hvp(small_model, rng):
     )
 
 
+@pytest.mark.slow
 def test_stress_matches_fd_strain(small_model, rng):
     """Stress from the strain gradient must match FD of energy w.r.t. strain
     (reference tests/test_pbc.py:187 analogue)."""

@@ -29,6 +29,7 @@ def _pbc_system(rng, n=24, a=9.0):
     )
 
 
+@pytest.mark.slow
 def test_nve_energy_conservation(model, rng):
     params, cfg = model
     sys = _pbc_system(rng)
@@ -53,6 +54,7 @@ def test_nve_energy_conservation(model, rng):
     assert e1 == pytest.approx(e0, abs=0.05)  # eV drift over 40 steps
 
 
+@pytest.mark.slow
 def test_langevin_holds_temperature(model, rng):
     params, cfg = model
     sys = _pbc_system(rng, n=30)
@@ -67,6 +69,7 @@ def test_langevin_holds_temperature(model, rng):
     assert 120.0 < t_mean < 600.0  # loose: small system, large fluctuations
 
 
+@pytest.mark.slow
 def test_md_neighbor_rebuild_consistency(model, rng):
     """Forces after many steps (with rebuilds) must match a fresh calculator
     evaluation at the final geometry."""
@@ -110,6 +113,7 @@ def test_fire_relax_decreases_energy_and_forces(model, rng):
     assert info["fmax"] < 0.1 or info["steps"] == 300
 
 
+@pytest.mark.slow
 def test_ensemble_md_smoke(model, rng):
     """4-member ensemble MD (BASELINE config 4): mean-energy forces via vmap."""
     import jax

@@ -56,6 +56,7 @@ def _cluster(n=60, spread=14.0, seed=3):
     return coord, numbers
 
 
+@pytest.mark.slow
 def test_gas_phase_cluster_routes_binned_and_matches_indexed():
     """A big DSF-Coulomb cluster (no cell) must take the binned engine and
     agree with the indexed path (round-1 gap: clusters always paid the

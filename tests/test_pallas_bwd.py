@@ -112,15 +112,13 @@ def _prepared_inputs(sysb, aev, a_feat):
 
 @pytest.mark.parametrize("periodic", [True, False])
 def test_bwd_kernels_match_autodiff(periodic):
-    """Both adjoint sweeps (interpret mode) == autodiff of the XLA twin for
-    grad-a, grad-coord, and grad-shift simultaneously."""
+    """The fused mirror-sweep adjoint (interpret mode) + XLA reassembly ==
+    autodiff of the XLA twin for grad-a, grad-coord, and grad-shift
+    simultaneously."""
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu.kernels import conv_pallas as cp
-    from aimnetcentral_tpu.kernels.conv_stencil import (
-        conv_stencil_bwd_cand,
-        conv_stencil_bwd_self,
-    )
+    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_cand
 
     sysb, aev, a_feat, *_ = _make_case(periodic)
     (
@@ -146,20 +144,36 @@ def test_bwd_kernels_match_autodiff(periodic):
         r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f, gamma=st.gamma
     )
     with pltpu.force_tpu_interpret_mode():
-        da_pal, dc_cand = conv_stencil_bwd_cand(
+        da_pal, dc_cand, pgrad = conv_stencil_bwd_cand(
             tables["mrow_nbr"].reshape(-1), tables["mdz"], coord_t, mask,
             a_gmajor, gbar,
             tables["mshift_cart"].reshape(st.s_tot, st.r_tot, st.t_row, 4),
             shifts_g, scal, **kw,
         )
-        dc_self, ds4 = conv_stencil_bwd_self(
-            tables["row_nbr"].reshape(-1), tables["dz"], coord_t, mask,
-            a_gmajor, gbar,
-            shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
-            shifts_g, scal, **kw,
-        )
+    # reassembly exactly as _conv_acc_bwd does it
+    pgrad = pgrad.reshape(st.s_tot, st.r_tot, st.t_row, 4, st.c)
+    mdz = tables["mdz"]
+    t_iota = jnp.arange(st.t_row, dtype=mdz.dtype)
+    pslot = jax.lax.rem(t_iota[None, None, :] + mdz[:, None, None], st.t_row)
+    pidx = (
+        tables["mrow_nbr"].reshape(st.s_tot, st.r_tot)[:, :, None] * st.t_row
+        + pslot
+    )
+    dc_self = (
+        jnp.zeros((st.b_tot, 4, st.c))
+        .at[pidx.reshape(-1)]
+        .add(pgrad.reshape(-1, 4, st.c))
+    )
     dc_pal = dc_self + dc_cand
-    ds_pal = ds4.reshape(st.s_tot, st.b_tot, 4)
+    sflat = (
+        jnp.arange(st.s_tot, dtype=pidx.dtype)[:, None, None] * st.b_tot + pidx
+    ).reshape(-1)
+    ds_pal = (
+        jnp.zeros((st.s_tot * st.b_tot, 4))
+        .at[sflat]
+        .add(-pgrad.sum(-1).reshape(-1, 4))
+        .reshape(st.s_tot, st.b_tot, 4)
+    )
 
     np.testing.assert_allclose(
         np.asarray(da_pal), np.asarray(da_ref), atol=3e-3, rtol=1e-3

@@ -18,6 +18,7 @@ def test_mesh_construction():
     assert mesh.devices.shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_full_sharded_training_step():
     """The driver's multichip dryrun as an in-suite guard: one full sharded
     (dp) training step over 8 devices on tiny shapes."""
@@ -30,6 +31,7 @@ def test_full_sharded_training_step():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device(rng):
     """Data-parallel sharded gradients must equal single-device gradients on
     the same total batch (the all-reduce correctness check)."""

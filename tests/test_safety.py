@@ -152,6 +152,7 @@ def test_family_defaults_embedded_d3ts_skips_posthoc():
 # -- HVP uses the eval-effective config (periodic auto-DSF switch) ------------
 
 
+@pytest.mark.slow
 def test_periodic_hvp_matches_dense_hessian_on_simple_coulomb_model(rng):
     # simple-Coulomb model + periodic cell: eval auto-switches to DSF; the HVP
     # must use the SAME effective Hamiltonian (round-1 bug: raw cfg)
@@ -187,6 +188,7 @@ def test_split_lr_lists_built_when_cutoffs_diverge(rng):
     assert sys_split.nbmat_dftd3.shape[1] <= sys_split.nbmat_coulomb.shape[1]
 
 
+@pytest.mark.slow
 def test_split_lists_match_union_list_energy(rng):
     # same physics evaluated over split lists vs one union list
     params, cfg = _tiny_model(coulomb_method="dsf", d3=True, dsf_rc=12.0, d3_cutoff=6.0)

@@ -91,6 +91,7 @@ def test_sae_regression(rng):
         assert sae[z] == pytest.approx(0.1 * z, abs=0.5)
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases(rng, tmp_path):
     import jax
 
