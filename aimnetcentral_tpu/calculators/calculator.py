@@ -118,6 +118,7 @@ class AIMNet2Calculator:
         atom_bucket: int = 16,
         nb_safety: float = 1.25,
         binned_threshold: int = 1024,
+        reuse_skin: float = 0.6,
     ):
         if isinstance(model, str):
             # registry name / alias / artifact path / HF snapshot dir
@@ -170,6 +171,14 @@ class AIMNet2Calculator:
         # identity cache so repeated evals of the same numbers array skip the
         # species scan (reference aimnet/calculators/calculator.py:785-838)
         self._species_cache: tuple | None = None
+        # Verlet-style prepared-system reuse: neighbor structure (binned
+        # layout or neighbor matrices, built with +reuse_skin reach) is
+        # reused across eval calls while no atom moved more than
+        # reuse_skin/2 and the topology is unchanged — the TPU-native twin
+        # of the reference's static input caches
+        # (reference aimnet/calculators/neighbors.py:95-156)
+        self.reuse_skin = reuse_skin
+        self._prep_cache: dict | None = None
 
     # -- configuration ------------------------------------------------------
 
@@ -200,6 +209,7 @@ class AIMNet2Calculator:
             new_outputs.append((name, h))
         self.cfg = dataclasses.replace(self.cfg, outputs=tuple(new_outputs))
         self._fn_cache.clear()
+        self._prep_cache = None
 
     def set_lr_cutoff(self, cutoff: float) -> None:
         """Unified long-range neighbor-list cutoff for Coulomb + D3 sweeps
@@ -208,6 +218,7 @@ class AIMNet2Calculator:
         self._lr_cutoff_override = float(cutoff)
         self._dftd3_cutoff_override = float(cutoff)
         self._fn_cache.clear()
+        self._prep_cache = None
 
     def set_dftd3_cutoff(
         self, cutoff: float | None = None, smoothing_fraction: float | None = None
@@ -228,6 +239,7 @@ class AIMNet2Calculator:
         self.cfg = dataclasses.replace(self.cfg, outputs=tuple(new_outputs))
         self._dftd3_cutoff_override = float(cutoff)
         self._fn_cache.clear()
+        self._prep_cache = None
 
     # -- input validation -----------------------------------------------------
 
@@ -278,6 +290,77 @@ class AIMNet2Calculator:
             return self.cfg
         return auto_switch_simple_to_dsf(self.cfg)
 
+
+    # -- Verlet-style prepared-system reuse ---------------------------------
+
+    @staticmethod
+    def _prep_key(mols: list[dict], allow_binned: bool) -> tuple:
+        parts = []
+        for m in mols:
+            parts.append(
+                (
+                    np.asarray(m["numbers"]).tobytes(),
+                    float(m.get("charge", 0.0)),
+                    None if m.get("mult") is None else float(m["mult"]),
+                    None if m.get("cell") is None else np.asarray(m["cell"]).tobytes(),
+                )
+            )
+        return (allow_binned, tuple(parts))
+
+    def _store_prep(
+        self,
+        mols: list[dict],
+        allow_binned: bool,
+        system: System,
+        kind: str,
+        n_pad: int,
+        perm: np.ndarray | None = None,
+        wrap: np.ndarray | None = None,
+        cell: np.ndarray | None = None,
+    ) -> None:
+        if self.reuse_skin <= 0:
+            return
+        self._prep_cache = {
+            "key": self._prep_key(mols, allow_binned),
+            "kind": kind,
+            "system": system,
+            "ref": np.concatenate(
+                [np.asarray(m["coord"], np.float32) for m in mols]
+            ),
+            "n_pad": n_pad,
+            "perm": perm,
+            "wrap": wrap,
+            "cell": cell,
+        }
+
+    def _reuse_prepared(self, mols: list[dict], allow_binned: bool) -> System | None:
+        """Reuse the cached neighbor structure while the topology is
+        unchanged and no atom moved more than reuse_skin/2 since the build
+        (lists/layouts are built with +reuse_skin reach, so the result is
+        EXACT — the engines mask every term at its physical cutoff)."""
+        c = self._prep_cache
+        if c is None or self.reuse_skin <= 0:
+            return None
+        if c["key"] != self._prep_key(mols, allow_binned):
+            return None
+        new = np.concatenate([np.asarray(m["coord"], np.float32) for m in mols])
+        if new.shape != c["ref"].shape:
+            return None
+        if np.abs(new - c["ref"]).max() > 0.5 * self.reuse_skin:
+            return None
+        compact = np.ones((c["n_pad"], 3), np.float32)
+        compact[: len(new)] = new
+        if c["kind"] == "binned":
+            if c["wrap"] is not None:
+                # the wrap CACHED at build time keeps coordinates continuous
+                # for atoms that crossed the box boundary since (their bin
+                # assignment is stale by < skin, covered by the grid margin)
+                compact = compact - c["wrap"] @ c["cell"]
+            self._last_perm = c["perm"]
+            return c["system"].replace(coord=jnp.asarray(compact[c["perm"]]))
+        self._last_perm = None
+        return c["system"].replace(coord=jnp.asarray(compact))
+
     # -- evaluation ---------------------------------------------------------
 
     def prepare_system(
@@ -286,6 +369,9 @@ class AIMNet2Calculator:
         from aimnetcentral_tpu.models.ewald import attach_ewald, estimate_ewald_parameters
 
         mols = _as_molecules(data)
+        reused = self._reuse_prepared(mols, allow_binned)
+        if reused is not None:
+            return reused
         n_real = sum(len(m["numbers"]) for m in mols)
         n_pad = _round_up(n_real + 1, self.atom_bucket)
         has_cell = any("cell" in m for m in mols)
@@ -336,15 +422,23 @@ class AIMNet2Calculator:
                 lr_cuts.append(self._dftd3_cutoff_override or d3h.cutoff)
             lr_cut = max(lr_cuts) if lr_cuts else None
 
+            import dataclasses as _dc
+
             safety = 1.5
             lr_safety = 1.5
+            skin = max(self.reuse_skin, 0.0)
             while True:
-                grid = B.plan_bins(
-                    cell_np, n_real, self.cutoff, extent=extent, safety=safety
+                grid = _dc.replace(
+                    B.plan_bins(
+                        cell_np, n_real, self.cutoff + skin, extent=extent,
+                        safety=safety,
+                    ),
+                    margin=skin,
                 )
                 lr_grid = (
                     B.plan_lr_bins(
-                        cell_np, n_real, lr_cut, extent=extent, safety=lr_safety
+                        cell_np, n_real, lr_cut, extent=extent,
+                        safety=lr_safety, margin=skin,
                     )
                     if lr_cut is not None
                     else None
@@ -363,6 +457,17 @@ class AIMNet2Calculator:
                 sysb = attach_ewald(
                     sysb, h_eff.ewald_accuracy, pme=h_eff.method == "pme"
                 )
+            wrap_np = None
+            if cell_np is not None:
+                compact0 = np.ones((n_pad, 3), np.float32)
+                compact0[:n_real] = np.asarray(mols[0]["coord"], np.float32)
+                wrap_np = np.floor(
+                    compact0 @ np.linalg.inv(cell_np)
+                ).astype(np.float32)
+            self._store_prep(
+                mols, allow_binned, sysb, "binned", n_pad,
+                perm=self._last_perm, wrap=wrap_np, cell=cell_np,
+            )
             return sysb
 
         cutoff = self.cutoff if (has_cell or n_real > 2048) else None
@@ -414,18 +519,20 @@ class AIMNet2Calculator:
             elif d3_cut is not None or coul_cut is not None:
                 lr_cutoff = max(c for c in (d3_cut, coul_cut) if c is not None)
 
+        skin = max(self.reuse_skin, 0.0)
         system = system_from_molecules(
             mols,
-            cutoff=cutoff,
-            lr_cutoff=lr_cutoff,
-            coulomb_cutoff=coulomb_cutoff,
-            dftd3_cutoff=dftd3_cutoff,
+            cutoff=None if cutoff is None else cutoff + skin,
+            lr_cutoff=None if lr_cutoff is None else lr_cutoff + skin,
+            coulomb_cutoff=None if coulomb_cutoff is None else coulomb_cutoff + skin,
+            dftd3_cutoff=None if dftd3_cutoff is None else dftd3_cutoff + skin,
             n_pad=n_pad,
         )
         if ewald_acc is not None:
             system = attach_ewald(
                 system, ewald_acc, pme=(h_eff is not None and h_eff.method == "pme")
             )
+        self._store_prep(mols, allow_binned, system, "indexed", n_pad)
         return system
 
     def _get_fn(self, cfg: AIMNet2Config, forces: bool, stress: bool, hessian: bool):

@@ -51,6 +51,12 @@ class MDConfig:
     berendsen_tau_fs: float = 100.0
     skin: float = 1.0  # Verlet skin (Angstrom)
     lr_skin: float = 1.0  # indexed engine only
+    # NPT (isotropic Berendsen barostat; binned engine, DSF/D3 models):
+    # cell and coordinates rescale toward the target pressure each step
+    barostat: str | None = None  # None | "berendsen"
+    pressure_eV_A3: float = 0.0  # target pressure (1 GPa = 6.2415e-3 eV/A^3)
+    barostat_tau_fs: float = 1000.0
+    compressibility_eV_A3: float = 73.2  # ~water (4.57e-5 / bar)
 
 
 @jax.tree_util.register_dataclass
@@ -249,6 +255,26 @@ class MDDriver:
         (_, e), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
         return -g, e
 
+    def _force_virial_fn(
+        self, params: Any, system: System
+    ) -> tuple[Array, Array, Array]:
+        """Forces + potential + the strain-derivative trace tr(dE/dS)
+        (row-vector convention coord @ (1+S), cell @ (1+S) — same as
+        calculators/derivatives.py) for barostat coupling."""
+
+        def etot(coord, cell):
+            e = self._energy(params, system.replace(coord=coord, cell=cell))
+            return e.sum(), e
+
+        (_, e), (g_c, g_cell) = jax.value_and_grad(
+            etot, argnums=(0, 1), has_aux=True
+        )(system.coord, system.cell)
+        real = (system.numbers > 0)[:, None]
+        tr_w = jnp.sum(jnp.where(real, system.coord * g_c, 0.0)) + jnp.einsum(
+            "mab,mab->", system.cell, g_cell
+        )
+        return -g_c, e, tr_w
+
     # -- one MD step --------------------------------------------------------
 
     def _step(self, state: MDState, _unused) -> tuple[MDState, dict]:
@@ -327,7 +353,10 @@ class MDDriver:
 
         m = masses[:, None]
         real = (system.numbers > 0)[:, None]
-        forces2, epot = self._force_fn(self.params, system)
+        if md.barostat == "berendsen":
+            forces2, epot, tr_w = self._force_virial_fn(self.params, system)
+        else:
+            forces2, epot = self._force_fn(self.params, system)
         acc2 = jnp.where(real, forces2 / m, 0.0)
         veloc = v_half2 + 0.5 * dt * acc2
 
@@ -349,6 +378,28 @@ class MDDriver:
             )
             veloc = jnp.where(real, veloc * lam, 0.0)
 
+        obs = {
+            "epot": epot.sum(),
+            "temperature": kinetic_temperature(veloc, masses, system.numbers),
+        }
+        if md.barostat == "berendsen":
+            # instantaneous pressure P = (2 KE - tr(dE/dS)) / (3 V), then the
+            # Berendsen volume rescale mu^3 = 1 - beta (dt/tau) (P0 - P);
+            # fractional coordinates are preserved (coord and cell scale
+            # together), so the binned layout stays valid within the skin
+            two_ke = jnp.sum(jnp.where(real, m * veloc**2, 0.0))
+            volume = jnp.abs(jnp.linalg.det(system.cell[0]))
+            pressure = (two_ke - tr_w) / (3.0 * volume)
+            mu3 = 1.0 - (
+                md.compressibility_eV_A3 * md.dt_fs / md.barostat_tau_fs
+            ) * (md.pressure_eV_A3 - pressure)
+            mu = jnp.clip(mu3, 0.97, 1.03) ** (1.0 / 3.0)
+            coord = coord * mu
+            ref_coord = ref_coord * mu
+            system = system.replace(coord=coord, cell=system.cell * mu)
+            obs["pressure"] = pressure
+            obs["volume"] = volume
+
         new_state = MDState(
             coord=coord,
             veloc=veloc,
@@ -360,10 +411,6 @@ class MDDriver:
             overflow=state.overflow + ovf,
             epot=epot,
         )
-        obs = {
-            "epot": epot.sum(),
-            "temperature": kinetic_temperature(veloc, masses, system.numbers),
-        }
         return new_state, obs
 
     # -- host API -----------------------------------------------------------

@@ -135,3 +135,23 @@ def test_ensemble_md_smoke(model, rng):
     o_e = drv_e.run(10, chunk=10)
     o_s = drv_s.run(10, chunk=10)
     np.testing.assert_allclose(o_e["epot"], o_s["epot"], atol=1e-3)
+
+
+@pytest.mark.slow
+def test_npt_berendsen_compresses_toward_target_pressure(model, rng):
+    """Isotropic Berendsen barostat: a high target pressure must shrink the
+    box; volume/pressure observables stream out; energies stay finite."""
+    params, cfg = model
+    sys = _pbc_system(rng)
+    md = MDConfig(
+        temperature_K=300.0,
+        barostat="berendsen",
+        pressure_eV_A3=0.05,
+        barostat_tau_fs=50.0,
+    )
+    drv = MDDriver(params, cfg, sys, md, engine="binned")
+    obs = drv.run(16, chunk=8)
+    assert "volume" in obs and "pressure" in obs
+    assert obs["volume"][-1] < obs["volume"][0]
+    assert np.isfinite(obs["epot"]).all()
+    assert np.isfinite(obs["pressure"]).all()
