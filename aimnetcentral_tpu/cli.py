@@ -18,6 +18,9 @@ import numpy as np
 @click.group()
 def cli() -> None:
     """aimnetcentral_tpu — TPU-native AIMNet2 machine-learned potentials."""
+    from aimnetcentral_tpu.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
 
 def _load_calc(model: str):

@@ -55,6 +55,10 @@ def build_box(n_atoms: int, density: float = 0.09, seed: int = 0):
 def main() -> None:
     import jax
 
+    from aimnetcentral_tpu.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from aimnetcentral_tpu.builders import system_from_molecules
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
     from __graft_entry__ import _flagship
