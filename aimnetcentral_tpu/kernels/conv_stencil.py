@@ -158,22 +158,27 @@ def _block_sum(x, gamma, c):
 
 def _fill_w(w_scratch, gs_all, u_tiled, c):
     """Fill the (4C, gamma*C) pair-weight scratch: rows [gs; gs*u_x; gs*u_y;
-    gs*u_z], each a full-lane (C, gamma*C) store."""
-    w_scratch[0:c, :] = gs_all
+    gs*u_z], each a full-lane (C, gamma*C) store.  The scratch may be
+    bfloat16 (precision="bf16"): pair weights are formed in f32 on the VPU
+    and downcast once at the store — the MXU then runs bf16 x bf16 with f32
+    accumulation (preferred_element_type)."""
+    dt = w_scratch.dtype
+    w_scratch[0:c, :] = gs_all.astype(dt)
     for k in range(3):
-        w_scratch[(k + 1) * c : (k + 2) * c, :] = gs_all * u_tiled[k]
+        w_scratch[(k + 1) * c : (k + 2) * c, :] = (gs_all * u_tiled[k]).astype(dt)
 
 
 def _fill_abig(abig_scratch, a_row_ref, tc, gi, gamma, c, f):
     """Fill the (gamma*C, gamma*F) block-diagonal candidate matrix for group
     ``gi`` from candidate bin slot ``tc`` (dynamic index into the row)."""
+    dt = abig_scratch.dtype
     abig_scratch[...] = jnp.zeros_like(abig_scratch)
     a_t = a_row_ref[pl.ds(tc, 1)][0]  # (C, G*F)
     for g2 in range(gamma):
         g_abs = gi * gamma + g2
         abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = a_t[
             :, g_abs * f : (g_abs + 1) * f
-        ]
+        ].astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +206,7 @@ def _fwd_kernel(
     g: int,
     f: int,
     gamma: int,
+    mxu_dtype=jnp.float32,
 ):
     s = pl.program_id(1)
 
@@ -244,13 +250,21 @@ def _fwd_kernel(
 
     pl.run_scoped(
         body,
-        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
+        w_scratch=pltpu.VMEM((4 * c, gamma * c), mxu_dtype),
+        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), mxu_dtype),
     )
 
 
+def _mxu_dtype(precision: str):
+    if precision == "bf16":
+        return jnp.bfloat16
+    if precision != "f32":
+        raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
+    return jnp.float32
+
+
 @functools.partial(
-    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
+    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma", "precision")
 )
 def conv_stencil_forward(
     row_flat: jax.Array,  # (S*R,) int32
@@ -267,6 +281,7 @@ def conv_stencil_forward(
     g: int,
     f: int,
     gamma: int = 8,
+    precision: str = "f32",
 ) -> jax.Array:
     s_tot = shift_cart.shape[0]
     b_tot = r_tot * t_row
@@ -290,7 +305,8 @@ def conv_stencil_forward(
     )
 
     kernel = functools.partial(
-        _fwd_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
+        _fwd_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma,
+        mxu_dtype=_mxu_dtype(precision),
     )
     return pl.pallas_call(
         kernel,
@@ -348,6 +364,7 @@ def _bwd_cand_kernel(
     g: int,
     f: int,
     gamma: int,
+    mxu_dtype=jnp.float32,
 ):
     """For every forward pair (i in partner bin, j in this row's bin),
     accumulate W^T @ gbar into grad_a and the j-side coordinate cotangent —
@@ -389,11 +406,11 @@ def _bwd_cand_kernel(
                 for g2 in range(gamma):
                     g_abs = gi * gamma + g2
                     abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                        a_t[:, g_abs * f : (g_abs + 1) * f]
+                        a_t[:, g_abs * f : (g_abs + 1) * f].astype(abig_scratch.dtype)
                     )
                 gbar_grp = gbar_ref[pl.ds(tp, 1)][
                     0, :, gi * gamma * f : (gi + 1) * gamma * f
-                ]
+                ].astype(abig_scratch.dtype)
                 # weight cotangent: Wbar = gbar @ Abig^T : (4C, gamma*C)
                 wbar = jax.lax.dot_general(
                     gbar_grp,
@@ -434,13 +451,13 @@ def _bwd_cand_kernel(
 
     pl.run_scoped(
         body,
-        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
+        w_scratch=pltpu.VMEM((4 * c, gamma * c), mxu_dtype),
+        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), mxu_dtype),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma")
+    jax.jit, static_argnames=("r_tot", "t_row", "c", "g", "f", "gamma", "precision")
 )
 def conv_stencil_bwd_cand(
     mrow_flat: jax.Array,  # (S*R,) int32
@@ -458,6 +475,7 @@ def conv_stencil_bwd_cand(
     g: int,
     f: int,
     gamma: int = 8,
+    precision: str = "f32",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (grad_a (B, C, G*F), grad_coord_cand (B, 4, C),
     pgrad (S*R, T*4, C)) — reshaped to (S, R, T, 4, C), ``pgrad[s, r, t]``
@@ -490,7 +508,8 @@ def conv_stencil_bwd_cand(
         ),
     )
     kernel = functools.partial(
-        _bwd_cand_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma
+        _bwd_cand_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma,
+        mxu_dtype=_mxu_dtype(precision),
     )
     return pl.pallas_call(
         kernel,

@@ -130,6 +130,7 @@ def main() -> None:
         "steps": N_STEPS,
         "compile_s": round(compile_s, 1),
         "conv_engine": os.environ.get("AIMNET_CONV_ENGINE", "auto"),
+        "conv_precision": os.environ.get("AIMNET_CONV_PRECISION", "f32"),
         "device": str(jax.devices()[0]),
         "ns_per_day": round(steps_per_sec * 0.5e-6 * 86400, 4),
     }

@@ -100,5 +100,52 @@ def test_custom_vjp_gradients(case):
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=5e-3)
 
 
+def test_bf16_precision_option(case, monkeypatch):
+    """AIMNET_CONV_PRECISION=bf16 runs the MXU in bfloat16 (f32 accumulate):
+    outputs and gradients must track the f32 kernel to bf16-roundoff
+    tolerance, and the flag must reject unknown values."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sysb, aev, a_feat, q, agh_a, agh_q = case
+    from aimnetcentral_tpu.kernels.conv_pallas import conv_pass_pallas
+
+    def loss(coord):
+        out_a, out_q = conv_pass_pallas(
+            sysb.replace(coord=coord), aev, a_feat, q, agh_a, agh_q, rc_static=5.0
+        )
+        return (out_a**2).sum() + (out_q**2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        f32_a, f32_q = conv_pass_pallas(
+            sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0
+        )
+        g_f32 = jax.grad(loss)(sysb.coord)
+        monkeypatch.setenv("AIMNET_CONV_PRECISION", "bf16")
+        bf_a, bf_q = conv_pass_pallas(
+            sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0
+        )
+        g_bf = jax.grad(loss)(sysb.coord)
+
+    # bf16 mantissa is 8 bits: ~4e-3 relative per product, partially
+    # cancelling over the pair sum.  Scale-aware tolerance.
+    scale_a = float(np.abs(np.asarray(f32_a)).max())
+    np.testing.assert_allclose(
+        np.asarray(bf_a), np.asarray(f32_a), atol=2e-2 * scale_a
+    )
+    scale_q = float(np.abs(np.asarray(f32_q)).max())
+    np.testing.assert_allclose(
+        np.asarray(bf_q), np.asarray(f32_q), atol=2e-2 * scale_q
+    )
+    scale_g = float(np.abs(np.asarray(g_f32)).max())
+    np.testing.assert_allclose(
+        np.asarray(g_bf), np.asarray(g_f32), atol=3e-2 * scale_g
+    )
+
+    monkeypatch.setenv("AIMNET_CONV_PRECISION", "f16")
+    with pytest.raises(ValueError, match="precision"):
+        with pltpu.force_tpu_interpret_mode():
+            conv_pass_pallas(sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0)
+
+
 # The adjoint kernels are covered in tests/test_pallas_bwd.py (row-tiled
 # sweeps vs autodiff of the XLA twin, periodic + gas-phase, full custom_vjp).
