@@ -158,27 +158,25 @@ def _block_sum(x, gamma, c):
 
 def _fill_w(w_scratch, gs_all, u_tiled, c):
     """Fill the (4C, gamma*C) pair-weight scratch: rows [gs; gs*u_x; gs*u_y;
-    gs*u_z], each a full-lane (C, gamma*C) store.  The scratch may be
-    bfloat16 (precision="bf16"): pair weights are formed in f32 on the VPU
-    and downcast once at the store — the MXU then runs bf16 x bf16 with f32
-    accumulation (preferred_element_type)."""
-    dt = w_scratch.dtype
-    w_scratch[0:c, :] = gs_all.astype(dt)
+    gs*u_z], each a full-lane (C, gamma*C) store.  Scratch stays f32;
+    precision="bf16" downcasts at the dot_general inputs instead (the MXU
+    runs bf16 x bf16 with f32 accumulation via preferred_element_type —
+    bf16 VMEM scratch mis-lowered on real hardware)."""
+    w_scratch[0:c, :] = gs_all
     for k in range(3):
-        w_scratch[(k + 1) * c : (k + 2) * c, :] = (gs_all * u_tiled[k]).astype(dt)
+        w_scratch[(k + 1) * c : (k + 2) * c, :] = gs_all * u_tiled[k]
 
 
 def _fill_abig(abig_scratch, a_row_ref, tc, gi, gamma, c, f):
     """Fill the (gamma*C, gamma*F) block-diagonal candidate matrix for group
     ``gi`` from candidate bin slot ``tc`` (dynamic index into the row)."""
-    dt = abig_scratch.dtype
     abig_scratch[...] = jnp.zeros_like(abig_scratch)
     a_t = a_row_ref[pl.ds(tc, 1)][0]  # (C, G*F)
     for g2 in range(gamma):
         g_abs = gi * gamma + g2
         abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = a_t[
             :, g_abs * f : (g_abs + 1) * f
-        ].astype(dt)
+        ]
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +239,8 @@ def _fwd_kernel(
                 gs_all, _ = _gs_tiled(d, fc, None, sg_rows[gi], eta, gamma, False)
                 _fill_w(w_scratch, gs_all, u_tiled, c)
                 contrib = jax.lax.dot_general(
-                    w_scratch[...],
-                    abig_scratch[...],
+                    w_scratch[...].astype(mxu_dtype),
+                    abig_scratch[...].astype(mxu_dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (4C, gamma*F)
@@ -250,8 +248,8 @@ def _fwd_kernel(
 
     pl.run_scoped(
         body,
-        w_scratch=pltpu.VMEM((4 * c, gamma * c), mxu_dtype),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), mxu_dtype),
+        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
+        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
     )
 
 
@@ -406,15 +404,15 @@ def _bwd_cand_kernel(
                 for g2 in range(gamma):
                     g_abs = gi * gamma + g2
                     abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                        a_t[:, g_abs * f : (g_abs + 1) * f].astype(abig_scratch.dtype)
+                        a_t[:, g_abs * f : (g_abs + 1) * f]
                     )
                 gbar_grp = gbar_ref[pl.ds(tp, 1)][
                     0, :, gi * gamma * f : (gi + 1) * gamma * f
-                ].astype(abig_scratch.dtype)
+                ].astype(mxu_dtype)
                 # weight cotangent: Wbar = gbar @ Abig^T : (4C, gamma*C)
                 wbar = jax.lax.dot_general(
                     gbar_grp,
-                    abig_scratch[...],
+                    abig_scratch[...].astype(mxu_dtype),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -427,7 +425,7 @@ def _bwd_cand_kernel(
                 )
                 # feature adjoint: grad_abig = W^T @ gbar_group
                 grad_abig = jax.lax.dot_general(
-                    w_scratch[...],
+                    w_scratch[...].astype(mxu_dtype),
                     gbar_grp,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -451,8 +449,8 @@ def _bwd_cand_kernel(
 
     pl.run_scoped(
         body,
-        w_scratch=pltpu.VMEM((4 * c, gamma * c), mxu_dtype),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), mxu_dtype),
+        w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
+        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
     )
 
 

@@ -19,6 +19,7 @@ import numpy as np
 
 from aimnetcentral_tpu import constants
 from aimnetcentral_tpu.ops import binned as B
+from aimnetcentral_tpu.ops import math as aops
 from aimnetcentral_tpu.ops import nb as nbops
 from aimnetcentral_tpu.system import System
 
@@ -186,6 +187,7 @@ def pair_energy_binned(
     e_pair_fn: Callable,
     extra_blocks: dict[str, Array] | None = None,
     layout: str = "sr",
+    allow_pallas: bool = True,
 ) -> Array:
     """Sum a SYMMETRIC pair term over all pairs within ``cutoff``: returns
     per-atom (ordered-pair-convention) sums (L,) in the SR slot layout.
@@ -202,7 +204,30 @@ def pair_energy_binned(
     order, the sweep on the radius-2 coarse stencil, one scatter-add back to
     SR order (empty LR slots point at SR padding, contributing zero).  Falls
     back to the SR grid when no LR layout is attached.
+
+    ``AIMNET_PAIR_ENGINE=pallas`` routes the sweep to the fused Pallas
+    kernel (kernels/pair_sweep.py: VMEM-resident pair tiles, fused resident
+    adjoints).  EXPERIMENTAL: interpret-mode parity is test-gated
+    (tests/test_pair_sweep.py) but the per-bin tile variant is
+    dispatch-bound on real hardware (S x R tiny-tile programs) — the
+    default stays on the XLA scan until the z-fused row-tile variant lands.
+    ``allow_pallas=False`` pins the XLA path for e_pair_fns that close over
+    traced values (the Pallas kernel traces e_pair_fn in-kernel and can only
+    capture host constants).
     """
+    import os
+
+    engine = os.environ.get("AIMNET_PAIR_ENGINE", "xla")
+    if allow_pallas and engine == "pallas":
+        from aimnetcentral_tpu.kernels.pair_sweep import (
+            pair_energy_pallas,
+            pair_sweep_available,
+        )
+
+        if pair_sweep_available():
+            return pair_energy_pallas(
+                system, cutoff, e_pair_fn, extra_blocks, layout
+            )
     grid = system.bins
     assert grid is not None
     lr_slot = None
@@ -312,7 +337,7 @@ def coulomb_dsf_binned(
     def e_fn(d, valid, self_b, cand_b):
         qq = self_b["q"][..., :, None] * cand_b["q"][..., None, :]
         e_pair = (
-            jax.scipy.special.erfc(alpha * d) / d
+            aops.erfc_approx(alpha * d) / d
             - shift_val
             + (d - dsf_rc) * shift_slope
         )
@@ -376,9 +401,14 @@ def ewald_real_binned(
 
     def e_fn(d, valid, self_b, cand_b):
         qq = self_b["q"][..., :, None] * cand_b["q"][..., None, :]
-        return qq * jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta)) / d
+        return qq * aops.erfc_approx(d / (math.sqrt(2.0) * eta)) / d
 
-    e_i = pair_energy_binned(system, r_cutoff_static, e_fn, {"q": q}, layout="lr")
+    # eta may be traced (per-system accuracy estimation): the Pallas kernel
+    # can only trace e_fns over host-constant closures
+    e_i = pair_energy_binned(
+        system, r_cutoff_static, e_fn, {"q": q}, layout="lr",
+        allow_pallas=isinstance(eta, (int, float)),
+    )
     return 0.5 * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
 
@@ -481,7 +511,9 @@ def dftd3_binned(
 
     def e_fn(d, valid, self_b, cand_b):
         d_b = jnp.clip(d * bohr_inv, 1e-12, None)
-        c6 = jnp.einsum("bix,bcx->bic", self_b["p"], cand_b["r"])
+        # rank-agnostic: (..., C, 5S) x (..., Cc, 5S) -> (..., C, Cc), so the
+        # same fn traces on (B, C, K) XLA blocks and (C, K) Pallas tiles
+        c6 = jnp.einsum("...ix,...cx->...ic", self_b["p"], cand_b["r"])
         rr = 3.0 * self_b["rr"][..., :, None] * cand_b["rr"][..., None, :]
         r0 = a1 * jnp.sqrt(rr) + a2
         d2 = d_b * d_b

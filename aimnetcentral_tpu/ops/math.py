@@ -118,6 +118,26 @@ def expstep(x: Array, low: float = 0.0, high: float = 1.0) -> Array:
     return jnp.exp(-1.0 / (1.0 - x * x)) / 0.36787944117144233
 
 
+def erfc_approx(x: Array) -> Array:
+    """f32-grade complementary error function for x >= 0 (Abramowitz &
+    Stegun 7.1.26, |error| < 1.5e-7).
+
+    Exists because ``jax.scipy.special.erfc`` has no Mosaic (Pallas TPU)
+    lowering; this rational form uses only exp and lowers everywhere.  Used
+    by the binned DSF/Ewald-real pair terms so the SAME term function traces
+    on XLA blocks and inside the Pallas pair-sweep kernel."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return poly * jnp.exp(-x * x)
+
+
 def coulomb_matrix_dsf(d_ij: Array, Rc: float, alpha: float, valid: Array) -> Array:
     """Damped-shifted-force Coulomb kernel matrix (reference aimnet/ops.py:148-157)."""
     _c1 = jax.scipy.special.erfc(alpha * d_ij) / d_ij
