@@ -18,6 +18,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from aimnetcentral_tpu.ops import math as aops
+
 from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config, aimnet2_apply
 from aimnetcentral_tpu.ops import nb as nbops
 from aimnetcentral_tpu.system import System
@@ -34,8 +36,8 @@ def apply_strain(system: System, scaling: Array) -> System:
     eye = jnp.eye(3, dtype=scaling.dtype)[None]
     scaling_ext = jnp.concatenate([scaling, eye], axis=0)
     atom_scaling = jnp.take(scaling_ext, system.mol_idx, axis=0)  # (N, 3, 3)
-    coord = jnp.einsum("ni,nij->nj", system.coord, atom_scaling)
-    cell = system.cell @ scaling if system.cell is not None else None
+    coord = jnp.einsum("ni,nij->nj", system.coord, atom_scaling, precision=jax.lax.Precision.HIGHEST)
+    cell = aops.cellmul(system.cell, scaling) if system.cell is not None else None
     return system.replace(coord=coord, cell=cell)
 
 
@@ -48,6 +50,7 @@ def make_eval_fn(
     sae_external: bool = True,
     extra_keys: tuple[str, ...] = (),
     conv_engine: str | None = None,
+    matmul_precision: str = "highest",
 ) -> Callable[[dict, System], dict]:
     """Build a jittable evaluation function ``f(params, system) -> outputs``.
 
@@ -55,7 +58,18 @@ def make_eval_fn(
     ``stress`` (num_mol, 3, 3), ``hessian`` (n_real, 3, n_real, 3) as
     requested, plus any model keys listed in ``extra_keys`` and always
     ``charges`` (and ``mol_element_counts`` under SAE externalization).
+
+    ``matmul_precision`` pins every matmul issued by the eval to that XLA
+    precision (default "highest" = exact f32).  This is the TPU analogue of
+    the reference pinning TF32 OFF for its validation surface
+    (reference aimnet/validation/gpu_observables.py:33-40): the MXU's
+    default bf16 passes cost ~4e-3 eV/A force noise — fine for
+    thermostatted MD (the MD driver runs at the JAX default), fatal for the
+    <1e-4 eV/A parity gate.  Override with AIMNET_MATMUL_PRECISION.
     """
+    import os
+
+    prec = os.environ.get("AIMNET_MATMUL_PRECISION", matmul_precision)
 
     keep = ("charges", "spin_charges", "dipole", "quadrupole", "mol_element_counts")
 
@@ -75,12 +89,17 @@ def make_eval_fn(
     if not (forces or stress or hessian):
 
         def eval_plain(params: dict, system: System) -> dict:
-            _, out = energy_of(params, system)
+            with jax.default_matmul_precision(prec):
+                _, out = energy_of(params, system)
             return out
 
         return eval_plain
 
     def eval_grad(params: dict, system: System) -> dict:
+        with jax.default_matmul_precision(prec):
+            return _eval_grad_inner(params, system)
+
+    def _eval_grad_inner(params: dict, system: System) -> dict:
         if stress:
             assert system.cell is not None, "stress requires a periodic cell"
             scaling0 = jnp.broadcast_to(
@@ -127,11 +146,23 @@ def make_eval_fn(
     return eval_grad
 
 
-def make_hvp_fn(cfg: AIMNet2Config, sae_external: bool = True):
+def make_hvp_fn(
+    cfg: AIMNet2Config,
+    sae_external: bool = True,
+    matmul_precision: str = "highest",
+):
     """Matrix-free Hessian-vector product: one jvp of the gradient
-    (replaces reference aimnet/calculators/calculator.py:1755-1987)."""
+    (replaces reference aimnet/calculators/calculator.py:1755-1987).
+    Pinned to exact-f32 matmuls like make_eval_fn (see its docstring)."""
+    import os
+
+    prec = os.environ.get("AIMNET_MATMUL_PRECISION", matmul_precision)
 
     def hvp(params: dict, system: System, v: Array) -> Array:
+        with jax.default_matmul_precision(prec):
+            return _hvp_inner(params, system, v)
+
+    def _hvp_inner(params: dict, system: System, v: Array) -> Array:
         # jvp-of-grad cannot traverse a custom_vjp (the Pallas conv): pin XLA
         def grad_e(coord: Array) -> Array:
             return jax.grad(

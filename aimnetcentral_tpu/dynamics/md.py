@@ -31,6 +31,8 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+
+from aimnetcentral_tpu.ops import math as aops
 import numpy as np
 
 from aimnetcentral_tpu import constants
@@ -297,7 +299,7 @@ class MDDriver:
                 perm, wrap, ovf = B.bin_atoms(
                     c, state.system.numbers, self.grid, cell0
                 )
-                cw = c - wrap @ cell0 if cell0 is not None else c
+                cw = c - aops.cellmul(wrap, cell0) if cell0 is not None else c
                 sys2 = state.system.replace(
                     coord=B.to_slots(cw, perm),
                     numbers=B.to_slots(state.system.numbers, perm),
@@ -447,7 +449,7 @@ class MDDriver:
         )
         if int(ovf) > 0:
             return self._grow_capacity(state, factor * 1.5, grow_sr=True, grow_lr=grow_lr)
-        coord = state.coord - wrap @ cell0 if cell0 is not None else state.coord
+        coord = state.coord - aops.cellmul(wrap, cell0) if cell0 is not None else state.coord
         sys2 = state.system.replace(
             coord=B.to_slots(coord, perm),
             numbers=B.to_slots(state.system.numbers, perm),

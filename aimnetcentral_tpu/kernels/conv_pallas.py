@@ -316,7 +316,7 @@ def conv_pass_pallas(
     nbr = jnp.asarray(np.where(invalid, 0, nbr_np))
     wraps = jnp.asarray(wrap_np)  # (S, B, 3)
     if cell0 is not None:
-        shift3 = jnp.einsum("sbk,kh->sbh", wraps, cell0)
+        shift3 = jnp.einsum("sbk,kh->sbh", wraps, cell0, precision=jax.lax.Precision.HIGHEST)
     else:
         shift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
     # invalid gas-phase probes: push candidates out of range
@@ -331,7 +331,7 @@ def conv_pass_pallas(
     mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
     minvalid = mnbr_np < 0
     if cell0 is not None:
-        mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
+        mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0, precision=jax.lax.Precision.HIGHEST)
     else:
         mshift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
     if minvalid.any():

@@ -444,7 +444,7 @@ def pair_energy_pallas(
     s_tot = nbr_np.shape[0]
     invalid = nbr_np < 0
     if cell0 is not None:
-        shift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(wrap_np), cell0)
+        shift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(wrap_np), cell0, precision=jax.lax.Precision.HIGHEST)
     else:
         shift3 = jnp.zeros((s_tot, b_tot, 3), dtype)
     if invalid.any():

@@ -266,7 +266,7 @@ def pair_energy_binned(
         safe_nbr = jnp.maximum(nbr_s, 0)
         cand = {k: v[safe_nbr] for k, v in self_blocks.items()}
         if grid.periodic:
-            shift_cart = (wrap_s @ cell0)[:, None, :]
+            shift_cart = aops.cellmul(wrap_s, cell0)[:, None, :]
             valid = jnp.ones((b_tot, 1, 1), dtype=bool)
         else:
             shift_cart = jnp.zeros((b_tot, 1, 3), dtype=dtype)

@@ -23,6 +23,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from aimnetcentral_tpu import constants
@@ -113,15 +115,15 @@ def ewald_energy(
 
     # --- reciprocal space: S(k) per molecule via segment sums
     recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B, 3, 3)
-    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip)  # (B, K, 3)
+    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)  # (B, K, 3)
     k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, K)
     kmask = (k2 > 1e-12) & (k2 < (kcut_b * kcut_b)[:, None])
 
     cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
     atom_recip = jnp.take(cell_ext, mol_idx, axis=0)  # (N, 3, 3)
     # phase[n, k] = r_n . k^(mol(n))
-    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip)  # (N, K, 3)
-    phase = jnp.einsum("nkh,nh->nk", kdir, coord)  # (N, K)
+    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip, precision=HI)  # (N, K, 3)
+    phase = jnp.einsum("nkh,nh->nk", kdir, coord, precision=HI)  # (N, K)
     s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)  # (B, K)
     s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
     volume = jnp.abs(jnp.linalg.det(cell))  # (B,)
@@ -185,13 +187,13 @@ def _ewald_nonreal(
     from aimnetcentral_tpu.ops import nb as nbops
 
     recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)
-    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip)
+    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)
     k2 = jnp.sum(kvec * kvec, axis=-1)
     kmask = (k2 > 1e-12) & (k2 < k_cutoff * k_cutoff)
     cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
     atom_recip = jnp.take(cell_ext, mol_idx, axis=0)
-    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip)
-    phase = jnp.einsum("nkh,nh->nk", kdir, coord)
+    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip, precision=HI)
+    phase = jnp.einsum("nkh,nh->nk", kdir, coord, precision=HI)
     s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)
     s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
     volume = jnp.abs(jnp.linalg.det(cell))

@@ -24,6 +24,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from aimnetcentral_tpu.ops import math as aops
 import numpy as np
 
 from aimnetcentral_tpu import constants
@@ -93,7 +95,7 @@ def pme_reciprocal_energy(
     """Reciprocal-space PME energy (single system, no k_e factor)."""
     k1, k2, k3 = mesh
     inv_cell = jnp.linalg.inv(cell)
-    frac = coord @ inv_cell
+    frac = aops.cellmul(coord, inv_cell)
     frac = frac - jnp.floor(frac)  # [0, 1)
 
     mesh_arr = jnp.array(mesh, dtype=coord.dtype)

@@ -31,6 +31,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from aimnetcentral_tpu.ops import math as aops
 import numpy as np
 
 Array = jax.Array
@@ -143,7 +145,7 @@ def bin_atoms(
 
     if grid.periodic:
         assert cell is not None
-        frac = coord @ jnp.linalg.inv(cell)
+        frac = aops.cellmul(coord, jnp.linalg.inv(cell))
         wrap = jnp.floor(frac)
         fracw = frac - wrap
         bin3 = jnp.clip((fracw * nbins_arr).astype(jnp.int32), 0, nbins_arr - 1)
@@ -275,7 +277,7 @@ def stencil_map(
         safe_nbr = jnp.maximum(nbr_s, 0)
         cand = {k: v[safe_nbr] for k, v in self_blocks.items()}  # bin-level gather
         if grid.periodic:
-            shift_cart = (wrap_s @ cell)[:, None, :]  # (B, 1, 3)
+            shift_cart = aops.cellmul(wrap_s, cell)[:, None, :]  # (B, 1, 3)
             valid = jnp.ones((b_tot, 1, 1), dtype=bool)
             # zero offset => zero wrap everywhere; mask the slot diagonal
             not_self = ~(zero_s & diag)
@@ -312,7 +314,7 @@ def to_binned_system(system, grid: BinGrid, lr_grid: BinGrid | None = None):
     perm, wrap, overflow = bin_atoms(system.coord, system.numbers, grid, cell0)
     coord = system.coord
     if cell0 is not None:
-        coord = coord - wrap @ cell0
+        coord = coord - aops.cellmul(wrap, cell0)
     binned = system.replace(
         coord=to_slots(coord, perm),
         numbers=to_slots(system.numbers, perm),

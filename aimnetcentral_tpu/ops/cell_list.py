@@ -24,6 +24,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from aimnetcentral_tpu.ops import math as aops
 import numpy as np
 
 Array = jax.Array
@@ -178,7 +180,7 @@ def build_cell_list(
         # so callers never need a separate wrap-into-cell pass.
         shift_flat = jnp.repeat(cand_shift, spec.bin_capacity, axis=1)  # (N, 27C, 3)
         shift_flat = shift_flat - atom_wrap[cand_flat] + atom_wrap[:, None, :]
-        cand_coord = cand_coord + shift_flat @ cell
+        cand_coord = cand_coord + aops.cellmul(shift_flat, cell)
     d2 = jnp.sum((cand_coord - coord[:, None, :]) ** 2, axis=-1)
 
     is_fill = cand_flat == fill

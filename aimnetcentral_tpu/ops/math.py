@@ -16,6 +16,22 @@ from aimnetcentral_tpu.ops.nb import expand_mol, gather_nb, mol_sum, pair_mask
 Array = jax.Array
 
 
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def cellmul(a: Array, b: Array) -> Array:
+    """Exact-f32 geometry contraction (``a @ b`` at HIGHEST precision).
+
+    Every 3-dim geometry product — ``wraps @ cell``, ``coord @ inv_cell``,
+    strain application, Ewald phases — must NEVER run at the TPU's default
+    matmul precision: the MXU's bf16 passes truncate the operands to 8
+    mantissa bits, displacing periodic images by ~2e-2 A (measured: a 13 A
+    cell rounds to 13.0625), which corrupts every boundary-crossing pair
+    distance.  K=3 contractions cost nothing at full precision.
+    """
+    return jnp.matmul(a, b, precision=HIGHEST)
+
+
 def calc_distances(
     coord: Array,
     nbmat: Array,
@@ -40,7 +56,10 @@ def calc_distances(
         assert cell is not None and mol_idx is not None, "cell+mol_idx required with shifts"
         cell_ext = jnp.concatenate([cell, jnp.eye(3, dtype=cell.dtype)[None]], axis=0)
         atom_cell = jnp.take(cell_ext, mol_idx, axis=0)  # (N, 3, 3)
-        coord_j = coord_j + jnp.einsum("nmd,ndh->nmh", shifts.astype(coord.dtype), atom_cell)
+        coord_j = coord_j + jnp.einsum(
+            "nmd,ndh->nmh", shifts.astype(coord.dtype), atom_cell,
+            precision=HIGHEST,
+        )
     r_ij = coord_j - coord[:, None, :]
     valid = pair_mask(nbmat)[..., None]
     r_ij = jnp.where(valid, r_ij, pad_value)
