@@ -169,8 +169,10 @@ def _fill_w(w_scratch, gs_all, u_tiled, c):
 
 def _fill_abig(abig_scratch, a_row_ref, tc, gi, gamma, c, f):
     """Fill the (gamma*C, gamma*F) block-diagonal candidate matrix for group
-    ``gi`` from candidate bin slot ``tc`` (dynamic index into the row)."""
-    abig_scratch[...] = jnp.zeros_like(abig_scratch)
+    ``gi`` from candidate bin slot ``tc`` (dynamic index into the row).
+    Only the diagonal blocks are written — the caller zeroes the scratch
+    ONCE per program (the off-diagonals stay zero; re-zeroing per (t, gi)
+    cost ~2 us/program of pure VMEM traffic)."""
     a_t = a_row_ref[pl.ds(tc, 1)][0]  # (C, G*F)
     for g2 in range(gamma):
         g_abs = gi * gamma + g2
@@ -219,6 +221,7 @@ def _fwd_kernel(
     sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
 
     def body(w_scratch, abig_scratch):
+        abig_scratch[...] = jnp.zeros_like(abig_scratch)
         for t in range(t_row):
             tc = jax.lax.rem(t + dz, t_row)
             ci = coord_self_ref[t]  # (4, C)
@@ -383,6 +386,7 @@ def _bwd_cand_kernel(
     sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
 
     def body(w_scratch, abig_scratch):
+        abig_scratch[...] = jnp.zeros_like(abig_scratch)
         for t in range(t_row):
             tp = jax.lax.rem(t + mdz, t_row)  # partner slot
             ci = coord_partner_ref[pl.ds(tp, 1)][0]  # forward self side
@@ -398,8 +402,8 @@ def _bwd_cand_kernel(
             dbar = jnp.zeros((c, c), jnp.float32)
             ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
             for gi in range(n_groups):
-                # this bin's block-diagonal candidate matrix
-                abig_scratch[...] = jnp.zeros_like(abig_scratch)
+                # this bin's block-diagonal candidate matrix (off-diagonal
+                # blocks stay zero from the one-time body init)
                 a_t = a_recv_ref[t]
                 for g2 in range(gamma):
                     g_abs = gi * gamma + g2
