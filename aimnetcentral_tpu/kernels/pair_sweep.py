@@ -34,6 +34,17 @@ Design (differs from the conv kernel's half/mirror machinery on purpose):
 Contract: ``e_fn`` must be symmetric under the full i<->j swap and may only
 close over HOST constants (Python floats) — traced values must arrive as
 extra blocks.  Callers in engine_binned guard this.
+
+Status (measured, TPU v5e): hardware parity vs the XLA half-sweep is ~1e-7
+on energies and every gradient (this kernel matches the f64 brute-force
+truth; finding it exposed the default-matmul-precision geometry bug fixed
+in ops/math.cellmul).  Throughput does NOT yet beat the XLA scan: the
+full-stencil formulation computes ~4x the half-sweep's pair slots (v1
+per-bin tiles are additionally dispatch-bound; the v2 z-fused tiles are
+VPU-bound at 1.7x XLA).  The winning shape — banded candidate tiles
+(roll-built (TC, (2r+1)C) bands to skip out-of-radius z blocks) plus
+half-stencil xy offsets with mirror side outputs — is mapped but not
+built; until then AIMNET_PAIR_ENGINE defaults to xla.
 """
 
 from __future__ import annotations
@@ -439,6 +450,18 @@ def pair_energy_pallas(
     else:
         ext = jnp.zeros((b_tot, c, 1), jnp.float32)
 
+    nx, ny, nz = grid.nbins
+    if nz >= 2 * radius + 1:
+        # z-fused fast path: one (T*C, T*C) tile per (row, xy-offset)
+        acc = _pair_acc_zf_call(
+            grid, radius, cell0, coord, mask, ext, tuple(keys), k_tot, cutoff,
+            e_pair_fn,
+        )
+        if lr_slot is not None:
+            acc_ext = jnp.concatenate([acc, jnp.zeros((1,), acc.dtype)])
+            acc = jnp.take(acc_ext, system.lr_inv, axis=0)
+        return acc
+
     # stencil tables (host) + cartesian shifts (device, cell-differentiable)
     nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
     s_tot = nbr_np.shape[0]
@@ -473,3 +496,350 @@ def pair_energy_pallas(
         acc_ext = jnp.concatenate([acc, jnp.zeros((1,), acc.dtype)])
         acc = jnp.take(acc_ext, system.lr_inv, axis=0)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# v2: z-FUSED row tiles.  One program = one (row, xy-offset): the full
+# (T*C, T*C) pair tile covers every z-offset at once — the z-periodic image
+# is a static per-(t, tz) wrap pattern (`zw`) times the cell's z row, valid
+# whenever nz >= 2*radius + 1 (each bin pair then has at most one image
+# within the stencil radius).  Cuts program count by (2r+1)x and replaces
+# per-bin (C, C) tiles with one full-lane (T*C, T*C) tile; pair math grows
+# only T/(2r+1) ~ 1.4x.  Preferred whenever applicable (see dispatch in
+# pair_energy_pallas).
+
+
+@dataclasses.dataclass(frozen=True)
+class PairStaticZF:
+    r_tot: int  # nx*ny rows
+    tc_dim: int  # T*C lanes per row
+    k_tot: int
+    s_tot: int  # (2r+1)^2 xy offsets
+    s0: int  # index of the (0, 0) xy offset
+    keys: tuple
+
+
+def _tile_geometry_zf(ci, cj, sxy, cz, zw, mz, s, s0, tc_dim, mask_self, mask_cand, cutoff):
+    """(TC, TC) pair distances + validity for the z-fused tile."""
+    d2 = jnp.zeros((tc_dim, tc_dim), jnp.float32)
+    diffs = []
+    for k in range(3):
+        dk = ci[k][:, None] - cj[k][None, :] - sxy[k] - zw * cz[k]
+        diffs.append(dk)
+        d2 = d2 + dk * dk
+    real = jnp.logical_and(mask_self[:, None] > 0.5, mask_cand[None, :] > 0.5)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tc_dim, tc_dim), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tc_dim, tc_dim), 1)
+    not_self = jnp.logical_or(s != s0, row_ids != col_ids)
+    vp = jnp.logical_and(jnp.logical_and(real, not_self), d2 > 1e-10)
+    vp = jnp.logical_and(vp, mz > 0.5)
+    d = jnp.sqrt(jnp.where(vp, d2, 1.0))
+    vp = jnp.logical_and(vp, d < cutoff)
+    inv_d = 1.0 / d
+    return d, inv_d, diffs, vp
+
+
+def _fwd_kernel_zf(
+    row_ref,  # (S*R,) int32 candidate-row table
+    coord_self_ref,  # (1, 4, TC)
+    coord_cand_ref,  # (1, 4, TC)
+    mask_self_ref,  # (1, 1, TC)
+    mask_cand_ref,  # (1, 1, TC)
+    ext_self_ref,  # (1, TC, K)
+    ext_cand_ref,  # (1, TC, K)
+    sxy_ref,  # (1, 1, 1, 4) xy lattice shift for this (s, row)
+    cz_ref,  # (1, 4) cell z row
+    zw_ref,  # (TC, TC) static z-wrap pattern
+    mz_ref,  # (TC, TC) static z-range validity
+    scal_ref,  # (1, 4) [cutoff, 0, 0, 0]
+    out_ref,  # (1, 1, TC)
+    *,
+    tc_dim: int,
+    s0: int,
+    keys: tuple,
+    e_fn,
+):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    d, _inv_d, _diffs, vp = _tile_geometry_zf(
+        coord_self_ref[0], coord_cand_ref[0], sxy_ref[0, 0, 0], cz_ref[0],
+        zw_ref[...], mz_ref[...], s, s0, tc_dim,
+        mask_self_ref[0, 0], mask_cand_ref[0, 0], scal_ref[0, 0],
+    )
+    self_b = _unpack_bin(ext_self_ref[0], keys)
+    cand_b = _unpack_bin(ext_cand_ref[0], keys)
+    e = jnp.where(vp, e_fn(d, vp, self_b, cand_b), 0.0)
+    out_ref[0, 0, :] += e.sum(axis=1)
+
+
+def _bwd_kernel_zf(
+    row_ref,
+    coord_self_ref,
+    coord_cand_ref,
+    mask_self_ref,
+    mask_cand_ref,
+    ext_self_ref,
+    ext_cand_ref,
+    ct_self_ref,  # (1, 1, TC)
+    ct_cand_ref,
+    sxy_ref,
+    cz_ref,
+    zw_ref,
+    mz_ref,
+    scal_ref,
+    g_coord_ref,  # (1, 4, TC)
+    g_ext_ref,  # (1, TC, K)
+    g_shift_ref,  # (1, 8, TC): rows 0-3 = sxy adjoint partials, 4-7 = cz
+    *,
+    tc_dim: int,
+    s0: int,
+    keys: tuple,
+    e_fn,
+):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        g_coord_ref[...] = jnp.zeros_like(g_coord_ref)
+        g_ext_ref[...] = jnp.zeros_like(g_ext_ref)
+
+    zw = zw_ref[...]
+    d, inv_d, diffs, vp = _tile_geometry_zf(
+        coord_self_ref[0], coord_cand_ref[0], sxy_ref[0, 0, 0], cz_ref[0],
+        zw, mz_ref[...], s, s0, tc_dim,
+        mask_self_ref[0, 0], mask_cand_ref[0, 0], scal_ref[0, 0],
+    )
+    self_b = _unpack_bin(ext_self_ref[0], keys)
+    cand_b = _unpack_bin(ext_cand_ref[0], keys)
+    ct_i = ct_self_ref[0, 0]
+    ct_j = ct_cand_ref[0, 0]
+    vf = vp.astype(jnp.float32)
+    w1 = vf * (ct_i[:, None] + ct_j[None, :])
+    w0 = vf * jnp.broadcast_to(ct_i[:, None], (tc_dim, tc_dim))
+
+    def f(d_, sv):
+        return jnp.where(vp, e_fn(d_, vp, sv, cand_b), 0.0)
+
+    _e, vjp_fn = jax.vjp(f, d, self_b)
+    dd_w1, gsv = vjp_fn(w1)
+    dd_one, _ = vjp_fn(jnp.ones_like(d))
+    dd_w0 = dd_one * w0
+    for k in range(3):
+        uk = diffs[k] * inv_d
+        g_coord_ref[0, k, :] += (dd_w1 * uk).sum(axis=1)
+        # shift adjoints: dd/dsxy_k = -u_k ; dd/dcz_k = -zw * u_k
+        g_shift_ref[0, k, :] = -(dd_w0 * uk).sum(axis=1)
+        g_shift_ref[0, 4 + k, :] = -(dd_w0 * uk * zw).sum(axis=1)
+    g_shift_ref[0, 3, :] = jnp.zeros((tc_dim,), jnp.float32)
+    g_shift_ref[0, 7, :] = jnp.zeros((tc_dim,), jnp.float32)
+    for name, off, k, scalar in keys:
+        gv = gsv[name]
+        if scalar:
+            g_ext_ref[0, :, off] += gv
+        else:
+            g_ext_ref[0, :, off : off + k] += gv
+
+
+def _zf_specs(st: PairStaticZF, with_ct: bool):
+    tc, k, r_tot = st.tc_dim, st.k_tot, st.r_tot
+    self_idx = lambda r, s, rt: (r, 0, 0)
+    cand_idx = lambda r, s, rt: (rt[s * r_tot + r], 0, 0)
+    specs = [
+        pl.BlockSpec((1, 4, tc), self_idx),
+        pl.BlockSpec((1, 4, tc), cand_idx),
+        pl.BlockSpec((1, 1, tc), self_idx),
+        pl.BlockSpec((1, 1, tc), cand_idx),
+        pl.BlockSpec((1, tc, k), self_idx),
+        pl.BlockSpec((1, tc, k), cand_idx),
+    ]
+    if with_ct:
+        specs += [
+            pl.BlockSpec((1, 1, tc), self_idx),
+            pl.BlockSpec((1, 1, tc), cand_idx),
+        ]
+    specs += [
+        pl.BlockSpec((1, 1, 1, 4), lambda r, s, rt: (s, r, 0, 0)),
+        pl.BlockSpec((1, 4), lambda r, s, rt: (0, 0)),
+        pl.BlockSpec((tc, tc), lambda r, s, rt: (0, 0)),
+        pl.BlockSpec((tc, tc), lambda r, s, rt: (0, 0)),
+        pl.BlockSpec((1, 4), lambda r, s, rt: (0, 0)),
+    ]
+    return specs
+
+
+@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
+def pair_sweep_forward_zf(st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(st.r_tot, st.s_tot),
+        in_specs=_zf_specs(st, with_ct=False),
+        out_specs=pl.BlockSpec((1, 1, st.tc_dim), lambda r, s, rt: (r, 0, 0)),
+    )
+    kernel = functools.partial(
+        _fwd_kernel_zf, tc_dim=st.tc_dim, s0=st.s0, keys=st.keys, e_fn=e_fn
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((st.r_tot, 1, st.tc_dim), jnp.float32),
+    )(row_flat, coord_r, coord_r, mask_r, mask_r, ext_r, ext_r, sxy, cz, zw, mz, scal)
+
+
+@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
+def pair_sweep_backward_zf(st, e_fn, row_flat, coord_r, mask_r, ext_r, ct_r, sxy, cz, zw, mz, scal):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(st.r_tot, st.s_tot),
+        in_specs=_zf_specs(st, with_ct=True),
+        out_specs=(
+            pl.BlockSpec((1, 4, st.tc_dim), lambda r, s, rt: (r, 0, 0)),
+            pl.BlockSpec((1, st.tc_dim, st.k_tot), lambda r, s, rt: (r, 0, 0)),
+            pl.BlockSpec((1, 8, st.tc_dim), lambda r, s, rt: (s * st.r_tot + r, 0, 0)),
+        ),
+    )
+    kernel = functools.partial(
+        _bwd_kernel_zf, tc_dim=st.tc_dim, s0=st.s0, keys=st.keys, e_fn=e_fn
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((st.r_tot, 4, st.tc_dim), jnp.float32),
+            jax.ShapeDtypeStruct((st.r_tot, st.tc_dim, st.k_tot), jnp.float32),
+            jax.ShapeDtypeStruct((st.s_tot * st.r_tot, 8, st.tc_dim), jnp.float32),
+        ),
+    )(row_flat, coord_r, coord_r, mask_r, mask_r, ext_r, ext_r, ct_r, ct_r, sxy, cz, zw, mz, scal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def pair_acc_zf(st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal):
+    return pair_sweep_forward_zf(
+        st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal
+    )
+
+
+def _pair_acc_zf_fwd(st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal):
+    out = pair_sweep_forward_zf(
+        st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal
+    )
+    return out, (coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal)
+
+
+def _pair_acc_zf_bwd(st, e_fn, res, ct):
+    coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal = res
+    gc, gext, gs_rows = pair_sweep_backward_zf(
+        st, e_fn, row_flat, coord_r, mask_r, ext_r, ct, sxy, cz, zw, mz, scal
+    )
+    rows = gs_rows.reshape(st.s_tot, st.r_tot, 8, st.tc_dim)
+    dsxy = rows[:, :, 0:3, :].sum(-1)  # (S, R, 3)
+    dsxy = jnp.concatenate(
+        [dsxy, jnp.zeros((st.s_tot, st.r_tot, 1), dsxy.dtype)], axis=-1
+    ).reshape(st.s_tot, st.r_tot, 1, 4)  # matching the sxy input frame
+    dcz = rows[:, :, 4:7, :].sum((0, 1, 3))  # (3,)
+    dcz = jnp.concatenate([dcz, jnp.zeros((1,), dcz.dtype)]).reshape(1, 4)
+    return (
+        gc,
+        jnp.zeros_like(mask_r),
+        gext,
+        jnp.zeros_like(row_flat),
+        dsxy,
+        dcz,
+        jnp.zeros_like(zw),
+        jnp.zeros_like(mz),
+        jnp.zeros_like(scal),
+    )
+
+
+pair_acc_zf.defvjp(_pair_acc_zf_fwd, _pair_acc_zf_bwd)
+
+
+def _pair_acc_zf_call(grid, radius, cell0, coord, mask, ext, keys, k_tot, cutoff, e_fn):
+    """Build z-fused layouts/tables and invoke the v2 custom_vjp.
+
+    ``coord`` (L, 3) in this grid's slot order; ``mask`` (B, 1, C);
+    ``ext`` (B, C, K).  Returns per-atom sums (L,) in slot order.
+    """
+    nx, ny, nz = grid.nbins
+    c = grid.capacity
+    tc = nz * c
+    r_tot = nx * ny
+    dtype = coord.dtype
+
+    # (R, 4, TC) coords: t-major, slot-minor lanes
+    coord_r = jnp.concatenate(
+        [
+            coord.reshape(r_tot, nz, c, 3).transpose(0, 3, 1, 2).reshape(r_tot, 3, tc),
+            jnp.zeros((r_tot, 1, tc), dtype),
+        ],
+        axis=1,
+    )
+    mask_r = mask.reshape(r_tot, nz, 1, c).transpose(0, 2, 1, 3).reshape(r_tot, 1, tc)
+    ext_r = ext.reshape(r_tot, tc, k_tot)
+
+    # xy offset tables
+    rng = np.arange(-radius, radius + 1)
+    offs = [(int(dx), int(dy)) for dx in rng for dy in rng]
+    s_tot = len(offs)
+    s0 = offs.index((0, 0))
+    xs, ys = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    rows = np.stack([xs, ys], axis=-1).reshape(-1, 2)  # (R, 2), r = x*ny + y
+    row2 = np.zeros((s_tot, r_tot), np.int32)
+    wrap2 = np.zeros((s_tot, r_tot, 3), np.float32)
+    invalid = np.zeros((s_tot, r_tot), bool)
+    for si, (dx, dy) in enumerate(offs):
+        tx = rows[:, 0] + dx
+        ty = rows[:, 1] + dy
+        if grid.periodic:
+            wrap2[si, :, 0] = np.floor_divide(tx, nx)
+            wrap2[si, :, 1] = np.floor_divide(ty, ny)
+            row2[si] = (tx % nx) * ny + (ty % ny)
+        else:
+            inside = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+            invalid[si] = ~inside
+            row2[si] = np.where(
+                inside, np.clip(tx, 0, nx - 1) * ny + np.clip(ty, 0, ny - 1), 0
+            )
+
+    if cell0 is not None:
+        sxy3 = jnp.einsum(
+            "srk,kh->srh", jnp.asarray(wrap2), cell0,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cz3 = cell0[2]
+    else:
+        sxy3 = jnp.zeros((s_tot, r_tot, 3), dtype)
+        cz3 = jnp.zeros((3,), dtype)
+    if invalid.any():
+        sxy3 = sxy3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
+    sxy = jnp.concatenate(
+        [sxy3, jnp.zeros((s_tot, r_tot, 1), dtype)], axis=-1
+    ).reshape(s_tot, r_tot, 1, 4)
+    cz = jnp.concatenate([cz3, jnp.zeros((1,), dtype)]).reshape(1, 4)
+
+    # static z-wrap pattern and validity: nearest image of dz0 = tz - t
+    t_idx = np.arange(nz)
+    dz0 = t_idx[None, :] - t_idx[:, None]  # (t, tz)
+    zw_t = np.zeros((nz, nz), np.float32)
+    mz_t = (np.abs(dz0) <= radius).astype(np.float32)
+    if grid.periodic:
+        up = dz0 >= nz - radius  # wrapped image dz0 - nz within radius
+        dn = dz0 <= radius - nz
+        zw_t = np.where(up, -1.0, np.where(dn, 1.0, 0.0)).astype(np.float32)
+        mz_t = np.maximum(mz_t, (up | dn).astype(np.float32))
+    ones_cc = np.ones((c, c), np.float32)
+    zw = jnp.asarray(np.kron(zw_t, ones_cc))
+    mz = jnp.asarray(np.kron(mz_t, ones_cc))
+
+    st = PairStaticZF(
+        r_tot=r_tot, tc_dim=tc, k_tot=k_tot, s_tot=s_tot, s0=s0, keys=keys
+    )
+    scal = jnp.asarray([cutoff, 0.0, 0.0, 0.0], jnp.float32).reshape(1, 4)
+    row_flat = jnp.asarray(row2.reshape(-1))
+    acc = pair_acc_zf(
+        st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal
+    )
+    return acc.reshape(r_tot, nz, c).reshape(-1)

@@ -207,10 +207,11 @@ def pair_energy_binned(
 
     ``AIMNET_PAIR_ENGINE=pallas`` routes the sweep to the fused Pallas
     kernel (kernels/pair_sweep.py: VMEM-resident pair tiles, fused resident
-    adjoints).  EXPERIMENTAL: interpret-mode parity is test-gated
-    (tests/test_pair_sweep.py) but the per-bin tile variant is
-    dispatch-bound on real hardware (S x R tiny-tile programs) — the
-    default stays on the XLA scan until the z-fused row-tile variant lands.
+    adjoints; hardware-parity-verified to ~1e-7 vs this XLA scan).  The
+    default stays on the XLA scan: the kernel's full-stencil tiles compute
+    ~4x the XLA half-sweep's pair slots (z-fused variant measured 1.7x
+    slower at 10k) — a banded half-stencil variant would flip that (see
+    kernels/pair_sweep.py docstring).
     ``allow_pallas=False`` pins the XLA path for e_pair_fns that close over
     traced values (the Pallas kernel traces e_pair_fn in-kernel and can only
     capture host constants).

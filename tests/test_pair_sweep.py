@@ -173,3 +173,81 @@ def test_dftd3_full_path_matches(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         pal = dftd3_binned(sysb, tables, **kw)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+
+def _make_zf_case(periodic=True, n=120, seed=11):
+    """Case whose grid hits the z-fused (v2) path: nz >= 2*radius + 1."""
+    rng = np.random.default_rng(seed)
+    a = 18.0
+    coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a if periodic else None
+    mol = {"coord": coord, "numbers": numbers}
+    if periodic:
+        mol["cell"] = cell
+    sys_c = system_from_molecules([mol], cutoff=5.0, max_neighbors=16)
+    extent = None if periodic else (coord.min(0), coord.max(0))
+    grid = plan_bins(cell, n, 5.5, safety=3.0, extent=extent)
+    sysb, perm, ovf = to_binned_system(sys_c, grid)
+    assert int(ovf) == 0
+    assert grid.nbins[2] >= 3, grid  # v2 eligibility at radius 1
+    q = jnp.asarray(rng.normal(size=(sysb.natoms,)).astype(np.float32)) * 0.3
+    return sysb, q
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_zfused_energy_matches_xla(periodic):
+    sysb, q = _make_zf_case(periodic=periodic)
+    e_fn = _dsf_like()
+    ref = _xla(sysb, 5.0, e_fn, {"q": q})
+    pal = _pal(sysb, 5.0, e_fn, {"q": q})
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+
+
+def test_zfused_gradients_match_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
+
+    sysb, q = _make_zf_case()
+    e_fn = _dsf_like()
+    ct = jnp.asarray(
+        np.random.default_rng(5).normal(size=(sysb.natoms,)).astype(np.float32)
+    )
+
+    def loss_x(coord, q_):
+        return (_xla(sysb.replace(coord=coord), 5.0, e_fn, {"q": q_}) * ct).sum()
+
+    def loss_p(coord, q_):
+        return (
+            pair_energy_pallas(sysb.replace(coord=coord), 5.0, e_fn, {"q": q_}) * ct
+        ).sum()
+
+    gx_c, gx_q = jax.grad(loss_x, argnums=(0, 1))(sysb.coord, q)
+    with pltpu.force_tpu_interpret_mode():
+        gp_c, gp_q = jax.grad(loss_p, argnums=(0, 1))(sysb.coord, q)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gx_c), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gp_q), np.asarray(gx_q), atol=3e-5)
+
+
+def test_zfused_cell_gradient_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
+
+    sysb, q = _make_zf_case()
+    e_fn = _dsf_like()
+
+    def loss_x(cell):
+        return _xla(sysb.replace(cell=cell), 5.0, e_fn, {"q": q}).sum()
+
+    def loss_p(cell):
+        return pair_energy_pallas(sysb.replace(cell=cell), 5.0, e_fn, {"q": q}).sum()
+
+    gx = jax.grad(loss_x)(sysb.cell)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(sysb.cell)
+    scale = max(float(np.abs(np.asarray(gx)).max()), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), atol=3e-5 * scale + 1e-6
+    )
