@@ -268,9 +268,11 @@ def pair_energy_binned(
         cand = {k: v[safe_nbr] for k, v in self_blocks.items()}
         if grid.periodic:
             shift_cart = aops.cellmul(wrap_s, cell0)[:, None, :]
-            valid = jnp.ones((b_tot, 1, 1), dtype=bool)
         else:
             shift_cart = jnp.zeros((b_tot, 1, 3), dtype=dtype)
+        if all(grid.axes_periodic):
+            valid = jnp.ones((b_tot, 1, 1), dtype=bool)
+        else:
             valid = (nbr_s >= 0)[:, None, None]
         not_self = ~(zero_s & diag)
         _dk, d, valid_pair = _pair_geometry(self_blocks, cand, shift_cart, valid, not_self)

@@ -49,6 +49,17 @@ class BinGrid:
     # extra stencil coverage (Angstrom) for stale binnings between MD
     # re-bin events (set to the Verlet skin by the MD driver)
     margin: float = 0.0
+    # per-axis override of ``periodic`` (spatial domain decomposition: a
+    # shard's extended local grid is bounded in the sharded axis — halo
+    # planes supply the neighbors — but keeps global periodicity in the
+    # others).  None = all axes follow ``periodic``.
+    periodic_axes: tuple[bool, bool, bool] | None = None
+
+    @property
+    def axes_periodic(self) -> tuple[bool, bool, bool]:
+        if self.periodic_axes is not None:
+            return self.periodic_axes
+        return (self.periodic,) * 3
 
     @property
     def total_bins(self) -> int:
@@ -211,15 +222,14 @@ def stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray, 
     bin3 = np.stack([bx, by, bz], axis=-1).reshape(-1, 3)  # (B, 3)
     target = bin3[None, :, :] + offs[:, None, :]  # (S, B, 3)
     nbins = np.array(grid.nbins)
-    if grid.periodic:
-        wrap = np.floor_divide(target, nbins)
-        t = target - wrap * nbins
-        nbr = (t[..., 0] * ny + t[..., 1]) * nz + t[..., 2]
-    else:
-        inside = np.all((target >= 0) & (target < nbins), axis=-1)
-        t = np.clip(target, 0, nbins - 1)
-        nbr = np.where(inside, (t[..., 0] * ny + t[..., 1]) * nz + t[..., 2], -1)
-        wrap = np.zeros_like(target)
+    per = np.array(grid.axes_periodic)
+    # periodic axes wrap (recording the lattice shift); bounded axes mark
+    # out-of-range targets invalid (gas phase, or the sharded axis of a
+    # spatial-decomposition shard whose halos cover the interior range)
+    wrap = np.where(per, np.floor_divide(target, nbins), 0)
+    t = np.where(per, target - wrap * nbins, np.clip(target, 0, nbins - 1))
+    inside = np.all(per | ((target >= 0) & (target < nbins)), axis=-1)
+    nbr = np.where(inside, (t[..., 0] * ny + t[..., 1]) * nz + t[..., 2], -1)
     is_zero = (offs == 0).all(axis=1)
     return (
         nbr.astype(np.int32),
@@ -278,13 +288,14 @@ def stencil_map(
         cand = {k: v[safe_nbr] for k, v in self_blocks.items()}  # bin-level gather
         if grid.periodic:
             shift_cart = aops.cellmul(wrap_s, cell)[:, None, :]  # (B, 1, 3)
-            valid = jnp.ones((b_tot, 1, 1), dtype=bool)
-            # zero offset => zero wrap everywhere; mask the slot diagonal
-            not_self = ~(zero_s & diag)
         else:
             shift_cart = jnp.zeros((b_tot, 1, 3), dtype=dtype)
+        if all(grid.axes_periodic):
+            valid = jnp.ones((b_tot, 1, 1), dtype=bool)
+        else:
+            # gas phase, or a spatial shard's bounded axis: -1 targets
             valid = (nbr_s >= 0)[:, None, None]
-            not_self = ~(zero_s & diag)
+        not_self = ~(zero_s & diag)
         return f(acc, self_blocks, cand, shift_cart, valid, not_self)
 
     def body(acc, step):
@@ -368,6 +379,10 @@ def row_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarr
     still come from :func:`stencil_tables` (z-range misses and wrap shifts
     are per-bin, not per-row).
     """
+    assert grid.periodic_axes is None or all(grid.axes_periodic) == grid.periodic, (
+        "row-tiled kernels do not support mixed per-axis periodicity; use the "
+        "XLA engine on spatial-decomposition shards"
+    )
     nx, ny, nz = grid.nbins
     offs = stencil_offsets(radius)
     rx, ry = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")

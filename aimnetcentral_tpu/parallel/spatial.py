@@ -1,0 +1,374 @@
+"""Spatial domain decomposition: ONE large system sharded across chips.
+
+The TPU-native analogue of sequence parallelism for an ML interatomic
+potential (SURVEY.md §5 "long-context"): the binned slot layout is x-major,
+so sharding the slot arrays over a 1-D ``sp`` mesh axis gives each device a
+contiguous slab of x-planes.  Every pair interaction within the model
+cutoffs needs at most ``halo`` neighboring planes, exchanged with
+``jax.lax.ppermute`` ring shifts — the ring IS the global x-periodicity
+(the wrap shift is applied at the boundary shards).  The reference has no
+equivalent (its parallelism is single-node DDP training only,
+reference aimnet/train/train.py:86-92).
+
+Design:
+
+- One ``shard_map`` region evaluates the WHOLE model per shard on an
+  EXTENDED local grid (core planes + halo planes), built with per-axis
+  periodicity (``BinGrid.periodic_axes = (False, True, True)``) so the
+  existing XLA stencil engines run unchanged: halo atoms are real pair
+  CANDIDATES, while every accumulated quantity (molecular sums, NSE charge
+  conservation, energies) is a core-plane sum ``psum``-reduced over the
+  ring.  Halo atoms carry ``mol_idx = num_mol`` (the padding segment), so
+  ``mol_sum`` drops them structurally.
+- Message passing re-exchanges owner-authoritative per-atom state (features
+  ``a``, charges) before every conv pass — halo copies are never trusted
+  across passes.
+- Forces come from ``jax.grad`` THROUGH the shard_map: JAX transposes the
+  ``ppermute`` halo exchanges automatically, which performs the reverse
+  halo reduction of boundary-pair force contributions.  No hand-written
+  adjoint communication.
+
+Scope: single-molecule periodic systems (the large-box use case) with the
+energy surface of the flagship head chain (Output/AtomicShift/AtomicSum +
+LRCoulomb in SR/DSF mode).  Dipole/quadrupole/D3 heads are not yet routed
+spatially.  Validated for bitwise-level equality against the single-device
+forward on a virtual CPU mesh (tests/test_spatial.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aimnetcentral_tpu.models.aimnet2 import (
+    AIMNet2Config,
+    mlp_spec_for_pass,
+)
+from aimnetcentral_tpu.models.engine_binned import (
+    conv_pass_binned,
+    pair_energy_binned,
+    stencil_radius,
+)
+from aimnetcentral_tpu.models.heads import (
+    AtomicShiftHead,
+    AtomicSumHead,
+    LRCoulombHead,
+    OutputHead,
+)
+from aimnetcentral_tpu.models.modules import mlp_apply
+from aimnetcentral_tpu.ops import binned as B
+from aimnetcentral_tpu.ops import math as aops
+from aimnetcentral_tpu.system import System
+
+Array = jax.Array
+
+
+def make_spatial_mesh(n_sp: int, devices: list | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_sp, "not enough devices for the sp axis"
+    return Mesh(np.array(devices[:n_sp]), axis_names=("sp",))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialSpec:
+    """Static decomposition geometry (hashable; jit-key material)."""
+
+    grid: B.BinGrid  # the GLOBAL grid (x-major slot layout)
+    n_sp: int
+    halo: int  # halo depth in x-planes (covers every model cutoff)
+
+    @property
+    def nx_local(self) -> int:
+        return self.grid.nbins[0] // self.n_sp
+
+    @property
+    def plane_slots(self) -> int:
+        _, ny, nz = self.grid.nbins
+        return ny * nz * self.grid.capacity
+
+    @property
+    def ext_grid(self) -> B.BinGrid:
+        nx, ny, nz = self.grid.nbins
+        return dataclasses.replace(
+            self.grid,
+            nbins=(self.nx_local + 2 * self.halo, ny, nz),
+            periodic_axes=(False, True, True),
+        )
+
+    @property
+    def core_slice(self) -> slice:
+        s = self.halo * self.plane_slots
+        return slice(s, s + self.nx_local * self.plane_slots)
+
+
+def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
+    """Choose the halo depth from the model's largest cutoff."""
+    from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
+
+    cfg = auto_switch_simple_to_dsf(cfg)
+    grid = system.bins
+    assert grid is not None, "spatial decomposition runs on the binned layout"
+    assert grid.periodic, "spatial decomposition targets periodic boxes"
+    assert grid.nbins[0] % n_sp == 0, (
+        f"nx={grid.nbins[0]} must divide by n_sp={n_sp} (plan_bins the box "
+        "with a compatible grid)"
+    )
+    cutoffs = [cfg.aev.rc_s]
+    for _name, head in cfg.outputs:
+        if isinstance(head, LRCoulombHead):
+            cutoffs.append(float(head.dsf_rc if head.method == "dsf" else head.rc))
+    halo = max(stencil_radius(c, grid) for c in cutoffs)
+    assert halo <= grid.nbins[0] // n_sp, (
+        f"halo {halo} planes exceeds the local slab; use fewer shards"
+    )
+    return SpatialSpec(grid=grid, n_sp=n_sp, halo=halo)
+
+
+def _ring_perms(n: int):
+    fwd = [(i, (i + 1) % n) for i in range(n)]  # data moves to the RIGHT
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    return fwd, bwd
+
+
+def _exchange(spec: SpatialSpec, x: Array, axis_name: str = "sp") -> Array:
+    """(local_slots, ...) -> (ext_slots, ...): prepend/append halo planes
+    fetched from the ring neighbors."""
+    nxl, h = spec.nx_local, spec.halo
+    planes = x.reshape((nxl, spec.plane_slots) + x.shape[1:])
+    fwd, bwd = _ring_perms(spec.n_sp)
+    left_halo = jax.lax.ppermute(planes[nxl - h :], axis_name, fwd)
+    right_halo = jax.lax.ppermute(planes[:h], axis_name, bwd)
+    ext = jnp.concatenate([left_halo, planes, right_halo], axis=0)
+    return ext.reshape((-1,) + x.shape[1:])
+
+
+def _exchange_coord(spec: SpatialSpec, coord: Array, cell: Array, axis_name: str = "sp") -> Array:
+    """Coordinate halo exchange with the global x-wrap applied at the
+    boundary shards (the ring crossing IS the periodic image)."""
+    nxl, h = spec.nx_local, spec.halo
+    planes = coord.reshape(nxl, spec.plane_slots, 3)
+    fwd, bwd = _ring_perms(spec.n_sp)
+    idx = jax.lax.axis_index(axis_name)
+    left_halo = jax.lax.ppermute(planes[nxl - h :], axis_name, fwd)
+    right_halo = jax.lax.ppermute(planes[:h], axis_name, bwd)
+    ax = cell[0]  # global cell x row
+    left_halo = left_halo - jnp.where(idx == 0, 1.0, 0.0) * ax
+    right_halo = right_halo + jnp.where(idx == spec.n_sp - 1, 1.0, 0.0) * ax
+    return jnp.concatenate([left_halo, planes, right_halo], axis=0).reshape(-1, 3)
+
+
+def _mol_sum_sp(x: Array, mol_idx: Array, num_mol: int, axis_name: str = "sp") -> Array:
+    """Global molecular sum: core-local segment sum + ring psum."""
+    from aimnetcentral_tpu.ops import nb as nbops
+
+    return jax.lax.psum(nbops.mol_sum(x, mol_idx, num_mol), axis_name)
+
+
+def _nse_sp(Q, q_u, f_u, mol_idx, num_mol, axis_name="sp", epsilon=1e-6):
+    """Spatial twin of ops.math.nse: the charge-conservation sums span the
+    whole molecule across shards."""
+    from aimnetcentral_tpu.ops.math import expand_mol
+
+    F_u = _mol_sum_sp(f_u, mol_idx, num_mol, axis_name) + epsilon
+    Q_u = _mol_sum_sp(q_u, mol_idx, num_mol, axis_name)
+    dQ = Q - Q_u
+    f = f_u / expand_mol(F_u, mol_idx).clip(min=epsilon * 0.5)
+    q = q_u + f * expand_mol(dQ, mol_idx)
+    return q, dQ
+
+
+def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
+    """Build ``fn(params, coord, numbers, charge, cell) -> total energy``.
+
+    ``coord``/``numbers`` are the GLOBAL slot arrays of the binned system
+    (x-major — sharded over ``sp`` by shard_map), ``charge`` (1,) and
+    ``cell`` (3, 3) replicated.  Differentiable w.r.t. coord and cell; use
+    ``jax.grad`` for forces (the halo-exchange transpose performs the
+    boundary force reduction).
+    """
+    from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
+
+    cfg = auto_switch_simple_to_dsf(cfg)
+    npass = len(cfg.hidden)
+    c = cfg.num_charge_channels
+    assert c == 1, "spatial NSE (2-channel) models: pass mult support TODO"
+    for name, head in cfg.outputs:
+        assert isinstance(
+            head, (OutputHead, AtomicShiftHead, AtomicSumHead, LRCoulombHead)
+        ), f"head {name!r} is not routed spatially yet"
+        if isinstance(head, LRCoulombHead):
+            assert head.method == "dsf", (
+                "spatial LR Coulomb supports the DSF sweep (Ewald/PME need a "
+                "sharded FFT layer)"
+            )
+
+    def local_energy(params, coord_l, numbers_l, charge, cell):
+        nxl, h = spec.nx_local, spec.halo
+        core = spec.core_slice
+        ext_grid = spec.ext_grid
+        l_ext = ext_grid.num_slots
+
+        numbers_ext = _exchange(spec, numbers_l)
+        coord_ext = _exchange_coord(spec, coord_l, cell)
+        # halo atoms: real pair candidates, excluded from every molecular
+        # accumulation (mol_idx = num_mol = the trash segment)
+        plane_is_core = jnp.concatenate(
+            [
+                jnp.zeros(h * spec.plane_slots, bool),
+                jnp.ones(nxl * spec.plane_slots, bool),
+                jnp.zeros(h * spec.plane_slots, bool),
+            ]
+        )
+        mol_idx_ext = jnp.where((numbers_ext > 0) & plane_is_core, 0, 1)
+        mol_idx_core = mol_idx_ext[core]
+
+        sys_ext = System(
+            coord=coord_ext,
+            numbers=numbers_ext,
+            charge=charge,
+            mol_idx=mol_idx_ext,
+            cell=cell[None],
+            bins=ext_grid,
+        )
+
+        n_core = nxl * spec.plane_slots
+        a_core = params["afv"]["weight"][numbers_ext[core]]
+        if cfg.d2features:
+            a_core = a_core.reshape(n_core, cfg.nfeature, cfg.nshifts)
+        big_q = charge[:, None]  # (1, 1) single charge channel
+
+        charges_core = None
+        for ipass in range(npass):
+            a_ext = (
+                _exchange(spec, a_core.reshape((n_core,) + a_core.shape[1:]))
+            )
+            q_ext = (
+                _exchange(spec, charges_core) if charges_core is not None else None
+            )
+            conv_a, conv_q = conv_pass_binned(
+                sys_ext,
+                params["aev"],
+                a_ext,
+                q_ext,
+                params["conv_a"]["agh"],
+                params["conv_q"]["agh"],
+                cfg.d2features,
+                rc_static=cfg.aev.rc_s,
+            )
+            a_flat = a_core.reshape(n_core, -1)
+            if ipass == 0:
+                x = jnp.concatenate([a_flat, conv_a[core]], axis=-1)
+            else:
+                x = jnp.concatenate(
+                    [a_flat, conv_a[core], charges_core, conv_q[core]], axis=-1
+                )
+            out = mlp_apply(params["mlps"][ipass], x, mlp_spec_for_pass(cfg, ipass))
+            out = jnp.where((numbers_ext[core] > 0)[:, None], out, 0.0)
+            if ipass == npass - 1:
+                aim_core = out
+            else:
+                _q, _f, delta_a = (
+                    out[..., :c],
+                    out[..., c : 2 * c],
+                    out[..., 2 * c :],
+                )
+                q = _q if ipass == 0 else charges_core + _q
+                q, _dq = _nse_sp(big_q, q, _f * _f, mol_idx_core, 1)
+                charges_core = q
+                a_core = a_core + delta_a.reshape(a_core.shape)
+
+        # --- heads (energy surface)
+        e_atom = jnp.zeros((n_core,), coord_l.dtype)
+        e_mol = jnp.zeros((1,), coord_l.dtype)
+        data_core = {"aim": aim_core, "charges": charges_core[..., 0]}
+        for name, head in cfg.outputs:
+            p = params["outputs"][name]
+            if isinstance(head, OutputHead):
+                val = mlp_apply(p["mlp"], data_core[head.key_in], head.mlp)
+                e_atom = e_atom + jnp.where(
+                    numbers_ext[core] > 0, val[..., 0], 0.0
+                )
+            elif isinstance(head, AtomicShiftHead):
+                # SAE-external semantics (matching the MD/force surface):
+                # the exact float64 SAE is a composition constant applied on
+                # the host — force-irrelevant and excluded here
+                pass
+            elif isinstance(head, AtomicSumHead):
+                e_mol = e_mol + _mol_sum_sp(e_atom, mol_idx_core, 1)
+                e_atom = jnp.zeros_like(e_atom)
+            elif isinstance(head, LRCoulombHead):
+                e_mol = e_mol + _coulomb_spatial(
+                    head, sys_ext, _exchange(spec, charges_core[..., 0]),
+                    mol_idx_core, core,
+                )
+        return e_mol
+
+    @functools.partial(
+        jax.jit, static_argnames=()
+    )
+    def efn(params, coord, numbers, charge, cell):
+        from jax.experimental.shard_map import shard_map
+
+        f = shard_map(
+            local_energy,
+            mesh=mesh,
+            in_specs=(P(), P("sp"), P("sp"), P(), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+        return f(params, coord, numbers, charge, cell)[0]
+
+    return efn
+
+
+def _coulomb_spatial(head: LRCoulombHead, sys_ext: System, q_ext: Array,
+                     mol_idx_core: Array, core: slice) -> Array:
+    """SR/DSF Coulomb on the extended grid; core-receiver per-atom sums
+    reduced globally.  Mirrors engine_binned.coulomb_sr_binned /
+    coulomb_dsf_binned with the molecular sums spatialized."""
+    from aimnetcentral_tpu.models.lr import FACTOR
+
+    rc = float(head.rc)
+    # DSF (spatial auto-switches simple -> dsf like the binned engine)
+    alpha = float(head.dsf_alpha)
+    dsf_rc = float(head.dsf_rc)
+    erfc_rc = math.erfc(alpha * dsf_rc)
+    shift_val = erfc_rc / dsf_rc
+    shift_slope = erfc_rc / dsf_rc**2 + (
+        2.0 * alpha / math.sqrt(math.pi) * math.exp(-((alpha * dsf_rc) ** 2)) / dsf_rc
+    )
+
+    def e_fn(d, valid, self_b, cand_b):
+        qq = self_b["q"][..., :, None] * cand_b["q"][..., None, :]
+        e_pair = (
+            aops.erfc_approx(alpha * d) / d - shift_val + (d - dsf_rc) * shift_slope
+        )
+        if head.subtract_sr:
+            # fused SR subtraction, exactly as coulomb_dsf_binned
+            if head.envelope == "exp":
+                x = jnp.clip(d / rc, 0.0, 1.0 - 1e-6)
+                fc = jnp.exp(-1.0 / (1.0 - x * x)) / 0.36787944117144233
+            else:
+                fc = jnp.where(
+                    d < rc,
+                    0.5 * (jnp.cos(jnp.clip(d, 1e-6, rc) * (jnp.pi / rc)) + 1.0),
+                    0.0,
+                )
+            e_pair = e_pair - fc / d
+        return qq * e_pair
+
+    e_i = pair_energy_binned(sys_ext, dsf_rc, e_fn, {"q": q_ext})
+    e = FACTOR * _mol_sum_sp(e_i[core], mol_idx_core, 1)
+    self_coeff = -(shift_val / 2.0 + alpha / math.sqrt(math.pi))
+    q_core = q_ext[core]
+    q_real = jnp.where(sys_ext.numbers[core] > 0, q_core, 0.0)
+    return e + 2.0 * FACTOR * _mol_sum_sp(
+        self_coeff * q_real * q_real, mol_idx_core, 1
+    )

@@ -1,0 +1,115 @@
+"""Spatial domain decomposition (parallel/spatial.py): the sharded forward
+must reproduce the single-device binned forward — energies and forces —
+on a virtual CPU mesh.  The TPU-native capability the reference lacks
+(its parallelism is DDP training only, reference aimnet/train/train.py:86-92).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aimnetcentral_tpu.builders import system_from_molecules
+from aimnetcentral_tpu.models import aimnet2_apply, aimnet2_init
+from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
+from aimnetcentral_tpu.ops.binned import plan_bins, to_binned_system
+
+
+@pytest.fixture(scope="module")
+def case():
+    from __graft_entry__ import _flagship
+
+    cfg, params = _flagship()
+    # shrink the DSF sweep so a 4-plane grid supports a 2-shard halo
+    new_outputs = []
+    for name, head in cfg.outputs:
+        if head.kind == "lrcoulomb":
+            head = dataclasses.replace(head, dsf_rc=9.0)
+        new_outputs.append((name, head))
+    cfg = dataclasses.replace(cfg, outputs=tuple(new_outputs))
+    cfg_dsf = auto_switch_simple_to_dsf(cfg)
+    params = aimnet2_init(jax.random.key(0), cfg_dsf)
+
+    rng = np.random.default_rng(3)
+    n, a = 400, 22.0
+    m = int(np.ceil(n ** (1 / 3)))
+    grid_pts = np.stack(
+        np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)[:n]
+    coord = ((grid_pts + 0.5) * (a / m)).astype(np.float32)
+    coord += rng.uniform(-0.4, 0.4, coord.shape).astype(np.float32)
+    numbers = rng.choice([1, 6, 7, 8], size=n, p=[0.5, 0.35, 0.05, 0.1])
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_c = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    grid = plan_bins(cell, n, 5.3, safety=2.5)
+    assert grid.nbins[0] == 4, grid
+    sysb, perm, ovf = to_binned_system(sys_c, grid)
+    assert int(ovf) == 0
+    return cfg_dsf, params, sysb
+
+
+def _single_device_energy(cfg, params, sysb, coord=None):
+    s = sysb if coord is None else sysb.replace(coord=coord)
+    out = aimnet2_apply(params, cfg, s, sae_external=True)
+    return out["energy"].sum(), out
+
+
+def test_spatial_energy_matches_single_device(case):
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    e_ref, out_ref = _single_device_energy(cfg, params, sysb)
+
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(cfg, spec, mesh)
+    e_sp = efn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    np.testing.assert_allclose(
+        float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5
+    )
+
+
+def test_spatial_forces_match_single_device(case):
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    g_ref = jax.grad(
+        lambda c: _single_device_energy(cfg, params, sysb, coord=c)[0]
+    )(sysb.coord)
+
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(cfg, spec, mesh)
+    g_sp = jax.grad(
+        lambda c: efn(params, c, sysb.numbers, sysb.charge, sysb.cell[0])
+    )(sysb.coord)
+
+    mask = np.asarray(sysb.numbers > 0)
+    d = np.abs(np.asarray(g_sp) - np.asarray(g_ref))[mask]
+    scale = max(float(np.abs(np.asarray(g_ref)).max()), 1e-9)
+    assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
+
+
+def test_spatial_four_shards(case):
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    # halo (2 planes) exceeds the 1-plane slab of a 4-way split: must refuse
+    with pytest.raises(AssertionError, match="halo"):
+        plan_spatial(sysb, cfg, n_sp=4)
