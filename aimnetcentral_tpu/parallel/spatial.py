@@ -372,3 +372,141 @@ def _coulomb_spatial(head: LRCoulombHead, sys_ext: System, q_ext: Array,
     return e + 2.0 * FACTOR * _mol_sum_sp(
         self_coeff * q_real * q_real, mol_idx_core, 1
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial MD: velocity-Verlet + Langevin over the sharded force field
+
+
+class SpatialMDDriver:
+    """MD on ONE spatially-sharded periodic box.
+
+    Integration is elementwise (runs on the sharded arrays); forces come
+    from ``jax.grad`` through the shard_map energy; re-binning is a GLOBAL
+    shape-stable permutation (ops/binned.bin_atoms + to_slots — the same
+    machinery as dynamics/md.py) applied between chunks.  v1 keeps the
+    chunk loop host-driven with an unconditional end-of-chunk re-bin; the
+    grid margin (= skin) covers intra-chunk drift.
+    """
+
+    def __init__(
+        self, params, cfg: AIMNet2Config, system: System, md, n_sp: int,
+        seed: int = 0,
+    ):
+        from aimnetcentral_tpu import constants
+        from aimnetcentral_tpu.dynamics.md import maxwell_boltzmann_velocities
+
+        assert system.bins is not None and system.cell is not None
+        self.params = params
+        self.md = md
+        self.spec = plan_spatial(system, cfg, n_sp)
+        self.mesh = make_spatial_mesh(n_sp)
+        self.efn = make_spatial_energy_fn(cfg, self.spec, self.mesh)
+        self.grid = system.bins
+        self.system = system
+        mass_table = np.clip(constants.get_masses(), 1e-6, None).astype(np.float32)
+        self.masses = jnp.asarray(mass_table)[system.numbers]
+        key = jax.random.key(seed)
+        self.key, vkey = jax.random.split(key)
+        self.veloc = maxwell_boltzmann_velocities(
+            vkey, self.masses, system.numbers, md.temperature_K
+        )
+        self.forces, self.epot = self._force(
+            system.coord, system.numbers, system.charge, system.cell[0]
+        )
+        self._chunk_cache: dict[int, Any] = {}
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _force(self, coord, numbers, charge, cell):
+        e, g = jax.value_and_grad(
+            lambda c: self.efn(self.params, c, numbers, charge, cell)
+        )(coord)
+        return -g, e
+
+    def _make_chunk(self, n_steps: int):
+        from aimnetcentral_tpu import constants
+
+        md = self.md
+        dt = md.dt_fs * constants.fs
+        charge = self.system.charge
+        cell = self.system.cell[0]
+
+        def step(carry, _):
+            # numbers/masses ride the carry: the end-of-chunk re-bin
+            # permutes them, and the cached executable must see fresh values
+            coord, veloc, forces, key, numbers, masses = carry
+            real = (numbers > 0)[:, None]
+            m = masses[:, None]
+            acc = jnp.where(real, forces / m, 0.0)
+            v_half = veloc + 0.5 * dt * acc
+            coord = coord + dt * v_half
+            f2, epot = self._force(coord, numbers, charge, cell)
+            acc2 = jnp.where(real, f2 / m, 0.0)
+            veloc = v_half + 0.5 * dt * acc2
+            if md.thermostat == "langevin":
+                key, nkey = jax.random.split(key)
+                gamma = md.friction_fs / constants.fs
+                c1 = jnp.exp(-gamma * dt)
+                kT = constants.kB * md.temperature_K
+                sigma = jnp.sqrt((1.0 - c1 * c1) * kT / m)
+                noise = jax.random.normal(nkey, veloc.shape, veloc.dtype)
+                veloc = jnp.where(real, c1 * veloc + sigma * noise, 0.0)
+            return (coord, veloc, f2, key, numbers, masses), epot
+
+        @jax.jit
+        def chunk(coord, veloc, forces, key, numbers, masses):
+            (coord, veloc, forces, key, _n, _m), epots = jax.lax.scan(
+                step, (coord, veloc, forces, key, numbers, masses), None,
+                length=n_steps,
+            )
+            return coord, veloc, forces, key, epots
+
+        return chunk
+
+    def _rebin(self, coord, veloc, forces):
+        """Global shape-stable re-bin (slot permutation), wrapped coords."""
+        sysb = self.system
+        cell0 = sysb.cell[0]
+        perm, wrap, ovf = B.bin_atoms(coord, sysb.numbers, self.grid, cell0)
+        cw = coord - aops.cellmul(wrap, cell0)
+        return (
+            B.to_slots(cw, perm),
+            B.to_slots(veloc, perm),
+            B.to_slots(forces, perm),
+            B.to_slots(sysb.numbers, perm),
+            B.to_slots(sysb.mol_idx, perm),
+            B.to_slots(self.masses, perm),
+            ovf,
+        )
+
+    # -- host API -----------------------------------------------------------
+
+    def run(self, n_steps: int, chunk: int = 10) -> dict:
+        sysb = self.system
+        epots = []
+        done = 0
+        while done < n_steps:
+            k = min(chunk, n_steps - done)
+            if k not in self._chunk_cache:
+                self._chunk_cache[k] = self._make_chunk(k)
+            coord, veloc, forces, self.key, ep = self._chunk_cache[k](
+                sysb.coord, self.veloc, self.forces, self.key,
+                sysb.numbers, self.masses,
+            )
+            epots.append(np.asarray(ep))
+            coord, veloc, forces, numbers, mol_idx, masses, ovf = self._rebin(
+                coord, veloc, forces
+            )
+            if int(ovf) > 0:
+                raise RuntimeError(
+                    f"spatial re-bin overflow ({int(ovf)} atoms); re-plan the "
+                    "grid with more capacity slack"
+                )
+            self.system = sysb = sysb.replace(
+                coord=coord, numbers=numbers, mol_idx=mol_idx
+            )
+            self.veloc, self.forces, self.masses = veloc, forces, masses
+            done += k
+        self.epot = epots[-1][-1]
+        return {"epot": np.concatenate(epots)}

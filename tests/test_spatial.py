@@ -142,3 +142,43 @@ def test_spatial_cell_gradient_matches_single_device(case):
     np.testing.assert_allclose(
         np.asarray(g_sp), np.asarray(g_ref), atol=5e-5 * scale + 5e-6
     )
+
+
+def test_spatial_md_matches_single_device_nve(case):
+    """A few NVE steps through SpatialMDDriver == a manual single-device
+    velocity-Verlet loop (epot trace; slot permutations are physics-inert)."""
+    cfg, params, sysb = case
+    from aimnetcentral_tpu import constants
+    from aimnetcentral_tpu.dynamics import MDConfig
+    from aimnetcentral_tpu.parallel.spatial import SpatialMDDriver
+
+    md = MDConfig(dt_fs=0.2, temperature_K=1e-6, thermostat="nve", skin=1.0)
+    drv = SpatialMDDriver(params, cfg, sysb, md, n_sp=2)
+
+    # manual single-device reference from the identical initial state
+    coord = sysb.coord
+    veloc = drv.veloc
+    masses = drv.masses
+
+    def force(c):
+        e, g = jax.value_and_grad(
+            lambda cc: aimnet2_apply(
+                params, cfg, sysb.replace(coord=cc), sae_external=True
+            )["energy"].sum()
+        )(c)
+        return -g, e
+
+    forces, _ = force(coord)
+    dt = md.dt_fs * constants.fs
+    real = (sysb.numbers > 0)[:, None]
+    ref_epots = []
+    for _ in range(4):
+        acc = jnp.where(real, forces / masses[:, None], 0.0)
+        v_half = veloc + 0.5 * dt * acc
+        coord = coord + dt * v_half
+        forces, epot = force(coord)
+        veloc = v_half + 0.5 * dt * jnp.where(real, forces / masses[:, None], 0.0)
+        ref_epots.append(float(epot))
+
+    out = drv.run(4, chunk=2)
+    np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
