@@ -30,8 +30,8 @@ Design:
 
 Scope: single-molecule periodic systems (the large-box use case) with the
 energy surface of the flagship head chain (Output/AtomicShift/AtomicSum +
-LRCoulomb in SR/DSF mode).  Dipole/quadrupole/D3 heads are not yet routed
-spatially.  Validated for bitwise-level equality against the single-device
+LRCoulomb in SR/DSF mode), 1- or 2-channel (NSE open-shell) charge models.
+Dipole/quadrupole/D3 heads are not yet routed spatially.  Validated for bitwise-level equality against the single-device
 forward on a virtual CPU mesh (tests/test_spatial.py).
 """
 
@@ -198,7 +198,6 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
     cfg = auto_switch_simple_to_dsf(cfg)
     npass = len(cfg.hidden)
     c = cfg.num_charge_channels
-    assert c == 1, "spatial NSE (2-channel) models: pass mult support TODO"
     for name, head in cfg.outputs:
         assert isinstance(
             head, (OutputHead, AtomicShiftHead, AtomicSumHead, LRCoulombHead)
@@ -209,7 +208,7 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
                 "sharded FFT layer)"
             )
 
-    def local_energy(params, coord_l, numbers_l, charge, cell):
+    def local_energy(params, coord_l, numbers_l, charge, mult, cell):
         nxl, h = spec.nx_local, spec.halo
         core = spec.core_slice
         ext_grid = spec.ext_grid
@@ -242,7 +241,13 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
         a_core = params["afv"]["weight"][numbers_ext[core]]
         if cfg.d2features:
             a_core = a_core.reshape(n_core, cfg.nfeature, cfg.nshifts)
-        big_q = charge[:, None]  # (1, 1) single charge channel
+        if c == 2:
+            # NSE spin channels (reference aimnet/models/aimnet2.py:94-106)
+            half_spin = 0.5 * (mult - 1.0)
+            half_q = 0.5 * charge
+            big_q = jnp.stack([half_q + half_spin, half_q - half_spin], axis=-1)
+        else:
+            big_q = charge[:, None]  # (1, 1) single charge channel
 
         charges_core = None
         for ipass in range(npass):
@@ -287,7 +292,10 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
         # --- heads (energy surface)
         e_atom = jnp.zeros((n_core,), coord_l.dtype)
         e_mol = jnp.zeros((1,), coord_l.dtype)
-        data_core = {"aim": aim_core, "charges": charges_core[..., 0]}
+        # channel collapse: total charge = sum over spin channels (== the
+        # single channel for c == 1; reference aimnet/models/aimnet2.py:178-179)
+        q_total_core = charges_core.sum(axis=-1)
+        data_core = {"aim": aim_core, "charges": q_total_core}
         for name, head in cfg.outputs:
             p = params["outputs"][name]
             if isinstance(head, OutputHead):
@@ -305,7 +313,7 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
                 e_atom = jnp.zeros_like(e_atom)
             elif isinstance(head, LRCoulombHead):
                 e_mol = e_mol + _coulomb_spatial(
-                    head, sys_ext, _exchange(spec, charges_core[..., 0]),
+                    head, sys_ext, _exchange(spec, q_total_core),
                     mol_idx_core, core,
                 )
         return e_mol
@@ -313,17 +321,19 @@ def make_spatial_energy_fn(cfg: AIMNet2Config, spec: SpatialSpec, mesh: Mesh):
     @functools.partial(
         jax.jit, static_argnames=()
     )
-    def efn(params, coord, numbers, charge, cell):
+    def efn(params, coord, numbers, charge, cell, mult=None):
         from jax.experimental.shard_map import shard_map
 
+        if mult is None:
+            mult = jnp.ones_like(charge)  # closed shell default
         f = shard_map(
             local_energy,
             mesh=mesh,
-            in_specs=(P(), P("sp"), P("sp"), P(), P()),
+            in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
             out_specs=P(),
             check_rep=False,
         )
-        return f(params, coord, numbers, charge, cell)[0]
+        return f(params, coord, numbers, charge, mult, cell)[0]
 
     return efn
 
@@ -419,8 +429,9 @@ class SpatialMDDriver:
     # -- jitted pieces ------------------------------------------------------
 
     def _force(self, coord, numbers, charge, cell):
+        mult = self.system.mult
         e, g = jax.value_and_grad(
-            lambda c: self.efn(self.params, c, numbers, charge, cell)
+            lambda c: self.efn(self.params, c, numbers, charge, cell, mult)
         )(coord)
         return -g, e
 

@@ -9,6 +9,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # shard_map compiles are minutes on CPU
+
 import jax
 import jax.numpy as jnp
 
@@ -142,6 +144,43 @@ def test_spatial_cell_gradient_matches_single_device(case):
     np.testing.assert_allclose(
         np.asarray(g_sp), np.asarray(g_ref), atol=5e-5 * scale + 5e-6
     )
+
+
+def test_spatial_nse_two_channel_matches_single_device(case):
+    """NSE (open-shell, 2 charge channels) spatial forward: energy + forces
+    vs single device; the spin-resolved charge-conservation sums psum over
+    the ring."""
+    cfg, _params, sysb = case
+    cfg2 = dataclasses.replace(cfg, num_charge_channels=2)
+    params2 = aimnet2_init(jax.random.key(7), cfg2)
+    sysb2 = sysb.replace(mult=jnp.asarray([2.0], dtype=jnp.float32))
+
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    def e_single(c):
+        s = sysb2.replace(coord=c)
+        return aimnet2_apply(params2, cfg2, s, sae_external=True)["energy"].sum()
+
+    e_ref, g_ref = jax.value_and_grad(e_single)(sysb2.coord)
+
+    spec = plan_spatial(sysb2, cfg2, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(cfg2, spec, mesh)
+    e_sp, g_sp = jax.value_and_grad(
+        lambda c: efn(
+            params2, c, sysb2.numbers, sysb2.charge, sysb2.cell[0], sysb2.mult
+        )
+    )(sysb2.coord)
+
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+    mask = np.asarray(sysb2.numbers > 0)
+    d = np.abs(np.asarray(g_sp) - np.asarray(g_ref))[mask]
+    scale = max(float(np.abs(np.asarray(g_ref)).max()), 1e-9)
+    assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
 
 
 def test_spatial_md_matches_single_device_nve(case):
