@@ -307,7 +307,21 @@ def conv_pass_pallas(
     cq = q.shape[1] if q is not None else 0
     # pad feature columns so gamma * f_pad is lane-aligned
     f_pad = f_dim if q is None else 2 * f_dim
-    gamma = 8 if g_dim % 8 == 0 else g_dim
+    # g-group size: the block-diagonal matmul computes gamma x the useful
+    # FLOPs, so pick the SMALLEST gamma whose output width gamma*f_pad still
+    # fills the 128 lanes (q-passes, f_pad=32: gamma=4 halves the MXU work
+    # vs gamma=8 at identical results; f_pad=16: gamma=8).  Overridable for
+    # experiments via AIMNET_CONV_GAMMA.
+    import os as _os
+
+    _gamma_env = _os.environ.get("AIMNET_CONV_GAMMA")
+    if _gamma_env:
+        gamma = int(_gamma_env)
+    else:
+        gamma = g_dim if g_dim % 8 else 8
+        for cand_g in (8, 4, 2, 1):
+            if g_dim % cand_g == 0 and cand_g * f_pad >= 128:
+                gamma = cand_g
 
     # --- static stencil tables (host) + cartesian shifts (device, cell-diff'able)
     nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
