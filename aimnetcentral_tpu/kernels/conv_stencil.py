@@ -133,17 +133,16 @@ def _group_shift_rows(shifts_g_ref, gamma, c, n_groups):
     return rows
 
 
-def _gs_tiled(d, fc, fcp, sg_row, eta, gamma, want_dgs):
+def _gs_tiled(d_t, fc_t, fcp_t, sg_row, eta, gamma, want_dgs):
     """Gaussian basis (and optionally its d-derivative) for a whole g-group
-    at once on (C, gamma*C) lanes: gs = exp(-eta (d - s_g)^2) fc."""
-    d_t = pltpu.repeat(d, gamma, axis=1)
-    fc_t = pltpu.repeat(fc, gamma, axis=1)
+    at once on (C, gamma*C) lanes: gs = exp(-eta (d - s_g)^2) fc.
+    ``d_t``/``fc_t``/``fcp_t`` are the PRE-TILED (C, gamma*C) distance /
+    cutoff tensors (group-independent — tiled once per bin pair)."""
     dd = d_t - sg_row
     e = jnp.exp(-eta * dd * dd)
     gs_all = e * fc_t
     if not want_dgs:
         return gs_all, None
-    fcp_t = pltpu.repeat(fcp, gamma, axis=1)
     dgs_all = e * (fcp_t - 2.0 * eta * dd * fc_t)
     return gs_all, dgs_all
 
@@ -167,18 +166,24 @@ def _fill_w(w_scratch, gs_all, u_tiled, c):
         w_scratch[(k + 1) * c : (k + 2) * c, :] = gs_all * u_tiled[k]
 
 
-def _fill_abig(abig_scratch, a_row_ref, tc, gi, gamma, c, f):
-    """Fill the (gamma*C, gamma*F) block-diagonal candidate matrix for group
-    ``gi`` from candidate bin slot ``tc`` (dynamic index into the row).
-    Only the diagonal blocks are written — the caller zeroes the scratch
-    ONCE per program (the off-diagonals stay zero; re-zeroing per (t, gi)
-    cost ~2 us/program of pure VMEM traffic)."""
-    a_t = a_row_ref[pl.ds(tc, 1)][0]  # (C, G*F)
-    for g2 in range(gamma):
-        g_abs = gi * gamma + g2
-        abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = a_t[
-            :, g_abs * f : (g_abs + 1) * f
-        ]
+def _block_mask(gamma, c, f):
+    """(gamma*C, gamma*F) f32 block-diagonal mask: row block i//C == col
+    block j//F.  Constant — hoisted to the top of each kernel body."""
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gamma * c, gamma * f), 0) // c
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gamma * c, gamma * f), 1) // f
+    return (row_blk == col_blk).astype(jnp.float32)
+
+
+def _abig(a_row_ref, tc, gi, blockmask, gamma, c, f):
+    """The (gamma*C, gamma*F) block-diagonal candidate matrix for group
+    ``gi`` of candidate bin slot ``tc`` (dynamic index into the row), built
+    as a full-lane masked vertical tile: the group's contiguous (C, gamma*F)
+    feature slice repeated gamma times down the sublanes, then multiplied by
+    the block-diagonal mask.  Replaces gamma narrow (C, F) strided stores
+    per group (F=16 < 128 lanes -> 1/8-efficiency lane writes) with two
+    full-lane ops."""
+    a_grp = a_row_ref[pl.ds(tc, 1)][0][:, gi * gamma * f : (gi + 1) * gamma * f]
+    return pltpu.repeat(a_grp, gamma, axis=0) * blockmask
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +224,9 @@ def _fwd_kernel(
     dz = dz_ref[s]
     n_groups = g // gamma
     sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
+    blockmask = _block_mask(gamma, c, f)
 
-    def body(w_scratch, abig_scratch):
-        abig_scratch[...] = jnp.zeros_like(abig_scratch)
+    def body(w_scratch):
         for t in range(t_row):
             tc = jax.lax.rem(t + dz, t_row)
             ci = coord_self_ref[t]  # (4, C)
@@ -237,13 +242,15 @@ def _fwd_kernel(
                 )
                 for k in range(3)
             ]
+            d_t = pltpu.repeat(d, gamma, axis=1)
+            fc_t = pltpu.repeat(fc, gamma, axis=1)
             for gi in range(n_groups):
-                _fill_abig(abig_scratch, a_cand_ref, tc, gi, gamma, c, f)
-                gs_all, _ = _gs_tiled(d, fc, None, sg_rows[gi], eta, gamma, False)
+                abig = _abig(a_cand_ref, tc, gi, blockmask, gamma, c, f)
+                gs_all, _ = _gs_tiled(d_t, fc_t, None, sg_rows[gi], eta, gamma, False)
                 _fill_w(w_scratch, gs_all, u_tiled, c)
                 contrib = jax.lax.dot_general(
                     w_scratch[...].astype(mxu_dtype),
-                    abig_scratch[...].astype(mxu_dtype),
+                    abig.astype(mxu_dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (4C, gamma*F)
@@ -252,7 +259,6 @@ def _fwd_kernel(
     pl.run_scoped(
         body,
         w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
     )
 
 
@@ -384,9 +390,9 @@ def _bwd_cand_kernel(
     mdz = mdz_ref[s]
     n_groups = g // gamma
     sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
+    blockmask = _block_mask(gamma, c, f)
 
-    def body(w_scratch, abig_scratch):
-        abig_scratch[...] = jnp.zeros_like(abig_scratch)
+    def body(w_scratch):
         for t in range(t_row):
             tp = jax.lax.rem(t + mdz, t_row)  # partner slot
             ci = coord_partner_ref[pl.ds(tp, 1)][0]  # forward self side
@@ -398,30 +404,28 @@ def _bwd_cand_kernel(
             )
             uk = [(cj[k][None, :] - ci[k][:, None]) * inv_d for k in range(3)]
             u_tiled = [pltpu.repeat(u, gamma, axis=1) for u in uk]
+            d_t = pltpu.repeat(d, gamma, axis=1)
+            fc_t = pltpu.repeat(fc, gamma, axis=1)
+            fcp_t = pltpu.repeat(fcp, gamma, axis=1)
 
             dbar = jnp.zeros((c, c), jnp.float32)
             ubar = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
             for gi in range(n_groups):
-                # this bin's block-diagonal candidate matrix (off-diagonal
-                # blocks stay zero from the one-time body init)
-                a_t = a_recv_ref[t]
-                for g2 in range(gamma):
-                    g_abs = gi * gamma + g2
-                    abig_scratch[g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f] = (
-                        a_t[:, g_abs * f : (g_abs + 1) * f]
-                    )
+                # this bin's block-diagonal candidate matrix (full-lane
+                # masked tile; the dynamic slot index is the loop-static t)
+                abig = _abig(a_recv_ref, t, gi, blockmask, gamma, c, f)
                 gbar_grp = gbar_ref[pl.ds(tp, 1)][
                     0, :, gi * gamma * f : (gi + 1) * gamma * f
                 ].astype(mxu_dtype)
                 # weight cotangent: Wbar = gbar @ Abig^T : (4C, gamma*C)
                 wbar = jax.lax.dot_general(
                     gbar_grp,
-                    abig_scratch[...].astype(mxu_dtype),
+                    abig.astype(mxu_dtype),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 gs_all, dgs_all = _gs_tiled(
-                    d, fc, fcp, sg_rows[gi], eta, gamma, True
+                    d_t, fc_t, fcp_t, sg_rows[gi], eta, gamma, True
                 )
                 _fill_w(w_scratch, gs_all, u_tiled, c)
                 dbar, ubar = _chain_accumulate(
@@ -434,12 +438,15 @@ def _bwd_cand_kernel(
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                # diagonal blocks -> grad_a columns of the matching g
-                for g2 in range(gamma):
-                    g_abs = gi * gamma + g2
-                    grad_a_ref[t, :, g_abs * f : (g_abs + 1) * f] += grad_abig[
-                        g2 * c : (g2 + 1) * c, g2 * f : (g2 + 1) * f
-                    ]
+                # block-diagonal extract, full-lane: mask off-diagonal
+                # blocks, then sum the gamma row blocks down to (C, gamma*F)
+                # (row block g2's surviving cols are exactly [g2*F,(g2+1)*F)
+                # — the group's g-major column layout)
+                masked = grad_abig * blockmask
+                acc = masked[0:c, :]
+                for g2 in range(1, gamma):
+                    acc = acc + masked[g2 * c : (g2 + 1) * c, :]
+                grad_a_ref[t, :, gi * gamma * f : (gi + 1) * gamma * f] += acc
 
             rbar = _coord_chain_finish(uk, inv_d, within_f, dbar, ubar)
             for k in range(3):
@@ -454,7 +461,6 @@ def _bwd_cand_kernel(
     pl.run_scoped(
         body,
         w_scratch=pltpu.VMEM((4 * c, gamma * c), jnp.float32),
-        abig_scratch=pltpu.VMEM((gamma * c, gamma * f), jnp.float32),
     )
 
 
