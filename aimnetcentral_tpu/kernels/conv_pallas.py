@@ -2,22 +2,25 @@
 
 ``conv_pass_pallas`` is a drop-in twin of
 ``models/engine_binned.py::conv_pass_binned``: same inputs, same outputs,
-but the offset sweep runs in the fused Pallas kernel (kernels/conv_stencil.py).
-The gradient is ``jax.custom_vjp`` with ONE fused Pallas mirror-sweep adjoint:
-grad-a + candidate-side grad-coord accumulate resident, and the self-side
-grad-coord + lattice-shift adjoint (cell/strain gradients, stress) are
-reassembled from the sweep's partner-contribution side output by a static
-XLA scatter-add (see ``_conv_acc_bwd``).  Set ``AIMNET_CONV_BWD=xla`` to
-fall back to autodiff of the mathematically identical XLA formulation
+but the sweep runs in the fused xy-banded Pallas kernel
+(kernels/conv_stencil.py — only the (2r+1)^2 xy offsets are grid steps; the
+z dimension is a static in-program band).  The gradient is
+``jax.custom_vjp`` with ONE fused Pallas mirror-sweep adjoint: grad-a +
+receiver-side grad-coord accumulate resident, and the self-side grad-coord
++ lattice-shift adjoint (cell/strain gradients, stress) are reassembled
+from the sweep's partner-contribution side output by a static XLA gather
+(see ``_conv_acc_bwd``).  Set ``AIMNET_CONV_BWD=xla`` to fall back to
+autodiff of the mathematically identical XLA formulation
 (``_conv_acc_xla``).
 
 This replaces the reference's Warp K1-K3 family
 (aimnet/kernels/conv_sv_2d_sp_wp.py:90-244); double-backward (K3) is not
 needed here because Hessian/HVP paths run on the indexed layout.
 
-Measured (TPU v5e, 10k atoms / 512 bins / C=40): fwd 24 ms, fwd+bwd 88 ms
-per pass vs 166 ms for the XLA stencil-roll formulation; end-to-end NVT MD
-10k: 7.19 steps/s vs 1.90 (round-1 XLA), compile 84 s vs minutes.
+Measured (TPU v5e, 10k atoms / 729 bins / C=32): see docs/performance.md —
+per-pass fwd+bwd went 51 ms (per-offset grid, round-2 wave 2) -> 30 ms
+(full-lane abig tiles) -> banded grid (this file); end-to-end NVT MD and
+compile-time numbers are tracked in the docs table.
 """
 
 from __future__ import annotations
@@ -42,8 +45,9 @@ class ConvStatic:
     g: int
     f: int  # feature columns per g block (padded: model F [+ q channels])
     gamma: int
-    s_tot: int
+    s_tot: int  # xy offsets in the program grid ((2r+1)^2)
     t_row: int = 1  # bins per z-row (= nz; row-tiled kernel grid is B/t_row)
+    w_band: int = 3  # z band width (2r+1): in-program candidate slots per bin
     # "bf16": pair weights + candidate features downcast to bfloat16 at the
     # MXU inputs (f32 VPU pair math, f32 accumulation) — ~2x MXU throughput
     # and half the VMEM matmul traffic, at ~1e-3 relative force error.
@@ -130,9 +134,10 @@ def _conv_acc_xla(
         out = jnp.concatenate(outs, axis=-1)  # (B, 4C, G*F) g-major
         return acc + out, None
 
+    s_off = shift_cart.shape[0]  # per-offset table length ((2r+1)^3)
     acc0 = jnp.zeros((st.b_tot, 4 * c, g * f), a_gmajor.dtype)
     is_zero = jnp.concatenate(
-        [jnp.ones(1, bool), jnp.zeros(st.s_tot - 1, bool)]
+        [jnp.ones(1, bool), jnp.zeros(s_off - 1, bool)]
     )
     acc, _ = jax.lax.scan(
         lambda a_, s_: body(a_, s_), acc0, (nbr, shift_cart, is_zero)
@@ -141,17 +146,16 @@ def _conv_acc_xla(
 
 
 def _pallas_forward(
-    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+    st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
 ):
     from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_forward
 
     return conv_stencil_forward(
-        row_nbr.reshape(-1),
-        dz,
+        row_flat,
         coord_t,
         mask,
         a_gmajor,
-        shift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
+        shift_band,
         shifts_g,
         scal,
         r_tot=st.r_tot,
@@ -160,6 +164,7 @@ def _pallas_forward(
         g=st.g,
         f=st.f,
         gamma=st.gamma,
+        w_band=st.w_band,
         precision=st.precision,
     )
 
@@ -169,49 +174,50 @@ def conv_acc(
     st: ConvStatic,
     a_gmajor,
     coord_t,
-    shift_cart,
+    shift_band,
     mask,
-    row_nbr,
-    dz,
-    mrow_nbr,
-    mdz,
+    row_flat,
+    mrow_flat,
     pinv,
     pvalid,
     nbr,
-    mshift_cart,
+    shift_cart,
+    mshift_band,
     shifts_g,
     scal,
 ):
-    """Pallas stencil conv with ONE fused Pallas adjoint sweep.
+    """Pallas xy-banded stencil conv with ONE fused Pallas adjoint sweep.
 
-    ``row_nbr``/``dz`` are the row-granular stencil tables
-    (ops/binned.py::row_stencil_tables); ``mrow_nbr``/``mdz`` their
-    receiver-centric mirrors, used only by the backward sweep so every
-    write stays resident in its own row's output block instead of scattering
-    (the TPU-native answer to the reference's atomic-add scatter backward,
-    kernels/conv_sv_2d_sp_wp.py:115-164).  ``pinv``/``pvalid`` are the
-    STATIC inverse tables ((S*B,) int32 / (S, B) f32) that turn the sweep's
-    partner-contribution side output into the self-side coordinate and
-    lattice-shift adjoints with one GATHER — scatters lower to serial loops
-    on TPU and are avoided everywhere on the hot path.  ``nbr`` is the
-    per-BIN table, kept for the XLA-twin fallback backward
-    (AIMNET_CONV_BWD=xla).
+    ``row_flat`` is the flattened xy-offset row table
+    (ops/binned.py::xy_band_tables); ``mrow_flat`` its receiver-centric
+    mirror, used only by the backward sweep so every write stays resident
+    in its own row's output block instead of scattering (the TPU-native
+    answer to the reference's atomic-add scatter backward,
+    kernels/conv_sv_2d_sp_wp.py:115-164).  ``shift_band``/``mshift_band``
+    ((S, R, T, W, 4)) carry the banded lattice shifts and are the
+    differentiable path to cell/strain gradients.  ``pinv``/``pvalid`` are
+    the STATIC inverse tables ((S*W*B,) int32 / (S, W, B) f32) that turn
+    the sweep's partner-contribution side output into the self-side
+    coordinate and lattice-shift adjoints with one GATHER — scatters lower
+    to serial loops on TPU and are avoided everywhere on the hot path.
+    ``nbr``/``shift_cart`` are the per-OFFSET tables, kept for the XLA-twin
+    fallback backward (AIMNET_CONV_BWD=xla).
     """
     return _pallas_forward(
-        st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+        st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
     )
 
 
 def _conv_acc_fwd(
-    st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
-    pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
+    st, a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
+    pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
 ):
     out = _pallas_forward(
-        st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, shifts_g, scal
+        st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
     )
     return out, (
-        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
-        pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
+        a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
+        pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
     )
 
 
@@ -219,9 +225,11 @@ def _conv_acc_bwd(st, res, g_out):
     import os
 
     (
-        a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
-        pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
+        a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
+        pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
     ) = res
+    ds_band = jnp.zeros_like(shift_band)
+    ds_cart = jnp.zeros_like(shift_cart)
     if os.environ.get("AIMNET_CONV_BWD", "pallas") == "xla":
         _, vjp = jax.vjp(
             lambda a_, c_, s_: _conv_acc_xla(st, a_, c_, s_, mask, nbr, shifts_g, scal),
@@ -229,57 +237,124 @@ def _conv_acc_bwd(st, res, g_out):
             coord_t,
             shift_cart,
         )
-        da, dc, ds = vjp(g_out)
+        da, dc, ds_cart = vjp(g_out)
     else:
-        from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_cand
+        from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_banded
 
-        kw = dict(
-            r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f,
-            gamma=st.gamma, precision=st.precision,
-        )
-        da, dc_cand, pgrad = conv_stencil_bwd_cand(
-            mrow_nbr.reshape(-1),
-            mdz,
+        da, dc_cand, pgrad = conv_stencil_bwd_banded(
+            mrow_flat,
             coord_t,
             mask,
             a_gmajor,
             g_out,
-            mshift_cart.reshape(st.s_tot, st.r_tot, st.t_row, 4),
+            mshift_band,
             shifts_g,
             scal,
-            **kw,
+            r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f,
+            gamma=st.gamma, w_band=st.w_band, precision=st.precision,
         )
         # reassemble the partner(self)-side adjoints with one static GATHER:
-        # pinv[s, b] flat-indexes the (S*R*T, 4, C) side output at the
-        # receiver slot whose forward-step-s partner bin is b (pvalid masks
-        # (s, b) pairs with no receiver — gas-phase grid boundaries).
-        pg = pgrad.reshape(-1, 4, st.c)  # (S*R*T, 4, C)
+        # pinv[s, w, b] flat-indexes the (S*R*T*W, 4, C) side output at the
+        # receiver slot whose forward-(s, w) partner bin is b (pvalid masks
+        # entries with no receiver — gas-phase grid boundaries).
+        pg = pgrad.reshape(-1, 4, st.c)  # (S*R*T*W, 4, C)
         taken = jnp.take(pg, pinv, axis=0).reshape(
-            st.s_tot, st.b_tot, 4, st.c
-        ) * pvalid[:, :, None, None]
-        dc = dc_cand + taken.sum(0)  # self-side coordinate adjoint
-        # lattice-shift adjoint (forward frame, index (s, self bin)): the
+            st.s_tot, st.w_band, st.b_tot, 4, st.c
+        ) * pvalid[:, :, :, None, None]
+        dc = dc_cand + taken.sum((0, 1))  # self-side coordinate adjoint
+        # lattice-shift adjoint (forward frame, index (s, self bin, w)): the
         # total pair sum = -(lane sum of the partner contribution).
-        ds = -taken.sum(-1)  # (S, B, 4)
+        ds_swb = -taken.sum(-1)  # (S, W, B, 4)
+        r_tot = st.r_tot
+        ds_band = ds_swb.reshape(
+            st.s_tot, st.w_band, r_tot, st.t_row, 4
+        ).transpose(0, 2, 3, 1, 4)  # (S, R, T, W, 4)
     return (
         da,
         dc,
-        ds,
+        ds_band,
         jnp.zeros_like(mask),
-        jnp.zeros_like(row_nbr),
-        jnp.zeros_like(dz),
-        jnp.zeros_like(mrow_nbr),
-        jnp.zeros_like(mdz),
+        jnp.zeros_like(row_flat),
+        jnp.zeros_like(mrow_flat),
         jnp.zeros_like(pinv),
         jnp.zeros_like(pvalid),
         jnp.zeros_like(nbr),
-        jnp.zeros_like(mshift_cart),
+        ds_cart,
+        jnp.zeros_like(mshift_band),
         jnp.zeros_like(shifts_g),
         jnp.zeros_like(scal),
     )
 
 
 conv_acc.defvjp(_conv_acc_fwd, _conv_acc_bwd)
+
+
+def build_conv_tables(grid, radius: int, cell0: Array | None) -> dict:
+    """Device operand tables for ``conv_acc`` (shared with tests).
+
+    Per-OFFSET tables (``nbr``/``shift_cart``) feed the XLA-twin fallback
+    backward; the xy-banded tables (ops/binned.py::xy_band_tables) feed the
+    Pallas kernels.  All lattice shifts are built from host wrap tables via
+    an exact-precision einsum with the cell — the differentiable path for
+    cell/strain gradients — with invalid gas-phase probes pushed out of
+    range by +1e6.
+    """
+    b_tot = grid.total_bins
+    t_row = grid.nbins[2]
+    dtype = jnp.float32
+
+    nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
+    s_off = nbr_np.shape[0]
+    invalid = nbr_np < 0
+    nbr = jnp.asarray(np.where(invalid, 0, nbr_np))
+    if cell0 is not None:
+        shift3 = jnp.einsum(
+            "sbk,kh->sbh", jnp.asarray(wrap_np), cell0,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        shift3 = jnp.zeros((s_off, b_tot, 3), dtype)
+    if invalid.any():
+        shift3 = shift3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
+    shift_cart = jnp.concatenate(
+        [shift3, jnp.zeros((s_off, b_tot, 1), dtype)], axis=-1
+    )
+
+    bt = B.xy_band_tables(grid, radius)
+    s_tot, w_band = int(bt["s_tot"]), int(bt["w_tot"])
+    r_tot_ = bt["xyrow"].shape[1]
+
+    def _band_shift(wrap_np5, valid_np4):
+        if cell0 is not None:
+            sh = jnp.einsum(
+                "srtwk,kh->srtwh", jnp.asarray(wrap_np5), cell0,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            sh = jnp.zeros((s_tot, r_tot_, t_row, w_band, 3), dtype)
+        push = ~valid_np4
+        if push.any():
+            sh = sh + jnp.asarray(push[..., None].astype(np.float32)) * 1e6
+        return jnp.concatenate(
+            [sh, jnp.zeros((s_tot, r_tot_, t_row, w_band, 1), dtype)], axis=-1
+        )
+
+    return {
+        "nbr": nbr,
+        "shift_cart": shift_cart,
+        "row_flat": jnp.asarray(
+            np.where(bt["xyrow"] < 0, 0, bt["xyrow"]).reshape(-1)
+        ),
+        "mrow_flat": jnp.asarray(
+            np.where(bt["mxyrow"] < 0, 0, bt["mxyrow"]).reshape(-1)
+        ),
+        "shift_band": _band_shift(bt["wrap"], bt["valid"]),
+        "mshift_band": _band_shift(bt["mwrap"], bt["mvalid"]),
+        "pinv": jnp.asarray(bt["pinv"].reshape(-1)),
+        "pvalid": jnp.asarray(bt["pvalid"]),
+        "s_tot": s_tot,
+        "w_band": w_band,
+    }
 
 
 def conv_pass_pallas(
@@ -323,66 +398,12 @@ def conv_pass_pallas(
             if g_dim % cand_g == 0 and cand_g * f_pad >= 128:
                 gamma = cand_g
 
-    # --- static stencil tables (host) + cartesian shifts (device, cell-diff'able)
-    nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
-    s_tot = nbr_np.shape[0]
-    invalid = nbr_np < 0
-    nbr = jnp.asarray(np.where(invalid, 0, nbr_np))
-    wraps = jnp.asarray(wrap_np)  # (S, B, 3)
-    if cell0 is not None:
-        shift3 = jnp.einsum("sbk,kh->sbh", wraps, cell0, precision=jax.lax.Precision.HIGHEST)
-    else:
-        shift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
-    # invalid gas-phase probes: push candidates out of range
-    if invalid.any():
-        shift3 = shift3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
-    shift_cart = jnp.concatenate(
-        [shift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
-    )
-
-    # receiver-centric mirror tables for the backward sweeps (same push for
-    # invalid gas-phase probes so out-of-grid partners never contribute)
-    mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
-    minvalid = mnbr_np < 0
-    if cell0 is not None:
-        mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0, precision=jax.lax.Precision.HIGHEST)
-    else:
-        mshift3 = jnp.zeros((s_tot, b_tot, 3), a.dtype)
-    if minvalid.any():
-        mshift3 = mshift3 + jnp.asarray(minvalid[..., None].astype(np.float32)) * 1e6
-    mshift_cart = jnp.concatenate(
-        [mshift3, jnp.zeros((s_tot, b_tot, 1), a.dtype)], axis=-1
-    )
-
-    # row-granular tables for the row-tiled kernels (invalid rows clamp to
-    # self; their pairs are neutralized by the per-bin shift push above)
-    row_np, dz_np = B.row_stencil_tables(grid, radius)
-    mrow_np, mdz_np = B.mirror_row_stencil_tables(grid, radius)
-    row_nbr = jnp.asarray(np.where(row_np < 0, 0, row_np))
-    mrow_nbr = jnp.asarray(np.where(mrow_np < 0, 0, mrow_np))
-    dz = jnp.asarray(dz_np)
-    mdz = jnp.asarray(mdz_np)
-    t_row = grid.nbins[2]
-
-    # static inverse tables for the backward reassembly GATHER: for forward
-    # step s and self bin b, pinv[s, b] flat-indexes the (S*R*T) side-output
-    # slot of the receiver that claims b as its partner; pvalid masks (s, b)
-    # with no receiver (gas-phase boundaries).  Gathers, never scatters.
-    r_tot_ = row_np.shape[1]
-    pinv_np = np.zeros((s_tot, b_tot), np.int32)
-    pvalid_np = np.zeros((s_tot, b_tot), np.float32)
-    t_idx = np.arange(t_row)
-    for s_i in range(s_tot):
-        tp = (t_idx + mdz_np[s_i]) % t_row  # partner slot per receiver slot
-        for r_i in range(r_tot_):
-            pr = mrow_np[s_i, r_i]
-            if pr < 0:
-                continue
-            b_ids = pr * t_row + tp  # partner bins of this receiver row
-            pinv_np[s_i, b_ids] = (s_i * r_tot_ + r_i) * t_row + t_idx
-            pvalid_np[s_i, b_ids] = 1.0
-    pinv = jnp.asarray(pinv_np.reshape(-1))
-    pvalid = jnp.asarray(pvalid_np)
+    ops = build_conv_tables(grid, radius, cell0)
+    nbr, shift_cart = ops["nbr"], ops["shift_cart"]
+    row_flat, mrow_flat = ops["row_flat"], ops["mrow_flat"]
+    shift_band, mshift_band = ops["shift_band"], ops["mshift_band"]
+    pinv, pvalid = ops["pinv"], ops["pvalid"]
+    s_tot, w_band, t_row = ops["s_tot"], ops["w_band"], grid.nbins[2]
 
     coord_t = jnp.concatenate(
         [
@@ -409,7 +430,8 @@ def conv_pass_pallas(
     import os
 
     st = ConvStatic(
-        b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot, t_row=t_row,
+        b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot,
+        t_row=t_row, w_band=w_band,
         precision=os.environ.get("AIMNET_CONV_PRECISION", "f32"),
     )
     if interpret_xla:
@@ -418,8 +440,8 @@ def conv_pass_pallas(
         )
     else:
         acc = conv_acc(
-            st, a_gmajor, coord_t, shift_cart, mask, row_nbr, dz, mrow_nbr, mdz,
-            pinv, pvalid, nbr, mshift_cart, shifts_g, scal,
+            st, a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
+            pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
         )
 
     # --- post-process: split (g-major) acc into scalar + vector parts

@@ -415,6 +415,118 @@ def mirror_row_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, n
     return mrow.astype(np.int32), mdz_mod.astype(np.int32)
 
 
+def xy_band_tables(grid: BinGrid, radius: int) -> dict[str, np.ndarray]:
+    """Host tables for the xy-banded row-tiled Pallas conv kernels.
+
+    The banded kernels put only the (2r+1)^2 xy offsets in the program grid;
+    the z dimension is a static in-program BAND of W = 2r+1 candidate slots
+    per receiver bin (slot (t + dz_w) mod T, dz_w = w - r).  This cuts the
+    program count (and the per-program DMA of candidate rows / cotangent
+    blocks) by (2r+1)x versus the per-offset grid at identical MXU work.
+
+    Returns a dict of host arrays (S = (2r+1)^2 xy offsets, (0,0) first;
+    W = 2r+1; R = nx*ny; T = nz; B = R*T):
+
+    - ``xyrow (S, R)`` int32  forward candidate row; -1 out of grid
+    - ``mxyrow (S, R)`` int32  partner (mirror) row for the bwd sweep
+    - ``wrap (S, R, T, W, 3)`` f32  forward lattice wrap of candidate slot
+      (t+dz_w) as seen from self bin (row, t)
+    - ``valid (S, R, T, W)`` bool  candidate existence (gas-phase bounds)
+    - ``mwrap (S, R, T, W, 3)`` f32  FORWARD wrap in the receiver frame for
+      the bwd sweep (partner slot (t - dz_w) mod T); ``mvalid`` likewise
+    - ``pinv (S, W, B)`` int32 / ``pvalid (S, W, B)`` f32  static inverse
+      tables turning the bwd sweep's partner-contribution side output
+      (flat rows ((s*R + r)*T + t)*W + w) into forward-frame (s, w, b_self)
+      adjoints with one gather.
+    """
+    assert grid.periodic_axes is None or all(grid.axes_periodic) == grid.periodic, (
+        "row-tiled kernels do not support mixed per-axis periodicity; use the "
+        "XLA engine on spatial-decomposition shards"
+    )
+    nx, ny, nz = grid.nbins
+    per = np.array(grid.axes_periodic)
+    r = np.arange(-radius, radius + 1)
+    offs2 = np.stack(np.meshgrid(r, r, indexing="ij"), axis=-1).reshape(-1, 2)
+    offs2 = offs2[np.argsort((offs2 != 0).any(axis=1), stable=True)]  # (0,0) first
+    s_tot, w_tot = offs2.shape[0], 2 * radius + 1
+    rx, ry = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    rows = np.stack([rx, ry], axis=-1).reshape(-1, 2)  # (R, 2)
+    r_tot = rows.shape[0]
+    dzs = np.arange(-radius, radius + 1)  # dz_w = w - radius
+    t_idx = np.arange(nz)
+
+    def _axis(coord, n, periodic):
+        if periodic:
+            return coord % n, np.floor_divide(coord, n), np.ones_like(coord, bool)
+        ok = (coord >= 0) & (coord < n)
+        return np.clip(coord, 0, n - 1), np.zeros_like(coord), ok
+
+    # forward: candidate row (s, R) and per-(t, w) z wrap
+    tx = rows[None, :, 0] + offs2[:, None, 0]  # (S, R)
+    ty = rows[None, :, 1] + offs2[:, None, 1]
+    cx, wx, okx = _axis(tx, nx, per[0])
+    cy, wy, oky = _axis(ty, ny, per[1])
+    xyrow = np.where(okx & oky, cx * ny + cy, -1).astype(np.int32)
+    tz = t_idx[:, None] + dzs[None, :]  # (T, W)
+    _cz, wz, okz = _axis(tz, nz, per[2])
+    wrap = np.zeros((s_tot, r_tot, nz, w_tot, 3), np.float32)
+    wrap[..., 0] = wx[:, :, None, None]
+    wrap[..., 1] = wy[:, :, None, None]
+    wrap[..., 2] = wz[None, None, :, :]
+    valid = (okx & oky)[:, :, None, None] & okz[None, None, :, :]
+
+    # mirror (bwd): partner row p = row - (dx, dy); partner slot (t - dz_w).
+    # forward wrap as seen from the partner's WRAPPED coordinates.
+    px = rows[None, :, 0] - offs2[:, None, 0]
+    py = rows[None, :, 1] - offs2[:, None, 1]
+    mcx, _wpx, mokx = _axis(px, nx, per[0])
+    mcy, _wpy, moky = _axis(py, ny, per[1])
+    mxyrow = np.where(mokx & moky, mcx * ny + mcy, -1).astype(np.int32)
+    # Wf_x = floor((px_wrapped + dx) / nx) etc. (zero on non-periodic axes)
+    wfx = np.floor_divide(mcx + offs2[:, None, 0], nx) * per[0]
+    wfy = np.floor_divide(mcy + offs2[:, None, 1], ny) * per[1]
+    pz = t_idx[:, None] - dzs[None, :]  # (T, W)
+    mcz, _wpz, mokz = _axis(pz, nz, per[2])
+    wfz = np.floor_divide(mcz + dzs[None, :], nz) * per[2]
+    mwrap = np.zeros((s_tot, r_tot, nz, w_tot, 3), np.float32)
+    mwrap[..., 0] = wfx[:, :, None, None]
+    mwrap[..., 1] = wfy[:, :, None, None]
+    mwrap[..., 2] = wfz[None, None, :, :]
+    mvalid = (mokx & moky)[:, :, None, None] & mokz[None, None, :, :]
+
+    # static inverse tables: forward (s, w, self bin b=(rho, tp)) -> the bwd
+    # side-output row written by receiver (s, r_recv=xyrow[s,rho],
+    # t_recv=(tp+dz_w) mod T, w)
+    b_tot = r_tot * nz
+    pinv = np.zeros((s_tot, w_tot, b_tot), np.int32)
+    pvalid = np.zeros((s_tot, w_tot, b_tot), np.float32)
+    rho = np.arange(r_tot)
+    for s_i in range(s_tot):
+        r_recv = xyrow[s_i]  # (R,)
+        ok_row = r_recv >= 0
+        for w_i in range(w_tot):
+            t_recv = (t_idx[None, :] + dzs[w_i]) % nz  # (1, T) broadcast over rho
+            b_self = (rho[:, None] * nz + t_idx[None, :]).reshape(-1)
+            flat = (
+                (s_i * r_tot + np.where(ok_row, r_recv, 0)[:, None]) * nz + t_recv
+            ) * w_tot + w_i
+            ok = ok_row[:, None] & valid[s_i, :, :, w_i]
+            pinv[s_i, w_i, b_self] = flat.reshape(-1)
+            pvalid[s_i, w_i, b_self] = ok.reshape(-1).astype(np.float32)
+    return {
+        "xyrow": xyrow,
+        "mxyrow": mxyrow,
+        "wrap": wrap,
+        "valid": valid,
+        "mwrap": mwrap,
+        "mvalid": mvalid,
+        "pinv": pinv,
+        "pvalid": pvalid,
+        "s_tot": s_tot,
+        "w_tot": w_tot,
+    }
+
+
 def mirror_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
     """Receiver-centric stencil tables for adjoint (mirror) sweeps.
 

@@ -1,4 +1,4 @@
-"""Dedicated Pallas backward kernels (grad-a + grad-coord adjoint sweeps):
+"""Dedicated Pallas backward kernel (fused banded mirror adjoint sweep):
 interpret-mode correctness against autodiff of the XLA twin, periodic and
 gas-phase, plus the full custom_vjp route with Pallas on both sides."""
 
@@ -49,7 +49,6 @@ def _prepared_inputs(sysb, aev, a_feat):
     (a-only, no q channels)."""
     from aimnetcentral_tpu.kernels import conv_pallas as cp
     from aimnetcentral_tpu.models.engine_binned import stencil_radius
-    from aimnetcentral_tpu.ops import binned as B
 
     grid = sysb.bins
     cell0 = sysb.cell[0] if sysb.cell is not None else None
@@ -57,35 +56,7 @@ def _prepared_inputs(sysb, aev, a_feat):
     b_tot, c = grid.total_bins, grid.capacity
     g_dim, f_dim = 16, 16
 
-    nbr_np, wrap_np, _z = B.stencil_tables(grid, radius)
-    s_tot = nbr_np.shape[0]
-    invalid = nbr_np < 0
-    nbr = jnp.asarray(np.where(invalid, 0, nbr_np))
-    if cell0 is not None:
-        shift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(wrap_np), cell0)
-    else:
-        shift3 = jnp.zeros((s_tot, b_tot, 3), jnp.float32)
-    if invalid.any():
-        shift3 = shift3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
-    shift_cart = jnp.concatenate([shift3, jnp.zeros((s_tot, b_tot, 1))], axis=-1)
-
-    mnbr_np, mwrap_np = B.mirror_stencil_tables(grid, radius)
-    minvalid = mnbr_np < 0
-    if cell0 is not None:
-        mshift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(mwrap_np), cell0)
-    else:
-        mshift3 = jnp.zeros((s_tot, b_tot, 3), jnp.float32)
-    if minvalid.any():
-        mshift3 = mshift3 + jnp.asarray(minvalid[..., None].astype(np.float32)) * 1e6
-    mshift_cart = jnp.concatenate([mshift3, jnp.zeros((s_tot, b_tot, 1))], axis=-1)
-
-    row_np, dz_np = B.row_stencil_tables(grid, radius)
-    mrow_np, mdz_np = B.mirror_row_stencil_tables(grid, radius)
-    row_nbr = jnp.asarray(np.where(row_np < 0, 0, row_np))
-    mrow_nbr = jnp.asarray(np.where(mrow_np < 0, 0, mrow_np))
-    dz = jnp.asarray(dz_np)
-    mdz = jnp.asarray(mdz_np)
-
+    tables = cp.build_conv_tables(grid, radius, cell0)
     coord_t = jnp.concatenate(
         [
             sysb.coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
@@ -100,29 +71,26 @@ def _prepared_inputs(sysb, aev, a_feat):
         [aev["eta_s"], aev["rc_s"], jnp.float32(0.0), jnp.float32(0.0)]
     ).reshape(1, 4)
     st = cp.ConvStatic(
-        b_tot=b_tot, c=c, g=g_dim, f=f_dim, gamma=8, s_tot=s_tot,
-        t_row=grid.nbins[2],
+        b_tot=b_tot, c=c, g=g_dim, f=f_dim, gamma=8,
+        s_tot=tables["s_tot"], t_row=grid.nbins[2], w_band=tables["w_band"],
     )
-    tables = {
-        "nbr": nbr, "row_nbr": row_nbr, "dz": dz,
-        "mrow_nbr": mrow_nbr, "mdz": mdz, "mshift_cart": mshift_cart,
-    }
-    return st, a_gmajor, coord_t, shift_cart, mask, tables, shifts_g, scal
+    return st, a_gmajor, coord_t, mask, tables, shifts_g, scal, radius
 
 
 @pytest.mark.parametrize("periodic", [True, False])
-def test_bwd_kernels_match_autodiff(periodic):
-    """The fused mirror-sweep adjoint (interpret mode) + XLA reassembly ==
-    autodiff of the XLA twin for grad-a, grad-coord, and grad-shift
-    simultaneously."""
+def test_bwd_kernel_matches_autodiff(periodic):
+    """The fused banded mirror-sweep adjoint (interpret mode) + the gather
+    reassembly from _conv_acc_bwd == autodiff of the XLA twin for grad-a,
+    grad-coord, and grad-shift simultaneously."""
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu.kernels import conv_pallas as cp
-    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_cand
+    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_banded
+    from aimnetcentral_tpu.ops.binned import stencil_offsets
 
     sysb, aev, a_feat, *_ = _make_case(periodic)
     (
-        st, a_gmajor, coord_t, shift_cart, mask, tables, shifts_g, scal,
+        st, a_gmajor, coord_t, mask, tables, shifts_g, scal, radius,
     ) = _prepared_inputs(sysb, aev, a_feat)
 
     rng = np.random.default_rng(3)
@@ -136,44 +104,27 @@ def test_bwd_kernels_match_autodiff(periodic):
         ),
         a_gmajor,
         coord_t,
-        shift_cart,
+        tables["shift_cart"],
     )
     da_ref, dc_ref, ds_ref = vjp(gbar)
 
-    kw = dict(
-        r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f, gamma=st.gamma
-    )
     with pltpu.force_tpu_interpret_mode():
-        da_pal, dc_cand, pgrad = conv_stencil_bwd_cand(
-            tables["mrow_nbr"].reshape(-1), tables["mdz"], coord_t, mask,
-            a_gmajor, gbar,
-            tables["mshift_cart"].reshape(st.s_tot, st.r_tot, st.t_row, 4),
-            shifts_g, scal, **kw,
+        da_pal, dc_cand, pgrad = conv_stencil_bwd_banded(
+            tables["mrow_flat"], coord_t, mask, a_gmajor, gbar,
+            tables["mshift_band"], shifts_g, scal,
+            r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f,
+            gamma=st.gamma, w_band=st.w_band,
         )
     # reassembly exactly as _conv_acc_bwd does it
-    pgrad = pgrad.reshape(st.s_tot, st.r_tot, st.t_row, 4, st.c)
-    mdz = tables["mdz"]
-    t_iota = jnp.arange(st.t_row, dtype=mdz.dtype)
-    pslot = jax.lax.rem(t_iota[None, None, :] + mdz[:, None, None], st.t_row)
-    pidx = (
-        tables["mrow_nbr"].reshape(st.s_tot, st.r_tot)[:, :, None] * st.t_row
-        + pslot
-    )
-    dc_self = (
-        jnp.zeros((st.b_tot, 4, st.c))
-        .at[pidx.reshape(-1)]
-        .add(pgrad.reshape(-1, 4, st.c))
-    )
-    dc_pal = dc_self + dc_cand
-    sflat = (
-        jnp.arange(st.s_tot, dtype=pidx.dtype)[:, None, None] * st.b_tot + pidx
-    ).reshape(-1)
-    ds_pal = (
-        jnp.zeros((st.s_tot * st.b_tot, 4))
-        .at[sflat]
-        .add(-pgrad.sum(-1).reshape(-1, 4))
-        .reshape(st.s_tot, st.b_tot, 4)
-    )
+    pg = pgrad.reshape(-1, 4, st.c)
+    taken = jnp.take(pg, tables["pinv"], axis=0).reshape(
+        st.s_tot, st.w_band, st.b_tot, 4, st.c
+    ) * tables["pvalid"][:, :, :, None, None]
+    dc_pal = dc_cand + taken.sum((0, 1))
+    ds_swb = -taken.sum(-1)  # (S, W, B, 4)
+    ds_band = ds_swb.reshape(
+        st.s_tot, st.w_band, st.r_tot, st.t_row, 4
+    ).transpose(0, 2, 3, 1, 4)
 
     np.testing.assert_allclose(
         np.asarray(da_pal), np.asarray(da_ref), atol=3e-3, rtol=1e-3
@@ -181,11 +132,20 @@ def test_bwd_kernels_match_autodiff(periodic):
     np.testing.assert_allclose(
         np.asarray(dc_pal), np.asarray(dc_ref), atol=5e-3, rtol=1e-3
     )
-    # grad-shift: only compare the finite entries (invalid probes carry the
-    # 1e6 push; the XLA twin zeroes them identically)
-    np.testing.assert_allclose(
-        np.asarray(ds_pal), np.asarray(ds_ref), atol=5e-3, rtol=1e-3
-    )
+    # grad-shift: map the per-offset reference onto banded (s_xy, w) indices
+    offs = stencil_offsets(radius)  # (S_off, 3), same order as shift_cart
+    r_ = np.arange(-radius, radius + 1)
+    offs2 = np.stack(np.meshgrid(r_, r_, indexing="ij"), -1).reshape(-1, 2)
+    offs2 = offs2[np.argsort((offs2 != 0).any(axis=1), stable=True)]
+    key2 = {tuple(o): i for i, o in enumerate(offs2)}
+    ds_band_np = np.asarray(ds_band)
+    ds_ref_np = np.asarray(ds_ref).reshape(-1, st.r_tot, st.t_row, 4)
+    for s_o, (dx, dy, dz) in enumerate(offs):
+        got = ds_band_np[key2[(dx, dy)], :, :, dz + radius]
+        np.testing.assert_allclose(
+            got, ds_ref_np[s_o], atol=5e-3, rtol=1e-3,
+            err_msg=f"offset {(dx, dy, dz)}",
+        )
 
 
 def test_full_vjp_pallas_backward_matches_engine():
