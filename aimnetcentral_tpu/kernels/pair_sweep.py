@@ -8,43 +8,40 @@ formulation materializes (B, C, C) pair tensors in HBM per stencil offset
 (and rematerializes them in the backward via checkpointing); this kernel
 keeps every pair tile in VMEM.
 
-Design (differs from the conv kernel's half/mirror machinery on purpose):
+Two variants share the packed-extras / in-kernel-vjp machinery:
 
-- **Receiver-centric FULL stencil, zero scatters.**  For a pair term that is
-  symmetric under i<->j (the documented contract of pair_energy_binned),
-  the candidate-side adjoint of every pair equals its self-side adjoint
-  evaluated receiver-side:
+- **v3 (production): banded HALF-stencil row tiles** (``pair_acc_hb``) —
+  the conv kernel's xy-banded grid (programs = z-row x half xy offset,
+  z as a static in-program band) applied to the pair sweep.  Each
+  unordered pair is computed ONCE — the same pair count as the XLA half
+  sweep; receiver-side sums/adjoints accumulate resident, candidate-side
+  contributions leave as small per-(s, row) side outputs reassembled by
+  one static gather (ops/binned.py::xy_band_tables_half).  Dispatched
+  whenever nz >= 2*radius + 1 and the grid's periodicity is uniform.
+- **v1 (fallback): per-bin FULL stencil** (``pair_acc``) — receiver-centric
+  (2r+1)^3-offset sweep, both adjoints resident by i<->j symmetry, zero
+  side outputs; 2x the pair math and (2r+1)x the programs, kept for the
+  small/mixed-periodicity grids the banded tables don't cover.
 
-      dL/dr_i = sum_j (ct_i + ct_j) * e'(d_ij) * (r_i - r_j)/d_ij
-      dL/dp_i = sum_j (ct_i + ct_j) * de_ij/dp_i(self-slot)
+Shared design:
 
-  so BOTH the energy and every gradient are resident in the receiver row's
-  output block — no mirror tables, no scatter-add, no second orientation
-  sweep.  The cost is full (not half) pair enumeration, repaid by never
-  touching HBM with pair tensors.
 - The same ``e_fn(d, valid, self_b, cand_b)`` term functions used by the
   XLA twin are traced INSIDE the kernel on (C, Cc) VMEM tiles (elementwise
   jnp math only); their derivatives come from ``jax.vjp`` in-kernel — one
   differentiable implementation, kernel included.
 - Per-atom extras (charges, element parameters) ride as one packed
   (B, C, K) block; lattice-shift adjoints (cell/stress gradients) are
-  emitted as a per-(offset, row) side output and reduced outside, exactly
-  like the conv kernel's ``pgrad`` side output.
+  lane sums of per-(offset, row) side-output rows, exactly like the conv
+  kernel's ``pgrad`` side output.
 
 Contract: ``e_fn`` must be symmetric under the full i<->j swap and may only
 close over HOST constants (Python floats) — traced values must arrive as
 extra blocks.  Callers in engine_binned guard this.
 
-Status (measured, TPU v5e): hardware parity vs the XLA half-sweep is ~1e-7
-on energies and every gradient (this kernel matches the f64 brute-force
-truth; finding it exposed the default-matmul-precision geometry bug fixed
-in ops/math.cellmul).  Throughput does NOT yet beat the XLA scan: the
-full-stencil formulation computes ~4x the half-sweep's pair slots (v1
-per-bin tiles are additionally dispatch-bound; the v2 z-fused tiles are
-VPU-bound at 1.7x XLA).  The winning shape — banded candidate tiles
-(roll-built (TC, (2r+1)C) bands to skip out-of-radius z blocks) plus
-half-stencil xy offsets with mirror side outputs — is mapped but not
-built; until then AIMNET_PAIR_ENGINE defaults to xla.
+Measured (TPU v5e): see docs/performance.md — hardware parity vs the XLA
+half-sweep ~1e-7 on energies and every gradient (the v1 kernel matching the
+f64 brute-force truth is what exposed the default-matmul-precision geometry
+bug fixed in ops/math.cellmul).
 """
 
 from __future__ import annotations
@@ -451,9 +448,11 @@ def pair_energy_pallas(
         ext = jnp.zeros((b_tot, c, 1), jnp.float32)
 
     nx, ny, nz = grid.nbins
-    if nz >= 2 * radius + 1:
-        # z-fused fast path: one (T*C, T*C) tile per (row, xy-offset)
-        acc = _pair_acc_zf_call(
+    uniform_axes = all(grid.axes_periodic) or not any(grid.axes_periodic)
+    if nz >= 2 * radius + 1 and uniform_axes:
+        # banded half-stencil fast path: one (C, W*C) band tile per
+        # (bin, xy half-offset) — same pair count as the XLA half sweep
+        acc = _pair_acc_hb_call(
             grid, radius, cell0, coord, mask, ext, tuple(keys), k_tot, cutoff,
             e_pair_fn,
         )
@@ -498,64 +497,82 @@ def pair_energy_pallas(
     return acc
 
 
+
 # ---------------------------------------------------------------------------
-# v2: z-FUSED row tiles.  One program = one (row, xy-offset): the full
-# (T*C, T*C) pair tile covers every z-offset at once — the z-periodic image
-# is a static per-(t, tz) wrap pattern (`zw`) times the cell's z row, valid
-# whenever nz >= 2*radius + 1 (each bin pair then has at most one image
-# within the stencil radius).  Cuts program count by (2r+1)x and replaces
-# per-bin (C, C) tiles with one full-lane (T*C, T*C) tile; pair math grows
-# only T/(2r+1) ~ 1.4x.  Preferred whenever applicable (see dispatch in
-# pair_energy_pallas).
+# v3: banded HALF-stencil row tiles — the production sweep.
+#
+# One program = one (z-row, xy half-offset); the z dimension is a static
+# in-program band of W = 2r+1 candidate slots per receiver bin, exactly the
+# conv kernel's grid shape (ops/binned.py::xy_band_tables_half).  Each
+# unordered pair is computed ONCE — the same pair count as the XLA half
+# sweep — with every tile resident in VMEM: the receiver-side energy and
+# adjoints accumulate in this row's output blocks, and the candidate-side
+# contributions (mirror energy, coordinate and extras adjoints) are emitted
+# as small per-(s, row) side outputs and reassembled on the XLA side with
+# one static gather (pinv/pvalid — scatters lower to serial loops on TPU).
+# The lattice-shift adjoint (cell/stress) is the lane sum of the candidate
+# coordinate side output: the shift rides on the candidate coordinates.
+#
+# s = 0 carries the (0, 0) xy offset: its dz = 0 block is the full ORDERED
+# in-bin enumeration (both orderings computed, no mirror — the candidate
+# cotangent is masked), its dz < 0 slots are cut (mirrors of dz > 0),
+# handled entirely by the static tables (+1e6 shift push / pvalid).
 
 
 @dataclasses.dataclass(frozen=True)
-class PairStaticZF:
-    r_tot: int  # nx*ny rows
-    tc_dim: int  # T*C lanes per row
+class PairStaticHB:
+    b_tot: int
+    c: int
     k_tot: int
-    s_tot: int  # (2r+1)^2 xy offsets
-    s0: int  # index of the (0, 0) xy offset
+    s_tot: int  # half xy offsets ((2r+1)^2 + 1) / 2, (0, 0) first
+    t_row: int  # T = nz
+    w_band: int  # 2r+1 candidate slots per bin
     keys: tuple
 
+    @property
+    def r_tot(self) -> int:
+        return self.b_tot // self.t_row
 
-def _tile_geometry_zf(ci, cj, sxy, cz, zw, mz, s, s0, tc_dim, mask_self, mask_cand, cutoff):
-    """(TC, TC) pair distances + validity for the z-fused tile."""
-    d2 = jnp.zeros((tc_dim, tc_dim), jnp.float32)
+
+def _tile_geometry_hb(ci, cj, s, c, wc, r_mid, mask_self, mask_cand, cutoff):
+    """(C, W*C) band pair distances + validity.  Self pairs sit on the
+    dz = 0 block diagonal (col == row + r_mid*C), suppressed only at the
+    zero xy offset; invalid band slots arrive pre-pushed out of range.
+    ``mask_cand`` is the (1, W*C) band row (2D — Mosaic cannot concatenate
+    1D lane vectors)."""
+    d2 = jnp.zeros((c, wc), jnp.float32)
     diffs = []
     for k in range(3):
-        dk = ci[k][:, None] - cj[k][None, :] - sxy[k] - zw * cz[k]
+        dk = ci[k][:, None] - cj[k][None, :]
         diffs.append(dk)
         d2 = d2 + dk * dk
-    real = jnp.logical_and(mask_self[:, None] > 0.5, mask_cand[None, :] > 0.5)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tc_dim, tc_dim), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tc_dim, tc_dim), 1)
-    not_self = jnp.logical_or(s != s0, row_ids != col_ids)
+    real = jnp.logical_and(mask_self[:, None] > 0.5, mask_cand > 0.5)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 1)
+    not_self = jnp.logical_or(s != 0, col_ids != row_ids + r_mid * c)
     vp = jnp.logical_and(jnp.logical_and(real, not_self), d2 > 1e-10)
-    vp = jnp.logical_and(vp, mz > 0.5)
     d = jnp.sqrt(jnp.where(vp, d2, 1.0))
     vp = jnp.logical_and(vp, d < cutoff)
     inv_d = 1.0 / d
     return d, inv_d, diffs, vp
 
 
-def _fwd_kernel_zf(
-    row_ref,  # (S*R,) int32 candidate-row table
-    coord_self_ref,  # (1, 4, TC)
-    coord_cand_ref,  # (1, 4, TC)
-    mask_self_ref,  # (1, 1, TC)
-    mask_cand_ref,  # (1, 1, TC)
-    ext_self_ref,  # (1, TC, K)
-    ext_cand_ref,  # (1, TC, K)
-    sxy_ref,  # (1, 1, 1, 4) xy lattice shift for this (s, row)
-    cz_ref,  # (1, 4) cell z row
-    zw_ref,  # (TC, TC) static z-wrap pattern
-    mz_ref,  # (TC, TC) static z-range validity
+def _fwd_kernel_hb(
+    row_ref,  # (S*R,) int32 candidate-row table (half xy offsets)
+    coord_self_ref,  # (T, 4, C)
+    coord_cand_ref,  # (T, 4, C)
+    mask_self_ref,  # (T, 1, C)
+    mask_cand_ref,  # (T, 1, C)
+    ext_self_ref,  # (T, C, K)
+    ext_cand_ref,  # (T, C, K)
+    shift_ref,  # (1, 1, T, W, 4) banded lattice shifts for this (s, row)
     scal_ref,  # (1, 4) [cutoff, 0, 0, 0]
-    out_ref,  # (1, 1, TC)
+    out_ref,  # (T, 1, C) receiver-side sums, resident over s
+    me_ref,  # (1, T*W, C) candidate-side (mirror) sums for this (s, row)
     *,
-    tc_dim: int,
-    s0: int,
+    t_row: int,
+    c: int,
+    w_band: int,
     keys: tuple,
     e_fn,
 ):
@@ -565,41 +582,64 @@ def _fwd_kernel_zf(
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    d, _inv_d, _diffs, vp = _tile_geometry_zf(
-        coord_self_ref[0], coord_cand_ref[0], sxy_ref[0, 0, 0], cz_ref[0],
-        zw_ref[...], mz_ref[...], s, s0, tc_dim,
-        mask_self_ref[0, 0], mask_cand_ref[0, 0], scal_ref[0, 0],
-    )
-    self_b = _unpack_bin(ext_self_ref[0], keys)
-    cand_b = _unpack_bin(ext_cand_ref[0], keys)
-    e = jnp.where(vp, e_fn(d, vp, self_b, cand_b), 0.0)
-    out_ref[0, 0, :] += e.sum(axis=1)
+    cutoff = scal_ref[0, 0]
+    wc = w_band * c
+    r_mid = (w_band - 1) // 2
+    for t in range(t_row):
+        slots = [(t + w - r_mid) % t_row for w in range(w_band)]
+        ci = coord_self_ref[t]  # (4, C)
+        shift_t = shift_ref[0, 0, t]  # (W, 4)
+        cj = jnp.concatenate(
+            [coord_cand_ref[slots[w]] + shift_t[w].reshape(4, 1) for w in range(w_band)],
+            axis=1,
+        )  # (4, W*C)
+        mask_band = jnp.concatenate(
+            [mask_cand_ref[slots[w]] for w in range(w_band)], axis=1
+        )  # (1, W*C)
+        d, _inv_d, _diffs, vp = _tile_geometry_hb(
+            ci, cj, s, c, wc, r_mid, mask_self_ref[t, 0], mask_band, cutoff
+        )
+        self_b = _unpack_bin(ext_self_ref[t], keys)
+        ext_band = jnp.concatenate(
+            [ext_cand_ref[slots[w]] for w in range(w_band)], axis=0
+        )  # (W*C, K)
+        cand_b = _unpack_bin(ext_band, keys)
+        e = jnp.where(vp, e_fn(d, vp, self_b, cand_b), 0.0)
+        out_ref[t, 0, :] += e.sum(axis=1)
+        for w in range(w_band):
+            # candidate-side pair sums per band slot; non-mirroring blocks
+            # (s = 0) are masked by pvalid in the reassembly gather
+            me_ref[0, t * w_band + w, :] = e[:, w * c : (w + 1) * c].sum(axis=0)
 
 
-def _bwd_kernel_zf(
+def _bwd_kernel_hb(
     row_ref,
-    coord_self_ref,
+    coord_self_ref,  # (T, 4, C)
     coord_cand_ref,
     mask_self_ref,
     mask_cand_ref,
-    ext_self_ref,
+    ext_self_ref,  # (T, C, K)
     ext_cand_ref,
-    ct_self_ref,  # (1, 1, TC)
+    ct_self_ref,  # (T, 1, C)
     ct_cand_ref,
-    sxy_ref,
-    cz_ref,
-    zw_ref,
-    mz_ref,
+    shift_ref,  # (1, 1, T, W, 4)
     scal_ref,
-    g_coord_ref,  # (1, 4, TC)
-    g_ext_ref,  # (1, TC, K)
-    g_shift_ref,  # (1, 8, TC): rows 0-3 = sxy adjoint partials, 4-7 = cz
+    g_coord_ref,  # (T, 4, C) receiver-side coordinate adjoint
+    g_ext_ref,  # (T, C, K) receiver-side extras adjoint
+    gmc_ref,  # (1, T*W*4, C) candidate-side coordinate adjoint rows
+    gme_ref,  # (1, T*W*K, C) candidate-side extras adjoint rows
     *,
-    tc_dim: int,
-    s0: int,
+    t_row: int,
+    c: int,
+    w_band: int,
+    k_tot: int,
     keys: tuple,
     e_fn,
 ):
+    """One fused adjoint sweep over the same half stencil: every pair's
+    chain-rule cotangent is ct_i + ct_j (the forward accumulated e to both
+    endpoints; for the s = 0 ordered in-bin block the same cotangent makes
+    the self-side sum two-sided-complete by symmetry — see inline note)."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -607,239 +647,286 @@ def _bwd_kernel_zf(
         g_coord_ref[...] = jnp.zeros_like(g_coord_ref)
         g_ext_ref[...] = jnp.zeros_like(g_ext_ref)
 
-    zw = zw_ref[...]
-    d, inv_d, diffs, vp = _tile_geometry_zf(
-        coord_self_ref[0], coord_cand_ref[0], sxy_ref[0, 0, 0], cz_ref[0],
-        zw, mz_ref[...], s, s0, tc_dim,
-        mask_self_ref[0, 0], mask_cand_ref[0, 0], scal_ref[0, 0],
-    )
-    self_b = _unpack_bin(ext_self_ref[0], keys)
-    cand_b = _unpack_bin(ext_cand_ref[0], keys)
-    ct_i = ct_self_ref[0, 0]
-    ct_j = ct_cand_ref[0, 0]
-    vf = vp.astype(jnp.float32)
-    w1 = vf * (ct_i[:, None] + ct_j[None, :])
-    w0 = vf * jnp.broadcast_to(ct_i[:, None], (tc_dim, tc_dim))
+    cutoff = scal_ref[0, 0]
+    wc = w_band * c
+    r_mid = (w_band - 1) // 2
+    for t in range(t_row):
+        slots = [(t + w - r_mid) % t_row for w in range(w_band)]
+        ci = coord_self_ref[t]
+        shift_t = shift_ref[0, 0, t]
+        cj = jnp.concatenate(
+            [coord_cand_ref[slots[w]] + shift_t[w].reshape(4, 1) for w in range(w_band)],
+            axis=1,
+        )
+        mask_band = jnp.concatenate(
+            [mask_cand_ref[slots[w]] for w in range(w_band)], axis=1
+        )  # (1, W*C)
+        d, inv_d, diffs, vp = _tile_geometry_hb(
+            ci, cj, s, c, wc, r_mid, mask_self_ref[t, 0], mask_band, cutoff
+        )
+        self_b = _unpack_bin(ext_self_ref[t], keys)
+        ext_band = jnp.concatenate(
+            [ext_cand_ref[slots[w]] for w in range(w_band)], axis=0
+        )
+        cand_b = _unpack_bin(ext_band, keys)
+        ct_i = ct_self_ref[t, 0]  # (C,)
+        ct_j = jnp.concatenate(
+            [ct_cand_ref[slots[w]] for w in range(w_band)], axis=1
+        )  # (1, W*C)
+        # Every block uses the full pair cotangent ct_i + ct_j.  For the
+        # s = 0 ordered in-bin block (whose candidate side is dropped by
+        # pvalid) this is still exact: by e's i<->j symmetry the self-side
+        # sum over both orderings with ct_i + ct_j equals the complete
+        # two-sided adjoint (the v1 full-stencil identity).
+        vf = vp.astype(jnp.float32)
+        cbar = vf * (ct_i[:, None] + ct_j)
 
-    def f(d_, sv):
-        return jnp.where(vp, e_fn(d_, vp, sv, cand_b), 0.0)
+        def f(d_, sv, cv):
+            return jnp.where(vp, e_fn(d_, vp, sv, cv), 0.0)
 
-    _e, vjp_fn = jax.vjp(f, d, self_b)
-    dd_w1, gsv = vjp_fn(w1)
-    dd_one, _ = vjp_fn(jnp.ones_like(d))
-    dd_w0 = dd_one * w0
-    for k in range(3):
-        uk = diffs[k] * inv_d
-        g_coord_ref[0, k, :] += (dd_w1 * uk).sum(axis=1)
-        # shift adjoints: dd/dsxy_k = -u_k ; dd/dcz_k = -zw * u_k
-        g_shift_ref[0, k, :] = -(dd_w0 * uk).sum(axis=1)
-        g_shift_ref[0, 4 + k, :] = -(dd_w0 * uk * zw).sum(axis=1)
-    g_shift_ref[0, 3, :] = jnp.zeros((tc_dim,), jnp.float32)
-    g_shift_ref[0, 7, :] = jnp.zeros((tc_dim,), jnp.float32)
-    for name, off, k, scalar in keys:
-        gv = gsv[name]
-        if scalar:
-            g_ext_ref[0, :, off] += gv
-        else:
-            g_ext_ref[0, :, off : off + k] += gv
+        _e, vjp_fn = jax.vjp(f, d, self_b, cand_b)
+        dd, gsv, gcv = vjp_fn(cbar)
+        for k in range(3):
+            uk = diffs[k] * inv_d  # (r_i - r_j)/d
+            dk = dd * uk
+            g_coord_ref[t, k, :] += dk.sum(axis=1)
+            for w in range(w_band):
+                gmc_ref[0, (t * w_band + w) * 4 + k, :] = -dk[
+                    :, w * c : (w + 1) * c
+                ].sum(axis=0)
+        for w in range(w_band):
+            gmc_ref[0, (t * w_band + w) * 4 + 3, :] = jnp.zeros((c,), jnp.float32)
+        kk_used = 0
+        for name, off, k, scalar in keys:
+            gs_v = gsv[name]
+            gc_v = gcv[name]
+            if scalar:
+                g_ext_ref[t, :, off] += gs_v
+                for w in range(w_band):
+                    gme_ref[0, (t * w_band + w) * k_tot + off, :] = gc_v[
+                        w * c : (w + 1) * c
+                    ]
+                kk_used += 1
+            else:
+                g_ext_ref[t, :, off : off + k] += gs_v
+                for kk in range(k):
+                    for w in range(w_band):
+                        gme_ref[0, (t * w_band + w) * k_tot + off + kk, :] = gc_v[
+                            w * c : (w + 1) * c, kk
+                        ]
+                kk_used += k
+        if kk_used < k_tot:  # padding column of the packed extras block
+            for kk in range(kk_used, k_tot):
+                for w in range(w_band):
+                    gme_ref[0, (t * w_band + w) * k_tot + kk, :] = jnp.zeros(
+                        (c,), jnp.float32
+                    )
 
 
-def _zf_specs(st: PairStaticZF, with_ct: bool):
-    tc, k, r_tot = st.tc_dim, st.k_tot, st.r_tot
+def _hb_specs(st: PairStaticHB, with_ct: bool):
+    t_row, c, k, r_tot = st.t_row, st.c, st.k_tot, st.r_tot
     self_idx = lambda r, s, rt: (r, 0, 0)
     cand_idx = lambda r, s, rt: (rt[s * r_tot + r], 0, 0)
     specs = [
-        pl.BlockSpec((1, 4, tc), self_idx),
-        pl.BlockSpec((1, 4, tc), cand_idx),
-        pl.BlockSpec((1, 1, tc), self_idx),
-        pl.BlockSpec((1, 1, tc), cand_idx),
-        pl.BlockSpec((1, tc, k), self_idx),
-        pl.BlockSpec((1, tc, k), cand_idx),
+        pl.BlockSpec((t_row, 4, c), self_idx),
+        pl.BlockSpec((t_row, 4, c), cand_idx),
+        pl.BlockSpec((t_row, 1, c), self_idx),
+        pl.BlockSpec((t_row, 1, c), cand_idx),
+        pl.BlockSpec((t_row, c, k), self_idx),
+        pl.BlockSpec((t_row, c, k), cand_idx),
     ]
     if with_ct:
         specs += [
-            pl.BlockSpec((1, 1, tc), self_idx),
-            pl.BlockSpec((1, 1, tc), cand_idx),
+            pl.BlockSpec((t_row, 1, c), self_idx),
+            pl.BlockSpec((t_row, 1, c), cand_idx),
         ]
     specs += [
-        pl.BlockSpec((1, 1, 1, 4), lambda r, s, rt: (s, r, 0, 0)),
-        pl.BlockSpec((1, 4), lambda r, s, rt: (0, 0)),
-        pl.BlockSpec((tc, tc), lambda r, s, rt: (0, 0)),
-        pl.BlockSpec((tc, tc), lambda r, s, rt: (0, 0)),
+        pl.BlockSpec((1, 1, t_row, st.w_band, 4), lambda r, s, rt: (s, r, 0, 0, 0)),
         pl.BlockSpec((1, 4), lambda r, s, rt: (0, 0)),
     ]
     return specs
 
 
 @functools.partial(jax.jit, static_argnames=("st", "e_fn"))
-def pair_sweep_forward_zf(st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal):
+def pair_sweep_forward_hb(st, e_fn, row_flat, coord_t, mask, ext, shift_band, scal):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(st.r_tot, st.s_tot),
-        in_specs=_zf_specs(st, with_ct=False),
-        out_specs=pl.BlockSpec((1, 1, st.tc_dim), lambda r, s, rt: (r, 0, 0)),
-    )
-    kernel = functools.partial(
-        _fwd_kernel_zf, tc_dim=st.tc_dim, s0=st.s0, keys=st.keys, e_fn=e_fn
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((st.r_tot, 1, st.tc_dim), jnp.float32),
-    )(row_flat, coord_r, coord_r, mask_r, mask_r, ext_r, ext_r, sxy, cz, zw, mz, scal)
-
-
-@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
-def pair_sweep_backward_zf(st, e_fn, row_flat, coord_r, mask_r, ext_r, ct_r, sxy, cz, zw, mz, scal):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(st.r_tot, st.s_tot),
-        in_specs=_zf_specs(st, with_ct=True),
+        in_specs=_hb_specs(st, with_ct=False),
         out_specs=(
-            pl.BlockSpec((1, 4, st.tc_dim), lambda r, s, rt: (r, 0, 0)),
-            pl.BlockSpec((1, st.tc_dim, st.k_tot), lambda r, s, rt: (r, 0, 0)),
-            pl.BlockSpec((1, 8, st.tc_dim), lambda r, s, rt: (s * st.r_tot + r, 0, 0)),
+            pl.BlockSpec((st.t_row, 1, st.c), lambda r, s, rt: (r, 0, 0)),
+            pl.BlockSpec(
+                (1, st.t_row * st.w_band, st.c),
+                lambda r, s, rt: (s * st.r_tot + r, 0, 0),
+            ),
         ),
     )
     kernel = functools.partial(
-        _bwd_kernel_zf, tc_dim=st.tc_dim, s0=st.s0, keys=st.keys, e_fn=e_fn
+        _fwd_kernel_hb, t_row=st.t_row, c=st.c, w_band=st.w_band,
+        keys=st.keys, e_fn=e_fn,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((st.r_tot, 4, st.tc_dim), jnp.float32),
-            jax.ShapeDtypeStruct((st.r_tot, st.tc_dim, st.k_tot), jnp.float32),
-            jax.ShapeDtypeStruct((st.s_tot * st.r_tot, 8, st.tc_dim), jnp.float32),
+            jax.ShapeDtypeStruct((st.b_tot, 1, st.c), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (st.s_tot * st.r_tot, st.t_row * st.w_band, st.c), jnp.float32
+            ),
         ),
-    )(row_flat, coord_r, coord_r, mask_r, mask_r, ext_r, ext_r, ct_r, ct_r, sxy, cz, zw, mz, scal)
+    )(row_flat, coord_t, coord_t, mask, mask, ext, ext, shift_band, scal)
+
+
+@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
+def pair_sweep_backward_hb(
+    st, e_fn, row_flat, coord_t, mask, ext, ct, shift_band, scal
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(st.r_tot, st.s_tot),
+        in_specs=_hb_specs(st, with_ct=True),
+        out_specs=(
+            pl.BlockSpec((st.t_row, 4, st.c), lambda r, s, rt: (r, 0, 0)),
+            pl.BlockSpec((st.t_row, st.c, st.k_tot), lambda r, s, rt: (r, 0, 0)),
+            pl.BlockSpec(
+                (1, st.t_row * st.w_band * 4, st.c),
+                lambda r, s, rt: (s * st.r_tot + r, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, st.t_row * st.w_band * st.k_tot, st.c),
+                lambda r, s, rt: (s * st.r_tot + r, 0, 0),
+            ),
+        ),
+    )
+    kernel = functools.partial(
+        _bwd_kernel_hb, t_row=st.t_row, c=st.c, w_band=st.w_band,
+        k_tot=st.k_tot, keys=st.keys, e_fn=e_fn,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((st.b_tot, 4, st.c), jnp.float32),
+            jax.ShapeDtypeStruct((st.b_tot, st.c, st.k_tot), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (st.s_tot * st.r_tot, st.t_row * st.w_band * 4, st.c), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (st.s_tot * st.r_tot, st.t_row * st.w_band * st.k_tot, st.c),
+                jnp.float32,
+            ),
+        ),
+    )(row_flat, coord_t, coord_t, mask, mask, ext, ext, ct, ct, shift_band, scal)
+
+
+def _hb_gather(side, pinv, pvalid, st, trail):
+    """Reassemble a candidate-side side output: ``side`` (S*R, T*W*prod(trail), C)
+    -> per-destination-bin sums (B, *trail, C) via the static inverse gather."""
+    rows = side.reshape((st.s_tot * st.r_tot * st.t_row * st.w_band,) + trail + (st.c,))
+    taken = jnp.take(rows, pinv.reshape(-1), axis=0).reshape(
+        (st.s_tot, st.w_band, st.b_tot) + trail + (st.c,)
+    )
+    pv = pvalid.reshape((st.s_tot, st.w_band, st.b_tot) + (1,) * (len(trail) + 1))
+    return (taken * pv).sum((0, 1))
+
+
+def _pair_hb_primal(st, e_fn, coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal):
+    out, me = pair_sweep_forward_hb(
+        st, e_fn, row_flat, coord_t, mask, ext, shift_band, scal
+    )
+    return out + _hb_gather(me, pinv, pvalid, st, ())[:, None, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def pair_acc_zf(st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal):
-    return pair_sweep_forward_zf(
-        st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal
+def pair_acc_hb(st, e_fn, coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal):
+    """Per-atom symmetric pair sums (B, 1, C), banded half-stencil sweep with
+    a fused Pallas adjoint and static-gather mirror reassembly."""
+    return _pair_hb_primal(
+        st, e_fn, coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal
     )
 
 
-def _pair_acc_zf_fwd(st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal):
-    out = pair_sweep_forward_zf(
-        st, e_fn, row_flat, coord_r, mask_r, ext_r, sxy, cz, zw, mz, scal
+def _pair_acc_hb_fwd(st, e_fn, coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal):
+    out = _pair_hb_primal(
+        st, e_fn, coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal
     )
-    return out, (coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal)
+    return out, (coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal)
 
 
-def _pair_acc_zf_bwd(st, e_fn, res, ct):
-    coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal = res
-    gc, gext, gs_rows = pair_sweep_backward_zf(
-        st, e_fn, row_flat, coord_r, mask_r, ext_r, ct, sxy, cz, zw, mz, scal
+def _pair_acc_hb_bwd(st, e_fn, res, ct):
+    coord_t, mask, ext, row_flat, pinv, pvalid, shift_band, scal = res
+    gc, gext, gmc, gme = pair_sweep_backward_hb(
+        st, e_fn, row_flat, coord_t, mask, ext, ct, shift_band, scal
     )
-    rows = gs_rows.reshape(st.s_tot, st.r_tot, 8, st.tc_dim)
-    dsxy = rows[:, :, 0:3, :].sum(-1)  # (S, R, 3)
-    dsxy = jnp.concatenate(
-        [dsxy, jnp.zeros((st.s_tot, st.r_tot, 1), dsxy.dtype)], axis=-1
-    ).reshape(st.s_tot, st.r_tot, 1, 4)  # matching the sxy input frame
-    dcz = rows[:, :, 4:7, :].sum((0, 1, 3))  # (3,)
-    dcz = jnp.concatenate([dcz, jnp.zeros((1,), dcz.dtype)]).reshape(1, 4)
+    # lattice-shift adjoint: the shift rides on the candidate coordinates, so
+    # its adjoint is the LANE sum of the candidate coordinate rows, back in
+    # the (S, R, T, W, 4) frame of the shift_band input
+    ds_band = gmc.reshape(
+        st.s_tot, st.r_tot, st.t_row, st.w_band, 4, st.c
+    ).sum(-1)
+    gc = gc + _hb_gather(gmc, pinv, pvalid, st, (4,))
+    gext = gext + jnp.swapaxes(_hb_gather(gme, pinv, pvalid, st, (st.k_tot,)), 1, 2)
     return (
         gc,
-        jnp.zeros_like(mask_r),
+        jnp.zeros_like(mask),
         gext,
         jnp.zeros_like(row_flat),
-        dsxy,
-        dcz,
-        jnp.zeros_like(zw),
-        jnp.zeros_like(mz),
+        jnp.zeros_like(pinv),
+        jnp.zeros_like(pvalid),
+        ds_band,
         jnp.zeros_like(scal),
     )
 
 
-pair_acc_zf.defvjp(_pair_acc_zf_fwd, _pair_acc_zf_bwd)
+pair_acc_hb.defvjp(_pair_acc_hb_fwd, _pair_acc_hb_bwd)
 
 
-def _pair_acc_zf_call(grid, radius, cell0, coord, mask, ext, keys, k_tot, cutoff, e_fn):
-    """Build z-fused layouts/tables and invoke the v2 custom_vjp.
+def _pair_acc_hb_call(grid, radius, cell0, coord, mask, ext, keys, k_tot, cutoff, e_fn):
+    """Build banded half-stencil tables and invoke the v3 custom_vjp.
 
     ``coord`` (L, 3) in this grid's slot order; ``mask`` (B, 1, C);
-    ``ext`` (B, C, K).  Returns per-atom sums (L,) in slot order.
+    ``ext`` (B, C, K).  Returns per-atom ordered-pair sums (L,) in slot
+    order.
     """
-    nx, ny, nz = grid.nbins
-    c = grid.capacity
-    tc = nz * c
-    r_tot = nx * ny
+    from aimnetcentral_tpu.ops import binned as B
+
+    b_tot, c = grid.total_bins, grid.capacity
+    t_row = grid.nbins[2]
     dtype = coord.dtype
 
-    # (R, 4, TC) coords: t-major, slot-minor lanes
-    coord_r = jnp.concatenate(
+    bt = B.xy_band_tables_half(grid, radius)
+    s_tot, w_band = int(bt["s_tot"]), int(bt["w_tot"])
+    r_tot = bt["xyrow"].shape[1]
+
+    if cell0 is not None:
+        sh = jnp.einsum(
+            "srtwk,kh->srtwh", jnp.asarray(bt["wrap"]), cell0,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        sh = jnp.zeros((s_tot, r_tot, t_row, w_band, 3), dtype)
+    push = ~bt["valid"]
+    if push.any():
+        sh = sh + jnp.asarray(push[..., None].astype(np.float32)) * 1e6
+    shift_band = jnp.concatenate(
+        [sh, jnp.zeros((s_tot, r_tot, t_row, w_band, 1), dtype)], axis=-1
+    )
+
+    coord_t = jnp.concatenate(
         [
-            coord.reshape(r_tot, nz, c, 3).transpose(0, 3, 1, 2).reshape(r_tot, 3, tc),
-            jnp.zeros((r_tot, 1, tc), dtype),
+            coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
+            jnp.zeros((b_tot, 1, c), dtype),
         ],
         axis=1,
     )
-    mask_r = mask.reshape(r_tot, nz, 1, c).transpose(0, 2, 1, 3).reshape(r_tot, 1, tc)
-    ext_r = ext.reshape(r_tot, tc, k_tot)
-
-    # xy offset tables
-    rng = np.arange(-radius, radius + 1)
-    offs = [(int(dx), int(dy)) for dx in rng for dy in rng]
-    s_tot = len(offs)
-    s0 = offs.index((0, 0))
-    xs, ys = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
-    rows = np.stack([xs, ys], axis=-1).reshape(-1, 2)  # (R, 2), r = x*ny + y
-    row2 = np.zeros((s_tot, r_tot), np.int32)
-    wrap2 = np.zeros((s_tot, r_tot, 3), np.float32)
-    invalid = np.zeros((s_tot, r_tot), bool)
-    for si, (dx, dy) in enumerate(offs):
-        tx = rows[:, 0] + dx
-        ty = rows[:, 1] + dy
-        if grid.periodic:
-            wrap2[si, :, 0] = np.floor_divide(tx, nx)
-            wrap2[si, :, 1] = np.floor_divide(ty, ny)
-            row2[si] = (tx % nx) * ny + (ty % ny)
-        else:
-            inside = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
-            invalid[si] = ~inside
-            row2[si] = np.where(
-                inside, np.clip(tx, 0, nx - 1) * ny + np.clip(ty, 0, ny - 1), 0
-            )
-
-    if cell0 is not None:
-        sxy3 = jnp.einsum(
-            "srk,kh->srh", jnp.asarray(wrap2), cell0,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        cz3 = cell0[2]
-    else:
-        sxy3 = jnp.zeros((s_tot, r_tot, 3), dtype)
-        cz3 = jnp.zeros((3,), dtype)
-    if invalid.any():
-        sxy3 = sxy3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
-    sxy = jnp.concatenate(
-        [sxy3, jnp.zeros((s_tot, r_tot, 1), dtype)], axis=-1
-    ).reshape(s_tot, r_tot, 1, 4)
-    cz = jnp.concatenate([cz3, jnp.zeros((1,), dtype)]).reshape(1, 4)
-
-    # static z-wrap pattern and validity: nearest image of dz0 = tz - t
-    t_idx = np.arange(nz)
-    dz0 = t_idx[None, :] - t_idx[:, None]  # (t, tz)
-    zw_t = np.zeros((nz, nz), np.float32)
-    mz_t = (np.abs(dz0) <= radius).astype(np.float32)
-    if grid.periodic:
-        up = dz0 >= nz - radius  # wrapped image dz0 - nz within radius
-        dn = dz0 <= radius - nz
-        zw_t = np.where(up, -1.0, np.where(dn, 1.0, 0.0)).astype(np.float32)
-        mz_t = np.maximum(mz_t, (up | dn).astype(np.float32))
-    ones_cc = np.ones((c, c), np.float32)
-    zw = jnp.asarray(np.kron(zw_t, ones_cc))
-    mz = jnp.asarray(np.kron(mz_t, ones_cc))
-
-    st = PairStaticZF(
-        r_tot=r_tot, tc_dim=tc, k_tot=k_tot, s_tot=s_tot, s0=s0, keys=keys
+    st = PairStaticHB(
+        b_tot=b_tot, c=c, k_tot=k_tot, s_tot=s_tot, t_row=t_row,
+        w_band=w_band, keys=keys,
     )
     scal = jnp.asarray([cutoff, 0.0, 0.0, 0.0], jnp.float32).reshape(1, 4)
-    row_flat = jnp.asarray(row2.reshape(-1))
-    acc = pair_acc_zf(
-        st, e_fn, coord_r, mask_r, ext_r, row_flat, sxy, cz, zw, mz, scal
+    row_flat = jnp.asarray(np.where(bt["xyrow"] < 0, 0, bt["xyrow"]).reshape(-1))
+    acc = pair_acc_hb(
+        st, e_fn, coord_t, mask, ext, row_flat,
+        jnp.asarray(bt["pinv"]), jnp.asarray(bt["pvalid"]), shift_band, scal,
     )
-    return acc.reshape(r_tot, nz, c).reshape(-1)
+    return acc.reshape(-1)

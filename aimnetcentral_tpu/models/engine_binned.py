@@ -205,30 +205,25 @@ def pair_energy_binned(
     SR order (empty LR slots point at SR padding, contributing zero).  Falls
     back to the SR grid when no LR layout is attached.
 
-    ``AIMNET_PAIR_ENGINE=pallas`` routes the sweep to the fused Pallas
-    kernel (kernels/pair_sweep.py: VMEM-resident pair tiles, fused resident
-    adjoints; hardware-parity-verified to ~1e-7 vs this XLA scan).  The
-    default stays on the XLA scan: the kernel's full-stencil tiles compute
-    ~4x the XLA half-sweep's pair slots (z-fused variant measured 1.7x
-    slower at 10k) — a banded half-stencil variant would flip that (see
-    kernels/pair_sweep.py docstring).
+    ``AIMNET_PAIR_ENGINE={xla,auto,pallas}`` (default xla) picks the sweep
+    engine.  ``auto`` routes to the fused Pallas kernel
+    (kernels/pair_sweep.py: VMEM-resident pair tiles, ONE fused adjoint
+    sweep; hardware-parity-verified to ~2e-7 vs this XLA scan) on TPU
+    backends whenever the banded half-stencil tables apply (nz >= 2r+1,
+    uniform periodicity — the same pair count as this XLA half sweep).
+    The DEFAULT stays on the XLA scan: measured head-to-head (TPU v5e,
+    10k atoms, coarse LR layout) the banded kernel wins the isolated
+    gradient microbench by ~7% (5.7 vs 6.1 ms, tools/bench_pair.py) but is
+    a wash end-to-end in MD (9.0 steps/s both ways) at ~4x the kernel
+    compile time — XLA's fused scan is already near the VPU envelope for
+    these elementwise-dominated sweeps.  ``pallas`` forces the kernel even
+    where only the slower full-stencil fallback applies.
     ``allow_pallas=False`` pins the XLA path for e_pair_fns that close over
     traced values (the Pallas kernel traces e_pair_fn in-kernel and can only
     capture host constants).
     """
     import os
 
-    engine = os.environ.get("AIMNET_PAIR_ENGINE", "xla")
-    if allow_pallas and engine == "pallas":
-        from aimnetcentral_tpu.kernels.pair_sweep import (
-            pair_energy_pallas,
-            pair_sweep_available,
-        )
-
-        if pair_sweep_available():
-            return pair_energy_pallas(
-                system, cutoff, e_pair_fn, extra_blocks, layout
-            )
     grid = system.bins
     assert grid is not None
     lr_slot = None
@@ -237,6 +232,25 @@ def pair_energy_binned(
         lr_slot = system.lr_slot
     cell0 = system.cell[0] if system.cell is not None else None
     radius = stencil_radius(cutoff, grid, cell0)
+
+    engine = os.environ.get("AIMNET_PAIR_ENGINE", "xla")
+    if allow_pallas and engine in ("pallas", "auto"):
+        from aimnetcentral_tpu.kernels.pair_sweep import (
+            pair_energy_pallas,
+            pair_sweep_available,
+        )
+
+        banded_ok = grid.nbins[2] >= 2 * radius + 1 and (
+            all(grid.axes_periodic) or not any(grid.axes_periodic)
+        )
+        use = pair_sweep_available() and (
+            engine == "pallas"
+            or (banded_ok and jax.default_backend() == "tpu")
+        )
+        if use:
+            return pair_energy_pallas(
+                system, cutoff, e_pair_fn, extra_blocks, layout
+            )
 
     blocks = {"coord": system.coord, "numbers": system.numbers}
     if extra_blocks:

@@ -527,6 +527,105 @@ def xy_band_tables(grid: BinGrid, radius: int) -> dict[str, np.ndarray]:
     }
 
 
+def xy_band_tables_half(grid: BinGrid, radius: int) -> dict[str, np.ndarray]:
+    """Host tables for the banded HALF-stencil Pallas pair sweep.
+
+    Half-stencil enumeration of a SYMMETRIC pair term (each unordered pair
+    computed once): the xy offsets in the program grid are (0, 0) first,
+    then the ((2r+1)^2 - 1)/2 offsets with (dx, dy) > (0, 0) lexicographic;
+    their negations are covered by mirror accumulation.  The z dimension is
+    a static in-program band of W = 2r+1 candidate slots per receiver bin
+    (slot (t + dz_w) mod T).  For s = 0 the band is cut to dz >= 0 (the
+    dz < 0 pairs are the mirrors of dz > 0 of other bins in the same row),
+    and the dz = 0 block is the full ORDERED in-bin enumeration (both
+    orderings computed, so it needs no mirror accumulation).
+
+    Returns (S = half xy offsets, W = 2r+1, R = nx*ny, T = nz, B = R*T):
+
+    - ``xyrow (S, R)`` int32  candidate row; -1 out of grid (gas phase)
+    - ``wrap (S, R, T, W, 3)`` f32  lattice wrap of candidate slot (t+dz_w)
+    - ``valid (S, R, T, W)`` bool  candidate exists AND the (s, w) slot is
+      inside the half band (False pushes the pair out of range via the
+      +1e6 shift, exactly like the conv tables)
+    - ``pinv (S, W, B)`` int32 / ``pvalid (S, W, B)`` f32  static inverse
+      tables for mirror reassembly: ``pinv[s, w, b]`` flat-indexes the
+      side-output row ((s*R + rho)*T + t)*W + w whose candidate bin is b;
+      ``pvalid`` masks missing sources and non-mirroring blocks (all of
+      s = 0 except dz > 0, and gas-phase grid boundaries)
+    """
+    assert grid.periodic_axes is None or all(grid.axes_periodic) == grid.periodic, (
+        "row-tiled kernels do not support mixed per-axis periodicity; use the "
+        "XLA engine on spatial-decomposition shards"
+    )
+    nx, ny, nz = grid.nbins
+    per = np.array(grid.axes_periodic)
+    r = np.arange(-radius, radius + 1)
+    offs_all = np.stack(np.meshgrid(r, r, indexing="ij"), axis=-1).reshape(-1, 2)
+    offs2 = np.concatenate(
+        [np.zeros((1, 2), np.int64), offs_all[[tuple(o) > (0, 0) for o in offs_all]]]
+    )
+    s_tot, w_tot = offs2.shape[0], 2 * radius + 1
+    rx, ry = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    rows = np.stack([rx, ry], axis=-1).reshape(-1, 2)  # (R, 2)
+    r_tot = rows.shape[0]
+    dzs = np.arange(-radius, radius + 1)  # dz_w = w - radius
+    t_idx = np.arange(nz)
+
+    def _axis(coord, n, periodic):
+        if periodic:
+            return coord % n, np.floor_divide(coord, n), np.ones_like(coord, bool)
+        ok = (coord >= 0) & (coord < n)
+        return np.clip(coord, 0, n - 1), np.zeros_like(coord), ok
+
+    tx = rows[None, :, 0] + offs2[:, None, 0]  # (S, R)
+    ty = rows[None, :, 1] + offs2[:, None, 1]
+    cx, wx, okx = _axis(tx, nx, per[0])
+    cy, wy, oky = _axis(ty, ny, per[1])
+    xyrow = np.where(okx & oky, cx * ny + cy, -1).astype(np.int32)
+    tz = t_idx[:, None] + dzs[None, :]  # (T, W)
+    _cz, wz, okz = _axis(tz, nz, per[2])
+    wrap = np.zeros((s_tot, r_tot, nz, w_tot, 3), np.float32)
+    wrap[..., 0] = wx[:, :, None, None]
+    wrap[..., 1] = wy[:, :, None, None]
+    wrap[..., 2] = wz[None, None, :, :]
+    valid = (okx & oky)[:, :, None, None] & okz[None, None, :, :]
+    valid[0, :, :, :radius] = False  # half-band cut: s = 0 keeps dz >= 0
+
+    # which (s, w) blocks mirror-accumulate to the candidate side
+    mirror = np.ones((s_tot, w_tot), np.float32)
+    mirror[0, : radius + 1] = 0.0  # dz < 0 cut; dz = 0 ordered in-bin
+
+    # inverse tables: destination bin b = (x, y, t_dst) receives the mirror
+    # of source (s, rho_src = (x - dx, y - dy), t_src = t_dst - dz_w, w)
+    b_tot = r_tot * nz
+    pinv = np.zeros((s_tot, w_tot, b_tot), np.int32)
+    pvalid = np.zeros((s_tot, w_tot, b_tot), np.float32)
+    for s_i, (dx, dy) in enumerate(offs2):
+        px = rows[:, 0] - dx
+        py = rows[:, 1] - dy
+        cpx, _wpx, okpx = _axis(px, nx, per[0])
+        cpy, _wpy, okpy = _axis(py, ny, per[1])
+        rho_src = cpx * ny + cpy  # (R,)
+        ok_row = okpx & okpy
+        for w_i, dz in enumerate(dzs):
+            ct, _wt, okt = _axis(t_idx - dz, nz, per[2])  # (T,) source slot
+            flat = (
+                (s_i * r_tot + rho_src[:, None]) * nz + ct[None, :]
+            ) * w_tot + w_i  # (R, T) by destination (rho, t)
+            ok = ok_row[:, None] & okt[None, :]
+            pinv[s_i, w_i] = flat.reshape(-1)
+            pvalid[s_i, w_i] = (ok.reshape(-1)).astype(np.float32) * mirror[s_i, w_i]
+    return {
+        "xyrow": xyrow,
+        "wrap": wrap,
+        "valid": valid,
+        "pinv": pinv,
+        "pvalid": pvalid,
+        "s_tot": s_tot,
+        "w_tot": w_tot,
+    }
+
+
 def mirror_stencil_tables(grid: BinGrid, radius: int) -> tuple[np.ndarray, np.ndarray]:
     """Receiver-centric stencil tables for adjoint (mirror) sweeps.
 

@@ -154,18 +154,24 @@ def test_lr_layout_routing():
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
 
 
-def test_dftd3_full_path_matches(monkeypatch):
+@pytest.mark.parametrize("banded", [False, True])
+def test_dftd3_full_path_matches(monkeypatch, banded):
     """dftd3_binned end-to-end (CN sweep + factorized energy sweep) through
-    the Pallas engine == XLA engine."""
+    the Pallas engine == XLA engine, on both the per-bin (v1) and banded
+    half-stencil (v3) kernels — the banded case exercises the asymmetric
+    p/r extras through the two-sided in-kernel vjp."""
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu import constants
     from aimnetcentral_tpu.models.engine_binned import dftd3_binned
 
-    sysb, _q = _make_case()
+    sysb, _q = _make_banded_case(n=60) if banded else _make_case()
     t = constants.get_d3_tables()
     tables = {"rcov": jnp.asarray(t["rcov"]), "r4r2": jnp.asarray(t["r4r2"])}
     kw = dict(a1=0.49, a2=5.0, s8=0.78)
+    if banded:
+        # cutoffs that keep the sweep band-eligible on the small test box
+        kw.update(smoothing_on=4.0, smoothing_off=5.0)
 
     monkeypatch.setenv("AIMNET_PAIR_ENGINE", "xla")
     ref = dftd3_binned(sysb, tables, **kw)
@@ -175,8 +181,9 @@ def test_dftd3_full_path_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), rtol=1e-5, atol=1e-7)
 
 
-def _make_zf_case(periodic=True, n=120, seed=11):
-    """Case whose grid hits the z-fused (v2) path: nz >= 2*radius + 1."""
+def _make_banded_case(periodic=True, n=120, seed=11):
+    """Case whose grid hits the banded half-stencil (v3) path:
+    nz >= 2*radius + 1."""
     rng = np.random.default_rng(seed)
     a = 18.0
     coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
@@ -190,26 +197,26 @@ def _make_zf_case(periodic=True, n=120, seed=11):
     grid = plan_bins(cell, n, 5.5, safety=3.0, extent=extent)
     sysb, perm, ovf = to_binned_system(sys_c, grid)
     assert int(ovf) == 0
-    assert grid.nbins[2] >= 3, grid  # v2 eligibility at radius 1
+    assert grid.nbins[2] >= 3, grid  # banded eligibility at radius 1
     q = jnp.asarray(rng.normal(size=(sysb.natoms,)).astype(np.float32)) * 0.3
     return sysb, q
 
 
 @pytest.mark.parametrize("periodic", [True, False])
-def test_zfused_energy_matches_xla(periodic):
-    sysb, q = _make_zf_case(periodic=periodic)
+def test_banded_energy_matches_xla(periodic):
+    sysb, q = _make_banded_case(periodic=periodic)
     e_fn = _dsf_like()
     ref = _xla(sysb, 5.0, e_fn, {"q": q})
     pal = _pal(sysb, 5.0, e_fn, {"q": q})
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
 
 
-def test_zfused_gradients_match_xla():
+def test_banded_gradients_match_xla():
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
 
-    sysb, q = _make_zf_case()
+    sysb, q = _make_banded_case()
     e_fn = _dsf_like()
     ct = jnp.asarray(
         np.random.default_rng(5).normal(size=(sysb.natoms,)).astype(np.float32)
@@ -230,12 +237,12 @@ def test_zfused_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gp_q), np.asarray(gx_q), atol=3e-5)
 
 
-def test_zfused_cell_gradient_matches_xla():
+def test_banded_cell_gradient_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
 
-    sysb, q = _make_zf_case()
+    sysb, q = _make_banded_case()
     e_fn = _dsf_like()
 
     def loss_x(cell):
@@ -250,4 +257,59 @@ def test_zfused_cell_gradient_matches_xla():
     scale = max(float(np.abs(np.asarray(gx)).max()), 1e-8)
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(gx), atol=3e-5 * scale + 1e-6
+    )
+
+
+def test_banded_vector_extras_and_lr_layout():
+    """Banded path with (C, k) vector extras on the coarse LR twin layout
+    (the production DSF/D3 configuration): energies + coord/extras grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
+
+    rng = np.random.default_rng(3)
+    n, a = 120, 18.0
+    coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_c = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}],
+        cutoff=5.0, max_neighbors=16,
+    )
+    grid = plan_bins(cell, n, 5.5, safety=3.0)
+    lr_grid = plan_lr_bins(cell, n, 7.0, safety=3.0)
+    sysb, _perm, ovf = to_binned_system(sys_c, grid, lr_grid=lr_grid)
+    assert int(ovf) == 0
+    assert lr_grid.nbins[2] >= 5  # banded eligibility at radius 2
+    p = jnp.asarray(rng.uniform(0.5, 1.5, size=(sysb.natoms, 2)).astype(np.float32))
+    e_fn = _rep_like()
+    ct = jnp.asarray(rng.normal(size=(sysb.natoms,)).astype(np.float32))
+
+    def loss_x(coord_, p_):
+        return (
+            _xla(sysb.replace(coord=coord_), 7.0, e_fn, {"p": p_}, layout="lr") * ct
+        ).sum()
+
+    def loss_p(coord_, p_):
+        return (
+            pair_energy_pallas(
+                sysb.replace(coord=coord_), 7.0, e_fn, {"p": p_}, layout="lr"
+            )
+            * ct
+        ).sum()
+
+    ex = loss_x(sysb.coord, p)
+    with pltpu.force_tpu_interpret_mode():
+        ep = loss_p(sysb.coord, p)
+    np.testing.assert_allclose(float(ep), float(ex), rtol=1e-5)
+    gx_c, gx_p = jax.grad(loss_x, argnums=(0, 1))(sysb.coord, p)
+    with pltpu.force_tpu_interpret_mode():
+        gp_c, gp_p = jax.grad(loss_p, argnums=(0, 1))(sysb.coord, p)
+    scale_c = max(float(np.abs(np.asarray(gx_c)).max()), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gp_c), np.asarray(gx_c), atol=3e-5 * scale_c
+    )
+    scale_p = max(float(np.abs(np.asarray(gx_p)).max()), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gp_p), np.asarray(gx_p), atol=3e-5 * scale_p
     )
