@@ -582,15 +582,34 @@ class AIMNet2Calculator:
 
     __call__ = eval
 
-    def _slots_to_compact(self, x: np.ndarray, system: System, n_real: int) -> np.ndarray:
+    def _slots_to_compact(
+        self, x: np.ndarray, numbers_np: np.ndarray, n_real: int
+    ) -> np.ndarray:
         """Map slot-layout per-atom results back to input atom order."""
-        valid = np.asarray(system.numbers) > 0
+        valid = numbers_np > 0
         out = np.zeros((n_real,) + x.shape[1:], dtype=x.dtype)
         out[self._last_perm[valid]] = x[valid]
         return out
 
+    _POSTPROCESS_KEYS = (
+        "energy", "mol_element_counts", "charges", "spin_charges", "forces",
+        "stress", "dipole", "quadrupole", "hessian",
+    )
+
     def _postprocess(self, out: Mapping[str, Any], system: System) -> dict[str, np.ndarray]:
-        n_real = int(np.asarray(system.numbers > 0).sum())
+        # ONE batched device_get for everything this method touches: each
+        # per-array np.asarray is a separate device round trip (expensive on
+        # remote attachments), and untouched intermediates (e.g. "aim")
+        # must never transfer at all
+        fetched = jax.device_get(
+            {
+                **{k: v for k, v in out.items() if k in self._POSTPROCESS_KEYS},
+                "_numbers": system.numbers,
+            }
+        )
+        numbers_np = fetched.pop("_numbers")
+        out = fetched
+        n_real = int((numbers_np > 0).sum())
         binned = self._last_perm is not None
         res: dict[str, np.ndarray] = {}
         energy = np.asarray(out["energy"], dtype=np.float64)
@@ -604,7 +623,9 @@ class AIMNet2Calculator:
             if k in out:
                 x = np.asarray(out[k])
                 res[k] = (
-                    self._slots_to_compact(x, system, n_real) if binned else x[:n_real]
+                    self._slots_to_compact(x, numbers_np, n_real)
+                    if binned
+                    else x[:n_real]
                 )
         for k in ("stress", "dipole", "quadrupole"):
             if k in out:

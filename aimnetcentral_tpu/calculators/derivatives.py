@@ -41,6 +41,23 @@ def apply_strain(system: System, scaling: Array) -> System:
     return system.replace(coord=coord, cell=cell)
 
 
+def _resolve_precision(matmul_precision: str) -> str:
+    """Validated AIMNET_MATMUL_PRECISION: only precisions every backend of
+    the eval surface supports.  The Pallas kernels inherit the ambient
+    matmul-precision context and Mosaic only lowers DEFAULT/HIGHEST dots
+    (ambient "high" fails inside the kernels with an opaque lowering error;
+    measured on v5e it is also no faster than "highest" here)."""
+    import os
+
+    prec = os.environ.get("AIMNET_MATMUL_PRECISION", matmul_precision)
+    if prec not in ("default", "highest", "float32"):
+        raise ValueError(
+            f"AIMNET_MATMUL_PRECISION={prec!r} unsupported: use 'default' "
+            "(fast, ~4e-3 eV/A force noise) or 'highest' (exact f32)"
+        )
+    return prec
+
+
 def make_eval_fn(
     cfg: AIMNet2Config,
     *,
@@ -67,9 +84,7 @@ def make_eval_fn(
     thermostatted MD (the MD driver runs at the JAX default), fatal for the
     <1e-4 eV/A parity gate.  Override with AIMNET_MATMUL_PRECISION.
     """
-    import os
-
-    prec = os.environ.get("AIMNET_MATMUL_PRECISION", matmul_precision)
+    prec = _resolve_precision(matmul_precision)
 
     keep = ("charges", "spin_charges", "dipole", "quadrupole", "mol_element_counts")
 
@@ -154,9 +169,7 @@ def make_hvp_fn(
     """Matrix-free Hessian-vector product: one jvp of the gradient
     (replaces reference aimnet/calculators/calculator.py:1755-1987).
     Pinned to exact-f32 matmuls like make_eval_fn (see its docstring)."""
-    import os
-
-    prec = os.environ.get("AIMNET_MATMUL_PRECISION", matmul_precision)
+    prec = _resolve_precision(matmul_precision)
 
     def hvp(params: dict, system: System, v: Array) -> Array:
         with jax.default_matmul_precision(prec):

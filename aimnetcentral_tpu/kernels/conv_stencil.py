@@ -62,6 +62,16 @@ def conv_stencil_available() -> bool:
     return PALLAS_CONV_ENABLED
 
 
+# XLA's default scoped-VMEM budget for custom calls (~16 MB) rejects the
+# kernels at larger (T, C, G*F) block shapes when they compile inside a big
+# surrounding graph (seen: the calculator's eval_grad at an 8^3/C=40 grid,
+# "Scoped allocation with size 28.88M ... exceeded scoped vmem limit").
+# Declare the real per-core VMEM budget instead; the pipeline's actual
+# working set (two banded blocks + scratch) stays far below it.
+if PALLAS_CONV_ENABLED:
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pair_geom_rect(ci, cj, s, m, n, rc, mask_i, mask_j, self_diag):
     """Rectangular pair geometry.  ``ci`` (4, m) / ``cj`` (4, n), shifts
     already applied; ``self_diag`` is the static (m, n) bool mask of
@@ -332,6 +342,7 @@ def conv_stencil_forward(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_tot, 4 * c, g * f), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(
         row_flat,
         coord_t,
@@ -565,6 +576,7 @@ def conv_stencil_bwd_banded(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((b_tot, c, g * f), jnp.float32),
             jax.ShapeDtypeStruct((b_tot, 4, c), jnp.float32),
