@@ -215,3 +215,21 @@ def test_binned_facade_matches_indexed(calc, rng):
     np.testing.assert_allclose(out_b["energy"], out_i["energy"], atol=1e-3)
     np.testing.assert_allclose(out_b["charges"], out_i["charges"], atol=2e-4)
     np.testing.assert_allclose(out_b["forces"], out_i["forces"], atol=2e-3)
+
+
+def test_matmul_precision_env_validated(monkeypatch):
+    """Unsupported ambient precisions are rejected up front: they would
+    otherwise reach the Pallas kernel dots where Mosaic only lowers
+    DEFAULT/HIGHEST (opaque in-kernel lowering error)."""
+    import pytest as _pytest
+
+    from aimnetcentral_tpu.calculators.derivatives import make_eval_fn, make_hvp_fn
+    from aimnetcentral_tpu.models import AIMNet2Config
+
+    monkeypatch.setenv("AIMNET_MATMUL_PRECISION", "high")
+    with _pytest.raises(ValueError, match="AIMNET_MATMUL_PRECISION"):
+        make_eval_fn(AIMNet2Config(), forces=True)
+    with _pytest.raises(ValueError, match="AIMNET_MATMUL_PRECISION"):
+        make_hvp_fn(AIMNet2Config())
+    monkeypatch.setenv("AIMNET_MATMUL_PRECISION", "default")
+    make_eval_fn(AIMNet2Config(), forces=True)  # builds fine
