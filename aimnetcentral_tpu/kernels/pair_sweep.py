@@ -66,6 +66,13 @@ def pair_sweep_available() -> bool:
     return PAIR_SWEEP_ENABLED
 
 
+# XLA's default scoped-VMEM budget for custom calls rejects kernels at
+# larger block shapes inside big surrounding graphs (see conv_stencil.py);
+# declare the real per-core budget up front.
+if PAIR_SWEEP_ENABLED:
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @dataclasses.dataclass(frozen=True)
 class PairStatic:
     b_tot: int
@@ -281,6 +288,7 @@ def pair_sweep_forward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((st.b_tot, 1, st.c), jnp.float32),
     )(row_flat, dz, coord_t, coord_t, mask, mask, ext, ext, shift_cart, scal)
 
@@ -327,6 +335,7 @@ def pair_sweep_backward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((st.b_tot, 4, st.c), jnp.float32),
             jax.ShapeDtypeStruct((st.b_tot, st.c, st.k_tot), jnp.float32),
@@ -768,6 +777,7 @@ def pair_sweep_forward_hb(st, e_fn, row_flat, coord_t, mask, ext, shift_band, sc
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((st.b_tot, 1, st.c), jnp.float32),
             jax.ShapeDtypeStruct(
@@ -805,6 +815,7 @@ def pair_sweep_backward_hb(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((st.b_tot, 4, st.c), jnp.float32),
             jax.ShapeDtypeStruct((st.b_tot, st.c, st.k_tot), jnp.float32),
