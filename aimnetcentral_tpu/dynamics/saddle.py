@@ -178,7 +178,9 @@ def ts_search(
     real = (system.numbers > 0)[:, None]
 
     def energy_of(coord: Array) -> Array:
-        # jvp-of-grad cannot traverse a custom_vjp: pin the XLA conv engine
+        # jvp-of-grad works on the Pallas conv (K3 rules), but the XLA
+        # engine is faster for second-order-dominated graphs (the K3
+        # tangents fall back to the XLA twin regardless)
         return aimnet2_apply(
             params,
             cfg,

@@ -14,8 +14,16 @@ autodiff of the mathematically identical XLA formulation
 (``_conv_acc_xla``).
 
 This replaces the reference's Warp K1-K3 family
-(aimnet/kernels/conv_sv_2d_sp_wp.py:90-244); double-backward (K3) is not
-needed here because Hessian/HVP paths run on the indexed layout.
+(aimnet/kernels/conv_sv_2d_sp_wp.py:90-244) INCLUDING double-backward (K3):
+``conv_fwd_acc``/``conv_bwd_acc`` carry custom JVP rules whose second-order
+tangents route through the XLA twin, so jvp-of-grad (HVPs), jacfwd-of-grad
+(dense Hessians) and grad-of-grad (force-training losses) traverse the
+production kernels instead of erroring — first order stays fully fused,
+second order pays the twin only inside second-order graphs.  Because those
+tangents run the twin regardless, second-order-DOMINATED graphs are faster
+on the pure XLA engine (measured 2x at 2k-atom HVPs), and the HVP/Hessian/
+force-loss builders pin it; K3 exists so arbitrary user transforms of the
+default engine are correct, not fast.
 
 Measured (TPU v5e, 10k atoms / 729 bins / C=32): see docs/performance.md —
 per-pass fwd+bwd went 51 ms (per-offset grid, round-2 wave 2) -> 30 ms
@@ -169,6 +177,41 @@ def _pallas_forward(
     )
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def conv_fwd_acc(
+    st, a_gmajor, coord_t, shift_band, shift_cart, mask, row_flat, nbr,
+    shifts_g, scal,
+):
+    """The Pallas forward, differentiable in FORWARD mode: its custom JVP
+    routes tangents through the XLA twin, so the primal call that lives
+    inside gradient graphs (residual recomputation) survives jvp-of-grad
+    (HVPs), jacfwd-of-grad (Hessians) and grad-of-grad (force losses) —
+    the other half of the reference's K3 story (conv_sv_2d_sp_wp.py:167-244)."""
+    return _pallas_forward(
+        st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
+    )
+
+
+@conv_fwd_acc.defjvp
+def _conv_fwd_acc_jvp(st, primals, tangents):
+    (
+        a_gmajor, coord_t, shift_band, shift_cart, mask, row_flat, nbr,
+        shifts_g, scal,
+    ) = primals
+    ta, tc, _tsb, tsc = tangents[:4]
+    primal_out = conv_fwd_acc(st, *primals)
+    # the twin's shift dependence rides shift_cart (the same cell function
+    # as shift_band), so tangents through it are complete
+    _, tangent_out = jax.jvp(
+        lambda a_, c_, s_: _conv_acc_xla(
+            st, a_, c_, s_, mask, nbr, shifts_g, scal
+        ),
+        (a_gmajor, coord_t, shift_cart),
+        (ta, tc, tsc),
+    )
+    return primal_out, tangent_out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def conv_acc(
     st: ConvStatic,
@@ -180,6 +223,7 @@ def conv_acc(
     mrow_flat,
     pinv,
     pvalid,
+    band2off,
     nbr,
     shift_cart,
     mshift_band,
@@ -200,24 +244,28 @@ def conv_acc(
     the sweep's partner-contribution side output into the self-side
     coordinate and lattice-shift adjoints with one GATHER — scatters lower
     to serial loops on TPU and are avoided everywhere on the hot path.
-    ``nbr``/``shift_cart`` are the per-OFFSET tables, kept for the XLA-twin
-    fallback backward (AIMNET_CONV_BWD=xla).
+    ``nbr``/``shift_cart`` are the per-OFFSET tables: they feed the XLA-twin
+    fallback backward (AIMNET_CONV_BWD=xla) and the SECOND-ORDER tangents
+    of the Pallas backward (see ``conv_bwd_acc``); ``band2off`` is the
+    static (S, W) -> per-offset index map between the two shift frames.
     """
-    return _pallas_forward(
-        st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
+    return conv_fwd_acc(
+        st, a_gmajor, coord_t, shift_band, shift_cart, mask, row_flat, nbr,
+        shifts_g, scal,
     )
 
 
 def _conv_acc_fwd(
     st, a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
-    pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
+    pinv, pvalid, band2off, nbr, shift_cart, mshift_band, shifts_g, scal,
 ):
-    out = _pallas_forward(
-        st, a_gmajor, coord_t, shift_band, mask, row_flat, shifts_g, scal
+    out = conv_fwd_acc(
+        st, a_gmajor, coord_t, shift_band, shift_cart, mask, row_flat, nbr,
+        shifts_g, scal,
     )
     return out, (
         a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
-        pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
+        pinv, pvalid, band2off, nbr, shift_cart, mshift_band, shifts_g, scal,
     )
 
 
@@ -226,7 +274,7 @@ def _conv_acc_bwd(st, res, g_out):
 
     (
         a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
-        pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
+        pinv, pvalid, band2off, nbr, shift_cart, mshift_band, shifts_g, scal,
     ) = res
     ds_band = jnp.zeros_like(shift_band)
     ds_cart = jnp.zeros_like(shift_cart)
@@ -239,36 +287,10 @@ def _conv_acc_bwd(st, res, g_out):
         )
         da, dc, ds_cart = vjp(g_out)
     else:
-        from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_banded
-
-        da, dc_cand, pgrad = conv_stencil_bwd_banded(
-            mrow_flat,
-            coord_t,
-            mask,
-            a_gmajor,
-            g_out,
-            mshift_band,
-            shifts_g,
-            scal,
-            r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f,
-            gamma=st.gamma, w_band=st.w_band, precision=st.precision,
+        da, dc, ds_band = conv_bwd_acc(
+            st, a_gmajor, coord_t, g_out, mshift_band, shift_cart,
+            mask, mrow_flat, pinv, pvalid, band2off, nbr, shifts_g, scal,
         )
-        # reassemble the partner(self)-side adjoints with one static GATHER:
-        # pinv[s, w, b] flat-indexes the (S*R*T*W, 4, C) side output at the
-        # receiver slot whose forward-(s, w) partner bin is b (pvalid masks
-        # entries with no receiver — gas-phase grid boundaries).
-        pg = pgrad.reshape(-1, 4, st.c)  # (S*R*T*W, 4, C)
-        taken = jnp.take(pg, pinv, axis=0).reshape(
-            st.s_tot, st.w_band, st.b_tot, 4, st.c
-        ) * pvalid[:, :, :, None, None]
-        dc = dc_cand + taken.sum((0, 1))  # self-side coordinate adjoint
-        # lattice-shift adjoint (forward frame, index (s, self bin, w)): the
-        # total pair sum = -(lane sum of the partner contribution).
-        ds_swb = -taken.sum(-1)  # (S, W, B, 4)
-        r_tot = st.r_tot
-        ds_band = ds_swb.reshape(
-            st.s_tot, st.w_band, r_tot, st.t_row, 4
-        ).transpose(0, 2, 3, 1, 4)  # (S, R, T, W, 4)
     return (
         da,
         dc,
@@ -278,6 +300,7 @@ def _conv_acc_bwd(st, res, g_out):
         jnp.zeros_like(mrow_flat),
         jnp.zeros_like(pinv),
         jnp.zeros_like(pvalid),
+        jnp.zeros_like(band2off),
         jnp.zeros_like(nbr),
         ds_cart,
         jnp.zeros_like(mshift_band),
@@ -287,6 +310,93 @@ def _conv_acc_bwd(st, res, g_out):
 
 
 conv_acc.defvjp(_conv_acc_fwd, _conv_acc_bwd)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def conv_bwd_acc(
+    st, a_gmajor, coord_t, g_out, mshift_band, shift_cart,
+    mask, mrow_flat, pinv, pvalid, band2off, nbr, shifts_g, scal,
+):
+    """First-order conv adjoint on the fused Pallas kernels, differentiable
+    ONE more time: the custom JVP below routes second-order tangents
+    through the XLA twin's vjp.  This is the TPU answer to the reference's
+    double-backward kernel family K3 (conv_sv_2d_sp_wp.py:167-244) — it is
+    what lets jvp-of-grad (HVPs), jacfwd-of-grad (Hessians), and
+    grad-of-grad (force-training losses) traverse the production conv
+    instead of pinning the XLA engine."""
+    from aimnetcentral_tpu.kernels.conv_stencil import conv_stencil_bwd_banded
+
+    da, dc_cand, pgrad = conv_stencil_bwd_banded(
+        mrow_flat,
+        coord_t,
+        mask,
+        a_gmajor,
+        g_out,
+        mshift_band,
+        shifts_g,
+        scal,
+        r_tot=st.r_tot, t_row=st.t_row, c=st.c, g=st.g, f=st.f,
+        gamma=st.gamma, w_band=st.w_band, precision=st.precision,
+    )
+    # reassemble the partner(self)-side adjoints with one static GATHER:
+    # pinv[s, w, b] flat-indexes the (S*R*T*W, 4, C) side output at the
+    # receiver slot whose forward-(s, w) partner bin is b (pvalid masks
+    # entries with no receiver — gas-phase grid boundaries).
+    pg = pgrad.reshape(-1, 4, st.c)  # (S*R*T*W, 4, C)
+    taken = jnp.take(pg, pinv, axis=0).reshape(
+        st.s_tot, st.w_band, st.b_tot, 4, st.c
+    ) * pvalid[:, :, :, None, None]
+    dc = dc_cand + taken.sum((0, 1))  # self-side coordinate adjoint
+    # lattice-shift adjoint (forward frame, index (s, self bin, w)): the
+    # total pair sum = -(lane sum of the partner contribution).
+    ds_swb = -taken.sum(-1)  # (S, W, B, 4)
+    ds_band = ds_swb.reshape(
+        st.s_tot, st.w_band, st.r_tot, st.t_row, 4
+    ).transpose(0, 2, 3, 1, 4)  # (S, R, T, W, 4)
+    return da, dc, ds_band
+
+
+@conv_bwd_acc.defjvp
+def _conv_bwd_acc_jvp(st, primals, tangents):
+    """Second-order rule (K3): tangents of the adjoint via the XLA twin.
+
+    The primal stays on the fused Pallas kernels; the tangent is the jvp of
+    the mathematically identical XLA formulation's vjp — exact, and only
+    materialized inside second-order graphs (HVP/Hessian/force-loss).  The
+    twin's per-offset lattice-shift frame is mapped back to the banded
+    frame by the static ``band2off`` index table."""
+    (
+        a_gmajor, coord_t, g_out, mshift_band, shift_cart,
+        mask, mrow_flat, pinv, pvalid, band2off, nbr, shifts_g, scal,
+    ) = primals
+    ta, tc, tg, _tms, tsc = tangents[:5]
+    primal_out = conv_bwd_acc(
+        st, a_gmajor, coord_t, g_out, mshift_band, shift_cart,
+        mask, mrow_flat, pinv, pvalid, band2off, nbr, shifts_g, scal,
+    )
+
+    def twin_vjp(a_, c_, s_, g_):
+        _, vjp = jax.vjp(
+            lambda a2, c2, s2: _conv_acc_xla(
+                st, a2, c2, s2, mask, nbr, shifts_g, scal
+            ),
+            a_, c_, s_,
+        )
+        return vjp(g_)
+
+    _, (tda, tdc, tds_cart) = jax.jvp(
+        twin_vjp,
+        (a_gmajor, coord_t, shift_cart, g_out),
+        (ta, tc, tsc, tg),
+    )
+    # per-offset (S_off, B, 4) -> banded (S, R, T, W, 4): offset index
+    # band2off[s, w] carries (dx[s], dy[s], dz = w - r_mid)
+    tds_band = (
+        jnp.take(tds_cart, band2off.reshape(-1), axis=0)
+        .reshape(st.s_tot, st.w_band, st.r_tot, st.t_row, 4)
+        .transpose(0, 2, 3, 1, 4)
+    )
+    return primal_out, (tda, tdc, tds_band)
 
 
 def build_conv_tables(grid, radius: int, cell0: Array | None) -> dict:
@@ -324,6 +434,15 @@ def build_conv_tables(grid, radius: int, cell0: Array | None) -> dict:
     s_tot, w_band = int(bt["s_tot"]), int(bt["w_tot"])
     r_tot_ = bt["xyrow"].shape[1]
 
+    # static (S, W) -> per-offset index map between the banded and
+    # per-offset lattice-shift frames (feeds the K3 second-order rule)
+    offs3 = B.stencil_offsets(radius)
+    off_idx = {tuple(o): i for i, o in enumerate(offs3)}
+    band2off_np = np.zeros((s_tot, w_band), np.int32)
+    for s_i, (dx, dy) in enumerate(bt["offs2"]):
+        for w_i in range(w_band):
+            band2off_np[s_i, w_i] = off_idx[(int(dx), int(dy), w_i - radius)]
+
     def _band_shift(wrap_np5, valid_np4):
         if cell0 is not None:
             sh = jnp.einsum(
@@ -352,6 +471,7 @@ def build_conv_tables(grid, radius: int, cell0: Array | None) -> dict:
         "mshift_band": _band_shift(bt["mwrap"], bt["mvalid"]),
         "pinv": jnp.asarray(bt["pinv"].reshape(-1)),
         "pvalid": jnp.asarray(bt["pvalid"]),
+        "band2off": jnp.asarray(band2off_np),
         "s_tot": s_tot,
         "w_band": w_band,
     }
@@ -402,7 +522,7 @@ def conv_pass_pallas(
     nbr, shift_cart = ops["nbr"], ops["shift_cart"]
     row_flat, mrow_flat = ops["row_flat"], ops["mrow_flat"]
     shift_band, mshift_band = ops["shift_band"], ops["mshift_band"]
-    pinv, pvalid = ops["pinv"], ops["pvalid"]
+    pinv, pvalid, band2off = ops["pinv"], ops["pvalid"], ops["band2off"]
     s_tot, w_band, t_row = ops["s_tot"], ops["w_band"], grid.nbins[2]
 
     coord_t = jnp.concatenate(
@@ -441,7 +561,8 @@ def conv_pass_pallas(
     else:
         acc = conv_acc(
             st, a_gmajor, coord_t, shift_band, mask, row_flat, mrow_flat,
-            pinv, pvalid, nbr, shift_cart, mshift_band, shifts_g, scal,
+            pinv, pvalid, band2off, nbr, shift_cart, mshift_band, shifts_g,
+            scal,
         )
 
     # --- post-process: split (g-major) acc into scalar + vector parts

@@ -522,6 +522,7 @@ def xy_band_tables(grid: BinGrid, radius: int) -> dict[str, np.ndarray]:
         "mvalid": mvalid,
         "pinv": pinv,
         "pvalid": pvalid,
+        "offs2": offs2.astype(np.int32),
         "s_tot": s_tot,
         "w_tot": w_tot,
     }

@@ -114,9 +114,11 @@ def make_train_step(
         if with_forces:
 
             def e_of(coord):
-                # grad-of-grad (force loss) cannot traverse a custom_vjp:
-                # pin the XLA conv engine (training batches are indexed
-                # anyway; the pin is inert there)
+                # grad-of-grad (force loss) works on the Pallas conv (K3
+                # rules), but its tangents fall back to the XLA twin, so
+                # the XLA engine is the faster choice for this
+                # second-order-dominated graph (indexed batches are inert
+                # to the pin anyway)
                 out = aimnet2_apply(
                     params,
                     cfg,

@@ -183,3 +183,65 @@ def test_full_vjp_pallas_backward_matches_engine():
     np.testing.assert_allclose(
         np.asarray(g_pal_cell), np.asarray(g_ref_cell), atol=2e-2, rtol=1e-3
     )
+
+
+def test_second_order_jvp_of_grad_matches_engine():
+    """K3 parity: forward-over-reverse (the HVP/Hessian pattern) through the
+    Pallas conv (fwd kernel + fused bwd kernel + the custom JVP second-order
+    rule routing tangents through the XLA twin) == the same through the
+    production XLA engine.  Also exercises reverse-over-reverse via
+    grad-of-grad on a force-norm loss (the force-training pattern)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aimnetcentral_tpu.kernels.conv_pallas import conv_pass_pallas
+    from aimnetcentral_tpu.models.engine_binned import conv_pass_binned
+
+    sysb, aev, a_feat, q, agh_a, agh_q = _make_case(True)
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.normal(size=sysb.coord.shape).astype(np.float32))
+
+    def weighted(out_a):
+        w = jnp.cos(jnp.arange(out_a.size).reshape(out_a.shape) * 0.01)
+        return (out_a * w).sum()
+
+    def e_pallas(coord):
+        out_a, _ = conv_pass_pallas(
+            sysb.replace(coord=coord), aev, a_feat, None, agh_a, None,
+            rc_static=5.0,
+        )
+        return weighted(out_a)
+
+    def e_xla(coord):
+        out_a, _ = conv_pass_binned(
+            sysb.replace(coord=coord), aev, a_feat, None, agh_a, None,
+            d2features=True, rc_static=5.0,
+        )
+        return weighted(out_a)
+
+    # forward-over-reverse: Hv = jvp(grad)
+    gx, hvx = jax.jvp(jax.grad(e_xla), (sysb.coord,), (v,))
+    with pltpu.force_tpu_interpret_mode():
+        gp, hvp_ = jax.jvp(jax.grad(e_pallas), (sysb.coord,), (v,))
+    sg = max(float(jnp.abs(gx).max()), 1e-8)
+    sh = max(float(jnp.abs(hvx).max()), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), atol=2e-4 * sg, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hvp_), np.asarray(hvx), atol=2e-4 * sh, rtol=1e-3
+    )
+
+    # reverse-over-reverse: d/dcoord of |grad|^2 (force-loss pattern)
+    def floss_x(coord):
+        return (jax.grad(e_xla)(coord) ** 2).sum()
+
+    def floss_p(coord):
+        return (jax.grad(e_pallas)(coord) ** 2).sum()
+
+    ggx = jax.grad(floss_x)(sysb.coord)
+    with pltpu.force_tpu_interpret_mode():
+        ggp = jax.grad(floss_p)(sysb.coord)
+    sgg = max(float(jnp.abs(ggx).max()), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(ggp), np.asarray(ggx), atol=3e-4 * sgg, rtol=1e-3
+    )
