@@ -1,9 +1,11 @@
-"""Ensemble calculator: vmapped multi-member evaluation with uncertainty.
+"""Ensemble calculator: stacked multi-member evaluation with uncertainty.
 
 The reference ships 4-member ensembles per model family (README.md:140) but
-evaluates members one at a time; here the stacked member parameters evaluate
-in ONE vmapped compilation (and shard over the ``ens`` mesh axis on multi-
-chip systems — the embarrassingly parallel axis called out in SURVEY.md §2.3).
+evaluates members one at a time from Python; here the stacked member
+parameters evaluate inside ONE compiled ``lax.map`` (each member on the
+fused Pallas conv engine — see the note in ``_get_fn``), and shard over the
+``ens`` mesh axis on multi-chip systems — the embarrassingly parallel axis
+called out in SURVEY.md §2.3.
 """
 
 from __future__ import annotations
@@ -41,23 +43,25 @@ class EnsembleCalculator(AIMNet2Calculator):
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
         key = ("ens", forces, stress, hessian, cfg)
         if key not in self._fn_cache:
-            # vmap over member params cannot batch the Pallas conv's scalar-
-            # prefetch grid: pin the XLA engine for ensemble evaluation
             single = make_eval_fn(
                 cfg,
                 forces=forces,
                 stress=stress,
                 hessian=hessian,
                 sae_external=True,
-                conv_engine="xla",
             )
 
             def ens_fn(params, system):
                 # the mean is linear, so the ensemble Hessian is exactly the
-                # member-mean Hessian (same for forces/stress); vmap keeps it
-                # one compilation (lax.map would halve peak memory if a large
-                # ensemble-Hessian workload ever needs it)
-                outs = jax.vmap(lambda p: single(p, system))(params)
+                # member-mean Hessian (same for forces/stress).  lax.map —
+                # not vmap — over the stacked members: a sequential scan is
+                # what lets each member run the fused Pallas conv engine
+                # (vmap cannot batch the kernels' scalar-prefetch grid, and
+                # would force the ~6x-slower XLA engine on binned systems),
+                # keeps ONE compilation of the member body, and bounds peak
+                # memory to a single member's graph — the same shape as the
+                # on-device ensemble MD driver
+                outs = jax.lax.map(lambda p: single(p, system), params)
                 res = {k: v.mean(axis=0) for k, v in outs.items()}
                 res["energy_std"] = outs["energy"].std(axis=0)
                 if "forces" in outs:
