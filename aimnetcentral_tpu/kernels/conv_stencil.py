@@ -98,7 +98,7 @@ def _pair_geom_rect(ci, cj, s, m, n, rc, mask_i, mask_j, self_diag):
     return d, inv_d, within_f, fc, fcp
 
 
-def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, width):
+def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, width, bsum=None):
     """Accumulate one g-group's weight cotangents into the (dbar, ubar)
     chain-rule accumulators (all full-lane (m, gamma*width) ops,
     block-summed down to (m, width)).
@@ -106,14 +106,43 @@ def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, widt
     W rows are [gs, gs*u_x, gs*u_y, gs*u_z]:
         gsbar  = Wbar_0 + sum_k Wbar_k u_k
         ubar_k += sum_g Wbar_k gs_g ;  dbar += sum_g gsbar_g dgs_g/dd
+
+    ``bsum`` (gamma*width, width) is the constant block-sum matrix: when
+    given, the gamma-block reductions run as MXU dots instead of gamma-1
+    VPU slice-adds.  Mosaic's default dot truncates f32 inputs to one bf16
+    pass (~2e-3 relative — measured to break force parity) and HIGHEST
+    costs 6 passes (slower than the VPU adds), so the dot is double-pumped
+    by hand: a bf16-exact high part plus a bf16 low part (two 1-pass dots,
+    ~1e-5 relative — the 0/1 block-sum matrix is exact in bf16).
     """
+    def _bs(x):
+        if bsum is None:
+            return _block_sum(x, gamma, width)
+
+        def dot1(y):
+            return jax.lax.dot_general(
+                y, bsum, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return dot1(x_hi) + dot1(x - x_hi)
+
     gsbar = wbar[0:m, :]
     for k in range(3):
         wk = wbar[(k + 1) * m : (k + 2) * m, :]
         gsbar = gsbar + wk * u_tiled[k]
-        ubar[k] = ubar[k] + _block_sum(wk * gs_all, gamma, width)
-    dbar = dbar + _block_sum(gsbar * dgs_all, gamma, width)
+        ubar[k] = ubar[k] + _bs(wk * gs_all)
+    dbar = dbar + _bs(gsbar * dgs_all)
     return dbar, ubar
+
+
+def _block_sum_matrix(gamma, width):
+    """(gamma*width, width) f32 constant: out = x @ M sums the gamma column
+    blocks of x — an MXU reduction replacing gamma-1 VPU slice-adds."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gamma * width, width), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (gamma * width, width), 1)
+    return (row_i % width == col_i).astype(jnp.float32)
 
 
 def _coord_chain_finish(uk, inv_d, within_f, dbar, ubar):
@@ -417,6 +446,7 @@ def _bwd_kernel(
     r_mid = (w_band - 1) // 2
     sg_rows = _group_shift_rows(shifts_g_ref, gamma, c, n_groups)
     blockmask = _block_mask(gamma, c, f)
+    bsum = _block_sum_matrix(gamma, c)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 1)
     self_diag = row_i == col_i + r_mid * c
@@ -489,7 +519,8 @@ def _bwd_kernel(
                 )
                 _fill_w(w_scratch, gs_all, u_tiled, wc)
                 dbar, ubar = _chain_accumulate(
-                    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, wc, c
+                    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, wc, c,
+                    bsum=bsum,
                 )
                 # feature adjoint: grad_abig = W^T @ gbar_band
                 grad_abig = jax.lax.dot_general(
