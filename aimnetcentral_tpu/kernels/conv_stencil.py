@@ -119,14 +119,7 @@ def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, widt
         if bsum is None:
             return _block_sum(x, gamma, width)
 
-        def dot1(y):
-            return jax.lax.dot_general(
-                y, bsum, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        return dot1(x_hi) + dot1(x - x_hi)
+        return _dp_dot(x, bsum, (((1,), (0,)), ((), ())))
 
     gsbar = wbar[0:m, :]
     for k in range(3):
@@ -143,6 +136,20 @@ def _block_sum_matrix(gamma, width):
     row_i = jax.lax.broadcasted_iota(jnp.int32, (gamma * width, width), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (gamma * width, width), 1)
     return (row_i % width == col_i).astype(jnp.float32)
+
+
+def _dp_dot(x, m, dims):
+    """Double-pumped exact-enough dot (see _chain_accumulate): Mosaic's
+    default dot truncates f32 operands to one bf16 pass; splitting x into a
+    bf16-exact high part + bf16 low part costs two 1-pass dots for ~1e-5
+    relative (m is a 0/1 constant, exact in bf16)."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    return jax.lax.dot_general(
+        x_hi, m, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        x_lo, m, dims, preferred_element_type=jnp.float32
+    )
 
 
 def _coord_chain_finish(uk, inv_d, within_f, dbar, ubar):
@@ -530,7 +537,9 @@ def _bwd_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (gamma*C, gamma*F)
                 # block-diagonal extract, full-lane: mask off-diagonal
-                # blocks, then sum the gamma row blocks down to (C, gamma*F)
+                # blocks, then sum the gamma ROW blocks down to (C, gamma*F)
+                # (VPU slice-adds: the MXU left-contraction variant was
+                # measured 10% SLOWER — small-C output starves the MXU)
                 masked = grad_abig * blockmask
                 acc = masked[0:c, :]
                 for g2 in range(1, gamma):
