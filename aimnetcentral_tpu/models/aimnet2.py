@@ -273,6 +273,17 @@ def aimnet2_apply(
     a_flat = a.reshape(n, -1) if cfg.d2features else a
 
     engine = _resolve_conv_engine(cfg, conv_engine) if binned else "xla"
+    if (
+        engine == "pallas"
+        and system.bins is not None
+        and system.bins.capacity > 56
+    ):
+        # Mosaic fails to lower the banded conv kernels at bin capacities
+        # >= 64 ("Input offsets outside of the first tile" — measured
+        # boundary: C=56 compiles, C=64 does not, independent of nz).
+        # Large capacities arise from small boxes (few bins at the
+        # radius-1 edge) where the XLA engine is close anyway.
+        engine = "xla"
 
     for ipass in range(npass):
         if binned:

@@ -151,3 +151,43 @@ def test_binned_dftd3_matches_indexed(reference_aimnet2, rng):
     np.testing.assert_allclose(
         np.asarray(out_bin["energy"]), np.asarray(out_idx["energy"]), atol=5e-4
     )
+
+
+def test_pallas_engine_capacity_guard(monkeypatch):
+    """Bin capacities > 56 must route to the XLA conv engine even when
+    pallas is requested: Mosaic fails to lower the banded kernels at C >= 64
+    ('Input offsets outside of the first tile'; measured boundary C=56 ok /
+    C=64 fail, independent of nz).  Exercised here by making the kernel
+    entry point explode if reached."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from aimnetcentral_tpu.builders import system_from_molecules
+    from aimnetcentral_tpu.kernels import conv_pallas
+    from aimnetcentral_tpu.models import aimnet2_apply, aimnet2_init
+    from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config
+    from aimnetcentral_tpu.ops.binned import plan_bins, to_binned_system
+
+    rng = np.random.default_rng(0)
+    n, a = 400, 21.0
+    coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_c = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    grid = dataclasses.replace(plan_bins(cell, n, 7.0, safety=3.0), capacity=64)
+    assert grid.nbins == (3, 3, 3)
+    sysb, _perm, ovf = to_binned_system(sys_c, grid)
+    assert int(ovf) == 0 and sysb.bins.capacity == 64
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("pallas engine must not be used at C >= 64")
+
+    monkeypatch.setattr(conv_pallas, "conv_pass_pallas", boom)
+    cfg = AIMNet2Config()
+    params = aimnet2_init(jax.random.key(0), cfg)
+    out = aimnet2_apply(params, cfg, sysb, conv_engine="pallas")
+    assert np.isfinite(np.asarray(out["charges"])).all()
