@@ -153,6 +153,7 @@ def test_binned_dftd3_matches_indexed(reference_aimnet2, rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_engine_capacity_guard(monkeypatch):
     """Bin capacities > 56 must route to the XLA conv engine even when
     pallas is requested: Mosaic fails to lower the banded kernels at C >= 64

@@ -43,6 +43,7 @@ def test_single_point(calc, rng):
     assert abs(no_sae) < 50.0  # NN + coulomb part is small vs SAE magnitude
 
 
+@pytest.mark.slow
 def test_dense_batch_input(calc, rng):
     c1, z1 = random_molecule(rng, 7)
     c2, z2 = random_molecule(rng, 5)
@@ -111,6 +112,7 @@ def test_hvp_matches_dense_hessian(calc, rng):
     np.testing.assert_allclose(hv.reshape(-1), h @ v.reshape(-1), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pme_periodic_energy_matches_ewald(calc, rng):
     coord, numbers = random_molecule(rng, 8, spread=2.5)
     cell = np.eye(3, dtype=np.float32) * 8.0

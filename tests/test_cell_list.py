@@ -63,6 +63,7 @@ def test_periodic_matches_brute_force(rng):
     assert _pairs_from_nbmat(nbmat, shifts) == _pairs_from_nbmat(nb_ref, sh_ref)
 
 
+@pytest.mark.slow
 def test_periodic_wrapped_coordinates(rng):
     """Atoms outside the box must wrap correctly into bins."""
     n_real = 20

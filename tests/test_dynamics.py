@@ -99,6 +99,7 @@ def test_md_neighbor_rebuild_consistency(model, rng):
     assert e_md == pytest.approx(float(np.asarray(e_fresh).sum()), abs=2e-3)
 
 
+@pytest.mark.slow
 def test_fire_relax_decreases_energy_and_forces(model, rng):
     params, cfg = model
     coord, numbers = random_molecule(rng, 10)

@@ -80,6 +80,7 @@ def test_gas_phase_cluster_routes_binned_and_matches_indexed():
     np.testing.assert_allclose(out_b["charges"], out_i["charges"], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gas_phase_simple_coulomb_stays_indexed():
     """simple (all-pairs) Coulomb has no open-boundary binned implementation:
     the facade must keep the indexed path rather than raise."""
@@ -93,6 +94,7 @@ def test_gas_phase_simple_coulomb_stays_indexed():
     assert np.isfinite(out["energy"]).all()
 
 
+@pytest.mark.slow
 def test_batched_ewald_uses_per_molecule_parameters():
     """Two periodic molecules with very different cells: batched eval must
     match the two single evals (round-1 gap: Ewald parameters came from the

@@ -22,7 +22,9 @@ def _periodic_case(n=300, a=18.0, seed=11):
     return sys_c, cell, n
 
 
-@pytest.mark.parametrize("lr_cut", [7.5, 12.0])
+@pytest.mark.parametrize(
+    "lr_cut", [pytest.param(7.5, marks=pytest.mark.slow), 12.0]
+)
 def test_dsf_lr_layout_matches_sr_layout(lr_cut):
     sys_c, cell, n = _periodic_case()
     grid = plan_bins(cell, n, 5.2, safety=3.0)

@@ -25,7 +25,9 @@ def _real_space(sys, q, eta, r_cut):
     return 0.5 * e.sum()
 
 
-@pytest.mark.parametrize("charged", [False, True])
+@pytest.mark.parametrize(
+    "charged", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_pme_matches_ewald(rng, charged):
     n, a = 20, 9.0
     coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
@@ -69,6 +71,7 @@ def test_pme_matches_ewald(rng, charged):
     assert e_pme == pytest.approx(e_ewald, abs=2e-3 * max(1.0, abs(e_ewald)))
 
 
+@pytest.mark.slow
 def test_pme_forces_differentiable(rng):
     n, a = 12, 8.0
     coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)

@@ -28,6 +28,7 @@ def _periodic(rng, n=40, a=11.0):
     return coord, numbers, cell
 
 
+@pytest.mark.slow
 def test_indexed_reuse_is_exact(model, rng):
     params, cfg, aux = model
     coord, numbers, cell = _periodic(rng)
@@ -54,6 +55,7 @@ def test_indexed_reuse_is_exact(model, rng):
     np.testing.assert_allclose(out3["energy"], ref3["energy"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_binned_reuse_is_exact_across_pbc_crossing(model, rng):
     """Binned-route reuse: an atom drifting across the box boundary keeps a
     continuous (cached-wrap) coordinate; results match a fresh build."""

@@ -227,6 +227,7 @@ def test_shared_list_when_cutoffs_close(rng):
     assert sys_shared.nbmat_dftd3 is None
 
 
+@pytest.mark.slow
 def test_set_dftd3_cutoff_changes_energy(rng):
     calc = _calc(coulomb_method="dsf", d3=True, dsf_rc=15.0, d3_cutoff=15.0)
     coord, numbers = random_molecule(rng, 10, spread=3.5)

@@ -65,6 +65,7 @@ def test_single_system(calc):
     assert torch.isfinite(out["forces"]).all()
 
 
+@pytest.mark.slow
 def test_multi_system_matches_separate_evals(calc):
     rng = np.random.default_rng(1)
     pos1 = rng.normal(size=(4, 3)).astype(np.float32) * 2.0
