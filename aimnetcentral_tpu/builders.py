@@ -119,6 +119,71 @@ def system_from_molecules(
     )
 
 
+def system_molecule_bins(
+    molecules: list[dict],
+    capacity: int | None = None,
+    pad_mols: int | None = None,
+) -> System:
+    """Pack gas-phase molecules into the "one molecule per bin" binned layout.
+
+    The grid is (num_mol, 1, 1) bins of capacity C = the largest molecule
+    rounded up to a multiple of 8 (TPU sublane granularity); atom rows are
+    molecule-major with per-molecule padding.  Every pair interaction is
+    within-bin by construction, so all stencil sweeps run at radius 0 —
+    dense (C, C) block math with zero per-pair gathers, the TPU expression
+    of the reference's dense mode-0 batching (reference aimnet/nbops.py
+    mode 0; aimnet/calculators/calculator.py:1475-1511 nb_threshold).
+    Unbounded simple Coulomb is exact (whole molecule in one bin).
+
+    ``capacity``/``pad_mols`` fix static shapes across batches (jit reuse).
+    """
+    from aimnetcentral_tpu.ops.binned import BinGrid
+
+    num_real = len(molecules)
+    num_mol = pad_mols or num_real
+    assert num_mol >= num_real
+    sizes = [len(np.asarray(m["numbers"])) for m in molecules]
+    c = capacity or max(8, int(np.ceil(max(sizes) / 8)) * 8)
+    assert max(sizes) <= c, f"molecule of {max(sizes)} atoms exceeds capacity {c}"
+
+    n_slots = num_mol * c
+    coord = np.ones((n_slots, 3), dtype=np.float32)
+    zs = np.zeros(n_slots, dtype=np.int32)
+    mol_idx = np.full(n_slots, num_mol, dtype=np.int32)
+    for i, m in enumerate(molecules):
+        n = sizes[i]
+        coord[i * c : i * c + n] = np.asarray(m["coord"], dtype=np.float32)
+        zs[i * c : i * c + n] = np.asarray(m["numbers"], dtype=np.int32)
+        mol_idx[i * c : i * c + n] = i
+
+    charge = np.zeros(num_mol, dtype=np.float32)
+    charge[:num_real] = [float(m.get("charge", 0.0)) for m in molecules]
+    mult = None
+    if any("mult" in m for m in molecules):
+        mult = np.ones(num_mol, dtype=np.float32)
+        mult[:num_real] = [float(m.get("mult", 1.0)) for m in molecules]
+    assert not any(m.get("cell") is not None for m in molecules), (
+        "molecule-bin packing is for gas-phase training batches"
+    )
+
+    grid = BinGrid(
+        nbins=(num_mol, 1, 1),
+        capacity=c,
+        edge_hint=1e30,  # informational; radius is pinned to 0 anyway
+        periodic=False,
+        molecule_bins=True,
+    )
+    return System(
+        coord=jnp.asarray(coord),
+        numbers=jnp.asarray(zs),
+        charge=jnp.asarray(charge),
+        mol_idx=jnp.asarray(mol_idx),
+        species=tuple(sorted(int(z) for z in np.unique(zs) if z > 0)),
+        mult=jnp.asarray(mult) if mult is not None else None,
+        bins=grid,
+    )
+
+
 def stack_systems(systems: list[System]) -> System:
     """Stack same-shape Systems on a leading microbatch axis (for vmapped
     training steps / data-parallel sharding).  Static metadata (species sets)

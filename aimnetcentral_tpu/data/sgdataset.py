@@ -200,6 +200,52 @@ class SizeGroupedDataset:
 
     # -- batch assembly -----------------------------------------------------
 
+    def make_batch_system_packed(
+        self, size: int, sample: dict[str, np.ndarray], pad_mols: int | None = None
+    ) -> tuple[System, dict[str, np.ndarray]]:
+        """Molecule-bin packed twin of :meth:`make_batch_system`.
+
+        Builds the "one molecule per bin" binned layout (builders.
+        system_molecule_bins): molecule-major rows padded to capacity
+        C = size rounded up to a multiple of 8, zero per-pair gathers in the
+        model.  Labels are returned in the same slot layout (forces
+        (pad_mols*C, 3), charges (pad_mols*C,), energy (pad_mols,)).
+        """
+        import jax.numpy as jnp
+
+        from aimnetcentral_tpu.builders import system_molecule_bins
+
+        b = len(sample["numbers"])
+        pad_mols = pad_mols or b
+        c = max(8, int(np.ceil(size / 8)) * 8)
+
+        mols = []
+        for i in range(b):
+            m = {"coord": sample["coord"][i], "numbers": sample["numbers"][i]}
+            if "charge" in sample:
+                m["charge"] = float(sample["charge"][i])
+            if "mult" in sample:
+                m["mult"] = float(sample["mult"][i])
+            mols.append(m)
+        system = system_molecule_bins(mols, capacity=c, pad_mols=pad_mols)
+
+        def slot_atoms(x):
+            out = np.zeros((pad_mols * c,) + x.shape[2:], dtype=x.dtype)
+            view = out[: b * c].reshape((b, c) + x.shape[2:])
+            view[:, :size] = x
+            return out
+
+        labels: dict[str, np.ndarray] = {}
+        if "energy" in sample:
+            e = np.zeros(pad_mols, dtype=np.float32)
+            e[:b] = sample["energy"].astype(np.float32)
+            labels["energy"] = e
+        if "forces" in sample:
+            labels["forces"] = slot_atoms(sample["forces"].astype(np.float32))
+        if "charges" in sample:
+            labels["charges"] = slot_atoms(sample["charges"].astype(np.float32))
+        return system, labels
+
     def make_batch_system(
         self, size: int, sample: dict[str, np.ndarray], pad_mols: int | None = None
     ) -> tuple[System, dict[str, np.ndarray]]:

@@ -273,6 +273,11 @@ def aimnet2_apply(
     a_flat = a.reshape(n, -1) if cfg.d2features else a
 
     engine = _resolve_conv_engine(cfg, conv_engine) if binned else "xla"
+    if engine == "pallas" and system.bins is not None and system.bins.molecule_bins:
+        # molecule-bin packed layout (radius-0 training batches): the fused
+        # stencil kernels assume spatial grids; the XLA engine's single
+        # within-bin block pass is already the right formulation here
+        engine = "xla"
     if (
         engine == "pallas"
         and system.bins is not None

@@ -60,7 +60,12 @@ def stencil_radius(cutoff: float, grid: B.BinGrid, cell=None) -> int:
     within the cutoff live at offsets up to ceil(cutoff/edge) (the exact-
     multiple boundary case only contains zero-measure d == cutoff pairs,
     which the cutoff mask excludes).
+
+    Molecule-bin grids (one molecule per bin, training batches) sweep at
+    radius 0 regardless of cutoff: every pair is within-bin by construction.
     """
+    if grid.molecule_bins:
+        return 0
     return max(1, int(math.ceil((cutoff + grid.margin) / grid.edge_hint)))
 
 
@@ -234,6 +239,8 @@ def pair_energy_binned(
     radius = stencil_radius(cutoff, grid, cell0)
 
     engine = os.environ.get("AIMNET_PAIR_ENGINE", "xla")
+    if grid.molecule_bins:
+        engine = "xla"  # radius-0 within-bin sweeps: no banded tables apply
     if allow_pallas and engine in ("pallas", "auto"):
         from aimnetcentral_tpu.kernels.pair_sweep import (
             pair_energy_pallas,
@@ -327,6 +334,46 @@ def coulomb_sr_binned(system: System, q: Array, rc, envelope: str) -> Array:
 
     # exp envelope is identically zero at d >= rc; cosine needs the cut
     e_i = pair_energy_binned(system, float(rc), e_fn, {"q": q})
+    from aimnetcentral_tpu.models.lr import FACTOR
+
+    return FACTOR * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
+
+
+def coulomb_simple_binned(
+    system: System, q: Array, rc, envelope: str, subtract_sr: bool
+) -> Array:
+    """Unbounded pairwise Coulomb, optionally minus the SR-envelope part
+    (twin of models/lr.py::coulomb_simple).  Only exact on molecule-bin
+    grids, where the radius-0 sweep enumerates ALL intra-molecular pairs —
+    on spatial grids a bare-1/r sum would be stencil-truncated (that is why
+    periodic systems auto-switch to DSF)."""
+    grid = system.bins
+    assert grid is not None and grid.molecule_bins, (
+        "simple Coulomb on the binned engine requires the molecule-bin "
+        "packed layout (training batches); periodic/spatial systems use DSF"
+    )
+
+    def e_fn(d, valid, self_b, cand_b):
+        qq = self_b["q"][..., :, None] * cand_b["q"][..., None, :]
+        e_pair = 1.0 / d
+        if subtract_sr:
+            if envelope == "exp":
+                x = jnp.clip(d / rc, 0.0, 1.0 - 1e-6)
+                fc = jnp.where(
+                    d < rc,
+                    jnp.exp(-1.0 / (1.0 - x * x)) / 0.36787944117144233,
+                    0.0,
+                )
+            else:
+                fc = jnp.where(
+                    d < rc,
+                    0.5 * (jnp.cos(jnp.clip(d, 1e-6, rc) * (jnp.pi / rc)) + 1.0),
+                    0.0,
+                )
+            e_pair = e_pair - fc / d
+        return qq * e_pair
+
+    e_i = pair_energy_binned(system, float("inf"), e_fn, {"q": q})
     from aimnetcentral_tpu.models.lr import FACTOR
 
     return FACTOR * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)

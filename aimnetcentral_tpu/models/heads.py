@@ -300,6 +300,12 @@ def head_apply(head: HeadSpec, params: dict, data: dict, system: System) -> dict
                 e = e - eb.coulomb_sr_binned(
                     system, data[head.key_in], head.rc, head.envelope
                 )
+        elif head.method == "simple" and system.bins.molecule_bins:
+            # one molecule per bin: the radius-0 sweep IS all intra-
+            # molecular pairs, so unbounded 1/r is exact (training batches)
+            e = eb.coulomb_simple_binned(
+                system, data[head.key_in], head.rc, head.envelope, head.subtract_sr
+            )
         else:
             raise ValueError(
                 f"Coulomb method {head.method!r} is not supported on the binned "

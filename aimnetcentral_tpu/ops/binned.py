@@ -54,6 +54,14 @@ class BinGrid:
     # planes supply the neighbors — but keeps global periodicity in the
     # others).  None = all axes follow ``periodic``.
     periodic_axes: tuple[bool, bool, bool] | None = None
+    # "one molecule per bin" packed layout (training batches): every pair
+    # interaction is within-bin by construction, so EVERY stencil sweep runs
+    # at radius 0 (a single (0,0,0) step of dense (C, C) block math — the
+    # reference's dense mode-0 batching expressed as MXU blocks,
+    # reference aimnet/nbops.py mode 0 / calculators docs nb_threshold).
+    # Unbounded pair terms (simple Coulomb) are exact on this layout: the
+    # whole molecule shares one bin.
+    molecule_bins: bool = False
 
     @property
     def axes_periodic(self) -> tuple[bool, bool, bool]:

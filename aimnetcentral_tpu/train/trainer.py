@@ -63,6 +63,10 @@ class TrainerConfig:
     tracker_run_name: str | None = None
     seed: int = 0
     with_forces: bool = True
+    # batch layout: "packed" = molecule-bin binned engine (dense per-molecule
+    # block math, zero per-pair gathers — the fast path); "indexed" = flat
+    # all-pairs neighbor matrices (the golden-parity twin)
+    layout: str = "packed"
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:
@@ -127,9 +131,12 @@ class Trainer:
             part = {k: v[d * per_dev : (d + 1) * per_dev] for k, v in sample.items()}
             if len(part["numbers"]) == 0:
                 part = {k: v[:0] for k, v in sample.items()}
-            sys_d, lab_d = self.train_ds.make_batch_system(
-                size, part, pad_mols=per_dev
+            make = (
+                self.train_ds.make_batch_system_packed
+                if self.tcfg.layout == "packed"
+                else self.train_ds.make_batch_system
             )
+            sys_d, lab_d = make(size, part, pad_mols=per_dev)
             systems.append(sys_d)
             labels.append(lab_d)
         batch = stack_systems(systems)
