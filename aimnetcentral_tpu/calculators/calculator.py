@@ -346,6 +346,11 @@ class AIMNet2Calculator:
         new = np.concatenate([np.asarray(m["coord"], np.float32) for m in mols])
         if new.shape != c["ref"].shape:
             return None
+        if c["kind"] == "packed":
+            # molecule-bin layout: bins are molecule identity, not geometry —
+            # any displacement keeps the prepared structure exact
+            self._last_perm = c["perm"]
+            return c["system"].replace(coord=jnp.asarray(new[c["perm"]]))
         if np.abs(new - c["ref"]).max() > 0.5 * self.reuse_skin:
             return None
         compact = np.ones((c["n_pad"], 3), np.float32)
@@ -387,6 +392,33 @@ class AIMNet2Calculator:
         h_eff0 = next(
             (hh for _n, hh in cfg_eff0.outputs if isinstance(hh, LRCoulombHead)), None
         )
+
+        # large batches of gas-phase molecules: the molecule-bin packed
+        # layout (one molecule per bin, radius-0 dense block math — see
+        # builders.system_molecule_bins).  Zero host-side neighbor builds,
+        # zero per-pair gathers, exact for every head incl. unbounded simple
+        # Coulomb; the geometry never invalidates the layout, so relaxation/
+        # screening loops reuse one prepared system forever.  Guarded by a
+        # slot-efficiency check so one giant molecule in a batch of small
+        # ones falls back to the indexed path.
+        if allow_binned and not has_cell and len(mols) > 1 and n_real >= self.binned_threshold:
+            from aimnetcentral_tpu.builders import system_molecule_bins
+
+            cap = max(8, _round_up(max(len(m["numbers"]) for m in mols), 8))
+            if cap * len(mols) <= 4 * n_real:
+                sysp = system_molecule_bins(mols, capacity=cap)
+                perm = np.zeros(sysp.natoms, dtype=np.int64)
+                off = 0
+                for k, m in enumerate(mols):
+                    n = len(m["numbers"])
+                    perm[k * cap : k * cap + n] = np.arange(off, off + n)
+                    off += n
+                self._last_perm = perm
+                self._store_prep(
+                    mols, allow_binned, sysp, "packed", n_real, perm=perm
+                )
+                return sysp
+
         binned_ok = has_cell or h_eff0 is None or h_eff0.method == "dsf"
         if (
             allow_binned

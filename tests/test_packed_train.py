@@ -113,6 +113,38 @@ def test_packed_apply_matches_indexed(model, rng):
     )
 
 
+def test_calculator_packed_batch_parity(model, rng):
+    """Batched gas-phase eval routes through the molecule-bin packed layout
+    (zero host neighbor builds) and matches the indexed path; the prepared
+    structure survives arbitrarily large displacements (bins are molecule
+    identity, not geometry)."""
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+
+    cfg, params = model
+    mols = _mols(rng, sizes=(11, 9, 11, 5, 7, 12))
+    calc_p = AIMNet2Calculator((params, cfg), binned_threshold=32)
+    calc_i = AIMNet2Calculator((params, cfg), binned_threshold=10**9)
+
+    out_p = calc_p(mols, forces=True)
+    assert calc_p._prep_cache["kind"] == "packed"
+    out_i = calc_i(mols, forces=True)
+    np.testing.assert_allclose(out_p["energy"], out_i["energy"], atol=1e-5)
+    np.testing.assert_allclose(out_p["forces"], out_i["forces"], atol=1e-5)
+    np.testing.assert_allclose(out_p["charges"], out_i["charges"], atol=1e-5)
+
+    # large displacement: no rebuild, still exact
+    mols2 = [
+        {**m, "coord": m["coord"] + rng.normal(size=m["coord"].shape).astype(np.float32) * 2.0}
+        for m in mols
+    ]
+    cached = calc_p._prep_cache["system"]
+    out_p2 = calc_p(mols2, forces=True)
+    assert calc_p._prep_cache["system"] is cached
+    out_i2 = calc_i(mols2, forces=True)
+    np.testing.assert_allclose(out_p2["energy"], out_i2["energy"], atol=1e-5)
+    np.testing.assert_allclose(out_p2["forces"], out_i2["forces"], atol=1e-5)
+
+
 def test_packed_train_step_matches_indexed(model, rng):
     """Full train step (force loss -> grad-of-grad -> param grads) agrees
     between layouts: same loss, same parameter gradients."""
