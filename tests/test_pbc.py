@@ -181,3 +181,60 @@ def test_ewald_translation_invariance(rng):
     e0 = e_of(coord)
     e1 = e_of(coord + np.array([1.3, -0.7, 2.1], dtype=np.float32))
     assert e1 == pytest.approx(e0, abs=5e-3)
+
+
+def test_ewald_batched_heterogeneous_cells(rng):
+    """Batched molecules with DIFFERENT cells: each molecule's Ewald energy
+    must match its own single-molecule evaluation at the same accuracy.
+
+    Exercises the per-molecule eta/k_cutoff machinery (shared integer k-grid
+    masked at each molecule's own cutoff) — the reference estimates Ewald
+    parameters per call from one cell (reference
+    aimnet/calculators/calculator.py:1565-1603), which a batched evaluation
+    must reproduce for EVERY cell, not just the first."""
+    mols = []
+    for n, a in ((8, 5.0), (16, 11.0)):  # dense small cell + sparse large cell
+        coord = rng.uniform(0.5, a - 0.5, size=(n, 3)).astype(np.float32)
+        q = rng.normal(size=n).astype(np.float32)
+        q -= q.mean()
+        mols.append(
+            {
+                "coord": coord,
+                "numbers": np.full(n, 6),
+                "cell": np.eye(3, dtype=np.float32) * a,
+                "q": q,
+            }
+        )
+
+    acc = 1e-7
+    r_max = max(
+        estimate_ewald_parameters(m["cell"], len(m["q"]), acc).r_cutoff
+        for m in mols
+    )
+
+    # batched evaluation (one shared k-grid, per-molecule masks)
+    batched = system_from_molecules(
+        [{k: m[k] for k in ("coord", "numbers", "cell")} for m in mols],
+        cutoff=4.0,
+        lr_cutoff=float(r_max),
+    )
+    qp = np.zeros(batched.natoms, dtype=np.float32)
+    off = 0
+    for m in mols:
+        qp[off : off + len(m["q"])] = m["q"]
+        off += len(m["q"])
+    e_batched = _ewald_of_system(batched, qp, acc)
+
+    # per-molecule single evaluations, each with its own parameters
+    for i, m in enumerate(mols):
+        single = system_from_molecules(
+            [{k: m[k] for k in ("coord", "numbers", "cell")}],
+            cutoff=4.0,
+            lr_cutoff=float(
+                estimate_ewald_parameters(m["cell"], len(m["q"]), acc).r_cutoff
+            ),
+        )
+        qs = np.zeros(single.natoms, dtype=np.float32)
+        qs[: len(m["q"])] = m["q"]
+        e_single = _ewald_of_system(single, qs, acc)[0]
+        assert e_batched[i] == pytest.approx(e_single, rel=1e-5, abs=1e-5), i
