@@ -30,11 +30,125 @@ import numpy as np
 import pytest
 
 
+def _torch_neighbor_list_stub(NeighborOverflowError):
+    """Pure-torch implementation of the nvalchemiops ``neighbor_list`` contract
+    (reference aimnet/calculators/neighbors.py:65-147 documents the surface:
+    fixed-capacity (N, max_neighbors) matrix, fill_value padding, optional
+    per-system cell/pbc/batch_idx, NeighborOverflowError on overflow).
+
+    Having a REAL neighbor list lets the cross-framework parity tests drive
+    the reference's full AIMNet2Calculator on CPU (deterministic=True routes
+    DSF/D3 through its differentiable pure-torch paths), closing the
+    force/stress parity loop offline.
+    """
+    import math
+
+    import torch
+
+    def neighbor_list(
+        positions,
+        cutoff,
+        cell=None,
+        pbc=None,
+        batch_idx=None,
+        max_neighbors=64,
+        half_fill=False,
+        fill_value=None,
+        **_kwargs,
+    ):
+        assert not half_fill, "stub implements half_fill=False only"
+        N = positions.shape[0]
+        if fill_value is None:
+            fill_value = N
+        device = positions.device
+        bidx = (
+            torch.zeros(N, dtype=torch.long, device=device)
+            if batch_idx is None
+            else batch_idx.long()
+        )
+        nbmat = torch.full((N, max_neighbors), int(fill_value), dtype=torch.int32, device=device)
+        counts = torch.zeros(N, dtype=torch.int32, device=device)
+
+        if cell is None:
+            d = torch.cdist(positions.double(), positions.double())
+            conn = (d < cutoff) & (bidx.unsqueeze(1) == bidx.unsqueeze(0))
+            conn &= ~torch.eye(N, dtype=torch.bool, device=device)
+            c = conn.sum(1)
+            if N and int(c.max()) > max_neighbors:
+                raise NeighborOverflowError(
+                    f"max_neighbors={max_neighbors} < {int(c.max())}"
+                )
+            ii, jj = conn.nonzero(as_tuple=True)
+            rank = (torch.cumsum(conn.to(torch.int64), dim=1) - 1)[ii, jj]
+            nbmat[ii, rank] = jj.to(torch.int32)
+            counts = c.to(torch.int32)
+            return nbmat, counts
+
+        cell_b = cell if cell.ndim == 3 else cell.unsqueeze(0)
+        B = cell_b.shape[0]
+        if pbc is None:
+            pbc_b = torch.ones((B, 3), dtype=torch.bool, device=device)
+        else:
+            pbc_b = torch.as_tensor(pbc, dtype=torch.bool, device=device).reshape(-1, 3)
+            if pbc_b.shape[0] == 1 and B > 1:
+                pbc_b = pbc_b.expand(B, -1)
+        shifts_out = torch.zeros((N, max_neighbors, 3), dtype=positions.dtype, device=device)
+
+        for b in range(B):
+            sel = (bidx == b).nonzero(as_tuple=True)[0]
+            n = sel.numel()
+            if n == 0:
+                continue
+            pos = positions[sel].double()
+            c3 = cell_b[b].double()
+            inv = torch.linalg.inv(c3)
+            # r = f @ cell  =>  f_k = r . inv(cell)[:, k]; plane spacing along
+            # axis k is 1/||column k of inv(cell)||
+            heights = 1.0 / torch.linalg.norm(inv, dim=0)
+            nmax = [
+                int(math.ceil(cutoff / float(heights[k]))) + 1 if bool(pbc_b[b, k]) else 0
+                for k in range(3)
+            ]
+            axes = [torch.arange(-m, m + 1, device=device, dtype=torch.float64) for m in nmax]
+            S = torch.cartesian_prod(*axes).reshape(-1, 3)  # (nS, 3)
+            Scart = S @ c3  # (nS, 3)
+            zero_s = int((S.abs().sum(-1) == 0).nonzero()[0, 0])
+            # chunk over shifts to bound memory
+            conn_rows = [[] for _ in range(n)]  # (j_global, shift_vec) per i
+            for s0 in range(0, S.shape[0], 64):
+                Sc = Scart[s0 : s0 + 64]
+                disp = pos[None, :, None, :] + Sc[None, None, :, :] - pos[:, None, None, :]
+                d = torch.linalg.vector_norm(disp, dim=-1)  # (n, n, ns)
+                conn = d < cutoff
+                if s0 <= zero_s < s0 + 64:
+                    idx = zero_s - s0
+                    conn[:, :, idx] &= ~torch.eye(n, dtype=torch.bool, device=device)
+                ii, jj, ss = conn.nonzero(as_tuple=True)
+                for a, j, s in zip(ii.tolist(), jj.tolist(), (ss + s0).tolist()):
+                    conn_rows[a].append((int(sel[j]), s))
+            cmax = max((len(r) for r in conn_rows), default=0)
+            if cmax > max_neighbors:
+                raise NeighborOverflowError(
+                    f"max_neighbors={max_neighbors} < {cmax}"
+                )
+            for a, row in enumerate(conn_rows):
+                gi = int(sel[a])
+                counts[gi] = len(row)
+                for k, (j, s) in enumerate(row):
+                    nbmat[gi, k] = j
+                    shifts_out[gi, k] = S[s].to(positions.dtype)
+        return nbmat, counts, shifts_out
+
+    return neighbor_list
+
+
 def _install_reference_stubs():
     """Make the PyTorch reference importable on CPU without warp/nvalchemiops.
 
     We stub only the GPU-kernel seams; every pure-torch path in the reference
     stays genuine, which is exactly what the parity tests compare against.
+    The neighbor_list stub is a REAL pure-torch implementation of the
+    documented contract so the reference calculator runs end-to-end.
     """
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -61,7 +175,9 @@ def _install_reference_stubs():
         )
         nv_torch = types.ModuleType("nvalchemiops.torch")
         nv_torch_nb = types.ModuleType("nvalchemiops.torch.neighbors")
-        nv_torch_nb.neighbor_list = _unavailable
+        nv_torch_nb.neighbor_list = _torch_neighbor_list_stub(
+            nv_neighbors.NeighborOverflowError
+        )
         nv_inter = types.ModuleType("nvalchemiops.torch.interactions")
         nv_disp = types.ModuleType("nvalchemiops.torch.interactions.dispersion")
         nv_disp.dftd3 = _unavailable

@@ -89,13 +89,15 @@ def test_reference_eval_matches_jax(exported, rng):
     model, _meta = ref_load_model(path)
     coord, numbers = random_molecule(rng, 11)
 
+    t_coord = torch.tensor(coord, dtype=torch.float32, requires_grad=True)
     data = {
-        "coord": torch.tensor(coord, dtype=torch.float32).unsqueeze(0),
+        "coord": t_coord.unsqueeze(0),
         "numbers": torch.tensor(numbers, dtype=torch.int64).unsqueeze(0),
         "charge": torch.tensor([0.0], dtype=torch.float32),
     }
-    with torch.no_grad():
-        ref_out = model(data)
+    ref_out = model(data)
+    (g,) = torch.autograd.grad(ref_out["energy"].sum(), t_coord)
+    ref_forces = -g.detach().numpy()
     ref_e = ref_out["energy"].detach().numpy().reshape(-1)
     ref_q = ref_out["charges"].detach().numpy().reshape(-1)
 
@@ -103,10 +105,15 @@ def test_reference_eval_matches_jax(exported, rng):
     # (no external Coulomb) against the reference's bare eval
     loaded = load_v2_artifact(path, attach_lr=False)
     calc = AIMNet2Calculator(loaded.as_calculator_model())
-    out = calc({"coord": coord, "numbers": numbers}, validate_species=True)
+    out = calc({"coord": coord, "numbers": numbers}, forces=True, validate_species=True)
 
-    np.testing.assert_allclose(out["energy"], ref_e, atol=2e-4)
+    # energy: |E| here is a few kilo-eV (the f64 SAE bake dominates), so the
+    # bound is the SAE's exact f64 transfer + f32 NN noise, not the loose
+    # 2e-4 cross-framework default
+    np.testing.assert_allclose(out["energy"], ref_e, atol=2e-5)
     np.testing.assert_allclose(out["charges"], ref_q, atol=1e-4)
+    mae = np.abs(out["forces"].reshape(-1, 3) - ref_forces).mean()
+    assert mae < 1e-4, f"force MAE vs reference: {mae:.2e} eV/A"
 
 
 def test_export_metadata_validates_species(exported, rng):
