@@ -6,8 +6,30 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from aimnetcentral_tpu.ops.neighbors import allpairs_nbmat, brute_force_nbmat
+from aimnetcentral_tpu.ops.neighbors import (
+    allpairs_nbmat,
+    brute_force_nbmat,
+    cell_list_nbmat,
+)
 from aimnetcentral_tpu.system import System
+
+# above this atom count, host neighbor builds use the O(N) cell list
+# (brute force is O(N^2) and cost minutes at 10k atoms — the reference's
+# builds are O(N) on device, aimnet/calculators/neighbors.py:21-147)
+_HOST_CELL_LIST_THRESHOLD = 512
+
+
+def host_nbmat(coord, mol_idx, cutoff, max_neighbors=None, cell=None, n_pad=None):
+    """Dispatch host neighbor builds: O(N) cell list for large systems,
+    brute force below the threshold (lower constant cost)."""
+    build = (
+        cell_list_nbmat
+        if coord.shape[0] > _HOST_CELL_LIST_THRESHOLD
+        else brute_force_nbmat
+    )
+    return build(
+        coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell, n_pad=n_pad
+    )
 
 
 def system_from_molecules(
@@ -59,6 +81,22 @@ def system_from_molecules(
         cell = np.stack(
             [np.asarray(c if c is not None else np.eye(3), dtype=np.float32) for c in cells]
         )
+        # store periodic molecules in the WRAPPED frame: every neighbor shift
+        # is then exactly the ghost-image count (no per-pair wrap corrections
+        # on bandwidth-bound hosts), and all periodic observables are
+        # invariant under per-atom lattice translations.  The calculator
+        # records the applied wrap so Verlet-style reuse can re-wrap new
+        # coordinates consistently (see AIMNet2Calculator._store_prep).
+        off = 0
+        for i, c in enumerate(coords):
+            if cells[i] is not None:
+                cb = np.asarray(cells[i], dtype=np.float64)
+                w = np.floor(c.astype(np.float64) @ np.linalg.inv(cb))
+                if w.any():
+                    coord[off : off + len(c)] = (
+                        c.astype(np.float64) - w @ cb
+                    ).astype(np.float32)
+            off += len(c)
 
     real_mol_idx = mol_idx[:n_real]
     if not build_nbmat:
@@ -69,7 +107,7 @@ def system_from_molecules(
         shifts = None
     else:
         assert cutoff is not None, "periodic systems need an explicit cutoff"
-        nbmat, shifts, _ = brute_force_nbmat(
+        nbmat, shifts, _ = host_nbmat(
             coord[:n_real],
             real_mol_idx,
             cutoff,
@@ -79,7 +117,7 @@ def system_from_molecules(
         )
 
     def _lr_build(rc):
-        return brute_force_nbmat(
+        return host_nbmat(
             coord[:n_real],
             real_mol_idx,
             rc,

@@ -364,6 +364,11 @@ class AIMNet2Calculator:
             self._last_perm = c["perm"]
             return c["system"].replace(coord=jnp.asarray(compact[c["perm"]]))
         self._last_perm = None
+        if c["wrap"] is not None:
+            # indexed periodic systems live in the wrapped frame (see
+            # builders.system_from_molecules); re-apply the CACHED Cartesian
+            # wrap so the stale-but-exact shift matrices stay consistent
+            compact = compact - c["wrap"]
         return c["system"].replace(coord=jnp.asarray(compact))
 
     # -- evaluation ---------------------------------------------------------
@@ -564,7 +569,22 @@ class AIMNet2Calculator:
             system = attach_ewald(
                 system, ewald_acc, pme=(h_eff is not None and h_eff.method == "pme")
             )
-        self._store_prep(mols, allow_binned, system, "indexed", n_pad)
+        # Cartesian wrap offsets applied by the builder (wrapped frame):
+        # needed to re-wrap new coordinates consistently on reuse
+        wrap_cart = None
+        if has_cell:
+            wrap_cart = np.zeros((n_pad, 3), np.float32)
+            off = 0
+            for m in mols:
+                c = np.asarray(m["coord"], np.float64)
+                if m.get("cell") is not None:
+                    cb = np.asarray(m["cell"], np.float64)
+                    w = np.floor(c @ np.linalg.inv(cb))
+                    wrap_cart[off : off + len(c)] = (w @ cb).astype(np.float32)
+                off += len(c)
+        self._store_prep(
+            mols, allow_binned, system, "indexed", n_pad, wrap=wrap_cart
+        )
         return system
 
     def _get_fn(self, cfg: AIMNet2Config, forces: bool, stress: bool, hessian: bool):

@@ -47,7 +47,8 @@ class System:
     nbmat: Array | None = None  # (N, M) int32, fill value N-1 (indexed engine)
     mult: Array | None = None  # (num_mol,) float32 spin multiplicity (NSE models)
     cell: Array | None = None  # (num_mol, 3, 3) float32 or None
-    shifts: Array | None = None  # (N, M, 3) float32 fractional lattice shifts
+    shifts: Array | None = None  # (N, M, 3) lattice image counts (int8 from the
+    # host builders, float32 from the device cell list; consumers cast at use)
     nbmat_lr: Array | None = None  # (N, M_lr) int32
     shifts_lr: Array | None = None  # (N, M_lr, 3)
     nbmat_coulomb: Array | None = None
