@@ -19,7 +19,9 @@ from aimnetcentral_tpu.system import System
 _HOST_CELL_LIST_THRESHOLD = 512
 
 
-def host_nbmat(coord, mol_idx, cutoff, max_neighbors=None, cell=None, n_pad=None):
+def host_nbmat(
+    coord, mol_idx, cutoff, max_neighbors=None, cell=None, n_pad=None, pbc_mol=None
+):
     """Dispatch host neighbor builds: O(N) cell list for large systems,
     brute force below the threshold (lower constant cost)."""
     build = (
@@ -28,7 +30,8 @@ def host_nbmat(coord, mol_idx, cutoff, max_neighbors=None, cell=None, n_pad=None
         else brute_force_nbmat
     )
     return build(
-        coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell, n_pad=n_pad
+        coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell,
+        n_pad=n_pad, pbc_mol=pbc_mol,
     )
 
 
@@ -98,6 +101,10 @@ def system_from_molecules(
                     ).astype(np.float32)
             off += len(c)
 
+    # per-molecule periodicity for mixed batches (reference accepts (B, 3)
+    # pbc flags, aimnet/calculators/neighbors.py:309-321)
+    pbc_mol = np.array([c is not None for c in cells]) if has_cell else None
+
     real_mol_idx = mol_idx[:n_real]
     if not build_nbmat:
         # caller converts to the binned engine (no index matrices needed)
@@ -114,6 +121,7 @@ def system_from_molecules(
             max_neighbors=max_neighbors,
             cell=cell if has_cell else None,
             n_pad=n_pad,
+            pbc_mol=pbc_mol,
         )
 
     def _lr_build(rc):
@@ -123,6 +131,7 @@ def system_from_molecules(
             rc,
             cell=cell if has_cell else None,
             n_pad=n_pad,
+            pbc_mol=pbc_mol,
         )[:2]
 
     # shared LR list, or split per-module lists when Coulomb/D3 cutoffs

@@ -162,7 +162,14 @@ class AIMNet2Calculator:
         # periodic systems larger than this route through the binned stencil
         # engine (index-free pair math; see ops/binned.py)
         self.binned_threshold = binned_threshold
-        self._fn_cache: dict[tuple, Any] = {}
+        # LRU-bounded compiled-fn cache: distinct (forces, stress, hessian,
+        # cfg) keys accumulate across flag/setter churn — bound it like the
+        # reference bounds its static caches at 8 entries
+        # (reference aimnet/calculators/neighbors.py:175-191)
+        from collections import OrderedDict
+
+        self._fn_cache: "OrderedDict[tuple, Any]" = OrderedDict()
+        self._fn_cache_max = 8
         self._last_perm: np.ndarray | None = None
         # runtime LR neighbor-list cutoff overrides
         # (reference aimnet/calculators/calculator.py:729-784)
@@ -587,18 +594,25 @@ class AIMNet2Calculator:
         )
         return system
 
+    def _cache_put(self, key: tuple, fn: Any) -> Any:
+        self._fn_cache[key] = fn
+        if len(self._fn_cache) > self._fn_cache_max:
+            self._fn_cache.popitem(last=False)
+        return fn
+
     def _get_fn(self, cfg: AIMNet2Config, forces: bool, stress: bool, hessian: bool):
         key = (forces, stress, hessian, cfg)
-        if key not in self._fn_cache:
-            fn = derivatives.make_eval_fn(
-                cfg,
-                forces=forces,
-                stress=stress,
-                hessian=hessian,
-                sae_external=True,
-            )
-            self._fn_cache[key] = jax.jit(fn)
-        return self._fn_cache[key]
+        if key in self._fn_cache:
+            self._fn_cache.move_to_end(key)
+            return self._fn_cache[key]
+        fn = derivatives.make_eval_fn(
+            cfg,
+            forces=forces,
+            stress=stress,
+            hessian=hessian,
+            sae_external=True,
+        )
+        return self._cache_put(key, jax.jit(fn))
 
     def eval(
         self,
@@ -702,9 +716,11 @@ class AIMNet2Calculator:
         # simple -> DSF, so HVP and dense Hessian use one Hamiltonian
         cfg_eff = self._effective_cfg(system.cell is not None)
         key = ("hvp", cfg_eff)
-        if key not in self._fn_cache:
-            self._fn_cache[key] = jax.jit(derivatives.make_hvp_fn(cfg_eff))
-        hvp_fn = self._fn_cache[key]
+        if key in self._fn_cache:
+            self._fn_cache.move_to_end(key)
+            hvp_fn = self._fn_cache[key]
+        else:
+            hvp_fn = self._cache_put(key, jax.jit(derivatives.make_hvp_fn(cfg_eff)))
         n_real = int(np.asarray(system.numbers > 0).sum())
         v_pad = np.zeros((system.natoms, 3), dtype=np.float32)
         v_pad[:n_real] = np.asarray(v, dtype=np.float32).reshape(n_real, 3)

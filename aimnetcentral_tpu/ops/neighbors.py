@@ -62,13 +62,17 @@ def brute_force_nbmat(
     max_neighbors: int | None = None,
     cell: np.ndarray | None = None,
     n_pad: int | None = None,
+    pbc_mol: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, int]:
     """O(N^2) host-side neighbor matrix builder (tests + calculator fallback).
 
     Returns ``(nbmat, shifts_frac_or_None, max_seen)``.  For PBC, enumerates
     lattice images within the cutoff (single cell shared by all molecules, or
-    per-molecule cells (B,3,3)).  ``coord`` holds real atoms only (n_real,3);
-    the returned matrices have ``n_pad`` rows (default n_real+1).
+    per-molecule cells (B,3,3)).  ``pbc_mol`` (B,) bool marks which molecules
+    are actually periodic in a mixed batch (the reference takes per-system
+    pbc flags, aimnet/calculators/neighbors.py:309-321); cells of non-periodic
+    molecules are placeholders and ignored.  ``coord`` holds real atoms only
+    (n_real,3); the returned matrices have ``n_pad`` rows (default n_real+1).
     """
     n_real = coord.shape[0]
     n_pad = n_pad or (n_real + 1)
@@ -89,6 +93,18 @@ def brute_force_nbmat(
         # generous image range from cell heights
         for b in np.unique(mol_idx):
             sel = np.nonzero(mol_idx == b)[0]
+            if pbc_mol is not None and not pbc_mol[b]:
+                # gas-phase molecule inside a mixed batch: no images,
+                # zero shifts (keeps the batch shift array aligned)
+                xyz = coord[sel]
+                d = np.linalg.norm(xyz[:, None, :] - xyz[None, :, :], axis=-1)
+                mask = (d < cutoff) & ~np.eye(len(sel), dtype=bool)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    pairs_i.append(sel[ii])
+                    pairs_j.append(sel[jj])
+                    pairs_s.append(np.zeros((len(ii), 3), dtype=np.int8))
+                continue
             cb = cells[b if cells.shape[0] > 1 else 0]
             inv = np.linalg.inv(cb).T
             nrep = np.ceil(cutoff * np.linalg.norm(inv, axis=-1)).astype(int)
@@ -158,6 +174,7 @@ def cell_list_nbmat(
     max_neighbors: int | None = None,
     cell: np.ndarray | None = None,
     n_pad: int | None = None,
+    pbc_mol: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, int]:
     """O(N) host-side neighbor builder — same contract as
     ``brute_force_nbmat`` (the reference's host analogue is the O(N) device
@@ -177,10 +194,12 @@ def cell_list_nbmat(
         from scipy.spatial import cKDTree  # noqa: F401
     except ImportError:  # pragma: no cover — scipy is in the image
         return _cell_list_nbmat_numpy(
-            coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell, n_pad=n_pad
+            coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell,
+            n_pad=n_pad, pbc_mol=pbc_mol,
         )
     return _cell_list_nbmat_kdtree(
-        coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell, n_pad=n_pad
+        coord, mol_idx, cutoff, max_neighbors=max_neighbors, cell=cell,
+        n_pad=n_pad, pbc_mol=pbc_mol,
     )
 
 
@@ -191,6 +210,7 @@ def _cell_list_nbmat_kdtree(
     max_neighbors: int | None = None,
     cell: np.ndarray | None = None,
     n_pad: int | None = None,
+    pbc_mol: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, int]:
     from scipy.spatial import cKDTree
 
@@ -206,7 +226,7 @@ def _cell_list_nbmat_kdtree(
     for b in np.unique(mol_idx):
         sel = np.nonzero(mol_idx == b)[0]
         xyz = coord[sel]
-        if not has_cell:
+        if not has_cell or (pbc_mol is not None and not pbc_mol[b]):
             tree = cKDTree(xyz)
             res = tree.sparse_distance_matrix(tree, cutoff, output_type="ndarray")
             # structured-field views are strided; cast-copy once to int32
@@ -216,6 +236,9 @@ def _cell_list_nbmat_kdtree(
             ri, rj = ri[keep], rj[keep]
             all_i.append(sel[ri] if len(sel) < n_real else ri)
             all_j.append(sel[rj] if len(sel) < n_real else rj)
+            if has_cell:
+                # mixed batch: zero shifts keep the batch shift array aligned
+                all_s.append(np.zeros((len(ri), 3), np.int8))
             continue
         cb = np.asarray(cells[b if cells.shape[0] > 1 else 0], dtype=np.float64)
         inv = np.linalg.inv(cb)
@@ -287,6 +310,7 @@ def _cell_list_nbmat_numpy(
     max_neighbors: int | None = None,
     cell: np.ndarray | None = None,
     n_pad: int | None = None,
+    pbc_mol: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, int]:
     """Pure-numpy binned fallback: grid with edge >= cutoff (per perpendicular
     height for triclinic cells), candidates from the neighboring bin shell."""
@@ -304,7 +328,8 @@ def _cell_list_nbmat_numpy(
         sel = np.nonzero(mol_idx == b)[0]
         xyz = coord[sel]
         n = len(sel)
-        if has_cell:
+        periodic = has_cell and (pbc_mol is None or bool(pbc_mol[b]))
+        if periodic:
             cb = np.asarray(cells[b if cells.shape[0] > 1 else 0], dtype=np.float64)
             inv = np.linalg.inv(cb)
             frac = xyz @ inv
@@ -347,7 +372,7 @@ def _cell_list_nbmat_numpy(
             axis=-1,
         ).reshape(-1, 3)
         tgt = bidx[:, None, :] + offs[None, :, :]  # (n, n_off, 3)
-        if has_cell:
+        if periodic:
             # lattice image of the target bin; dedupe (bin, image) aliases
             # that arise when an axis has fewer than 2*reach+1 bins (two
             # offsets landing on the same bin with the same image are exact
@@ -381,7 +406,7 @@ def _cell_list_nbmat_numpy(
             cand = table[tgt_lin[valid_rows, o]]  # (rows, cap) local idx or -1
             cand_ok = cand >= 0
             cand_safe = np.where(cand_ok, cand, 0)
-            if has_cell:
+            if periodic:
                 img_o = img[valid_rows, o]  # (rows, 3)
                 disp = (
                     frac_w[cand_safe] + img_o[:, None, :] - frac_w[valid_rows][:, None, :]
@@ -393,7 +418,7 @@ def _cell_list_nbmat_numpy(
             hit = cand_ok & (d2 < cutoff * cutoff)
             # exclude self: same atom index is d==0 only at zero total image
             self_pair = cand_safe == valid_rows[:, None]
-            if has_cell:
+            if periodic:
                 self_pair &= (img_o == 0).all(axis=-1)[:, None]
             hit &= ~self_pair
             ri, ci = np.nonzero(hit)
@@ -403,12 +428,15 @@ def _cell_list_nbmat_numpy(
             lj = cand_safe[ri, ci]
             all_i.append(sel[li])
             all_j.append(sel[lj])
-            if has_cell:
+            if periodic:
                 # shift vs ORIGINAL coords: wrapped x_w = x_orig - wrap @ cell,
                 # disp = x_w_j + img@cell - x_w_i = x_orig_j + (img - wrap_j +
                 # wrap_i)@cell - x_orig_i  =>  s_orig = img - wrap_j + wrap_i
                 s = img_o[ri] - wrap[lj] + wrap[li]
-                all_s.append(s.astype(np.float32))
+                all_s.append(s.astype(np.int8))
+            elif has_cell:
+                # mixed batch: zero shifts keep the batch shift array aligned
+                all_s.append(np.zeros((len(ri), 3), np.int8))
 
     ii = np.concatenate(all_i) if all_i else np.zeros(0, dtype=int)
     jj = np.concatenate(all_j) if all_j else np.zeros(0, dtype=int)

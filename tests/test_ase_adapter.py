@@ -1,0 +1,196 @@
+"""ASE adapter unit tests without ASE installed (mirrors the stub-class
+treatment the torchsim adapter got — reference tests/test_ase.py exercises
+aimnet/calculators/aimnet2ase.py:35-274; here a fake ``ase`` package +
+FakeAtoms cover the adapter's own logic: property mapping, charge/mult
+precedence from atoms.info, stress Voigt order, batch-of-1 unsqueeze,
+get_hessian shape)."""
+
+import importlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from aimnetcentral_tpu.calculators.calculator import AIMNet2Calculator
+from aimnetcentral_tpu.models import aimnet2_init
+from aimnetcentral_tpu.models.aimnet2 import AEVConfig, AIMNet2Config
+from aimnetcentral_tpu.models.heads import AtomicSumHead, OutputHead
+from aimnetcentral_tpu.models.modules import MLPSpec
+
+
+@pytest.fixture(scope="module")
+def ase_adapter_module():
+    """Install a minimal fake ``ase`` package and import the adapter
+    against it (the image has no ASE; the adapter is import-gated)."""
+    fake_calc_mod = types.ModuleType("ase.calculators.calculator")
+
+    class Calculator:
+        def __init__(self):
+            self.results = {}
+            self.atoms = None
+
+        def calculate(self, atoms=None, properties=(), system_changes=None):
+            if atoms is not None:
+                self.atoms = atoms
+            self.results = {}
+
+    fake_calc_mod.Calculator = Calculator
+    fake_calc_mod.all_changes = ["positions", "numbers", "cell", "pbc"]
+    fake_pkg = types.ModuleType("ase")
+    fake_sub = types.ModuleType("ase.calculators")
+    saved = {k: sys.modules.get(k) for k in
+             ("ase", "ase.calculators", "ase.calculators.calculator")}
+    sys.modules["ase"] = fake_pkg
+    sys.modules["ase.calculators"] = fake_sub
+    sys.modules["ase.calculators.calculator"] = fake_calc_mod
+    import aimnetcentral_tpu.calculators.ase_adapter as mod
+
+    mod = importlib.reload(mod)
+    assert mod.ASE_AVAILABLE
+    yield mod
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+    importlib.reload(mod)
+
+
+class FakeAtoms:
+    def __init__(self, positions, numbers, info=None, cell=None, pbc=False):
+        self.positions = np.asarray(positions, dtype=np.float64)
+        self.numbers = np.asarray(numbers)
+        self.info = dict(info or {})
+        self.cell = np.asarray(cell) if cell is not None else np.zeros((3, 3))
+        self.pbc = np.asarray([pbc] * 3)
+
+    def get_positions(self):
+        return self.positions
+
+    def get_atomic_numbers(self):
+        return self.numbers
+
+    def get_cell(self):
+        return self.cell
+
+    def __len__(self):
+        return len(self.numbers)
+
+
+@pytest.fixture(scope="module")
+def calc():
+    cfg = AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((32,), (32,), (32,)),
+        aim_size=32,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=32, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(16,), last_linear=True)),
+            ),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+    params = aimnet2_init(jax.random.key(0), cfg)
+    return AIMNet2Calculator((params, cfg, {"sae": {}}))
+
+
+class RecordingCalc:
+    """Spy wrapper: record the data dict the adapter hands to the base
+    calculator (reference tests use the same doubles-at-the-seam style)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls = []
+
+    def __call__(self, data, **kw):
+        self.calls.append((dict(data), dict(kw)))
+        return self.inner(data, **kw)
+
+
+def _water(info=None, **kw):
+    return FakeAtoms(
+        positions=[[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]],
+        numbers=[8, 1, 1],
+        info=info,
+        **kw,
+    )
+
+
+def test_property_mapping_gas_phase(ase_adapter_module, calc):
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    atoms = _water()
+    ase_calc.calculate(atoms, properties=("energy", "forces"))
+    r = ase_calc.results
+    assert isinstance(r["energy"], float)  # batch-of-1 unsqueezed to scalar
+    assert r["free_energy"] == r["energy"]
+    assert r["forces"].shape == (3, 3) and r["forces"].dtype == np.float64
+    assert np.isfinite(r["forces"]).all()
+    if "charges" in r:
+        np.testing.assert_allclose(
+            r["dipole_moment"],
+            (r["charges"][:, None] * atoms.get_positions()).sum(0),
+        )
+
+
+def test_charge_mult_precedence(ase_adapter_module, calc):
+    """atoms.info overrides constructor values
+    (reference aimnet/calculators/aimnet2ase.py:114-135)."""
+    spy = RecordingCalc(calc)
+    ase_calc = ase_adapter_module.AIMNet2ASE(spy, charge=1.0, mult=2.0)
+    ase_calc.calculate(_water(), properties=("energy",))
+    data, _ = spy.calls[-1]
+    assert data["charge"] == 1.0 and data["mult"] == 2.0
+    ase_calc.calculate(_water(info={"charge": -1.0, "mult": 3.0}), properties=("energy",))
+    data, _ = spy.calls[-1]
+    assert data["charge"] == -1.0 and data["mult"] == 3.0
+
+
+def test_no_cell_passed_for_gas_phase(ase_adapter_module, calc):
+    spy = RecordingCalc(calc)
+    ase_adapter_module.AIMNet2ASE(spy).calculate(_water(), properties=("energy",))
+    data, kw = spy.calls[-1]
+    assert "cell" not in data
+    assert kw.get("stress") in (False, None)
+
+
+def test_periodic_stress_voigt(ase_adapter_module, calc):
+    rng = np.random.default_rng(0)
+    a = 7.0
+    atoms = FakeAtoms(
+        positions=rng.uniform(0, a, (8, 3)),
+        numbers=[8, 1, 1, 6, 1, 1, 1, 1],
+        cell=np.eye(3) * a,
+        pbc=True,
+    )
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    ase_calc.calculate(atoms, properties=("energy", "forces", "stress"))
+    s = ase_calc.results["stress"]
+    assert s.shape == (6,)  # ASE Voigt order xx,yy,zz,yz,xz,xy
+    assert np.isfinite(s).all()
+    # cross-check against the raw (3,3) symmetrized tensor
+    out = calc(
+        {"coord": atoms.positions.astype(np.float32), "numbers": atoms.numbers,
+         "charge": 0.0, "cell": atoms.cell.astype(np.float32)},
+        forces=True, stress=True,
+    )
+    full = 0.5 * (out["stress"][0] + out["stress"][0].T)
+    np.testing.assert_allclose(
+        s, [full[0, 0], full[1, 1], full[2, 2], full[1, 2], full[0, 2], full[0, 1]],
+        atol=1e-6,
+    )
+
+
+def test_get_hessian_shape(ase_adapter_module, calc):
+    atoms = _water()
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    h = ase_calc.get_hessian(atoms)
+    assert h.shape == (9, 9)
+    np.testing.assert_allclose(h, h.T, atol=1e-4)  # symmetric

@@ -131,3 +131,86 @@ def test_batched_ewald_uses_per_molecule_parameters():
     e2 = calc(m_large)["energy"][0]
     both = calc([m_small, m_large])["energy"]
     np.testing.assert_allclose(both, [e1, e2], atol=3e-4)
+
+
+def test_mixed_cell_nocell_batch_matches_separate_evals():
+    """A batch mixing a periodic crystal with a gas-phase molecule must give
+    the same energies as separate evals (the reference takes per-system pbc
+    flags — aimnet/calculators/neighbors.py:309-321)."""
+    rng = np.random.default_rng(11)
+    cfg = _cfg(LRCoulombHead(method="dsf", dsf_rc=8.0))
+    params = aimnet2_init(jax.random.key(0), cfg)
+    calc = AIMNet2Calculator((params, cfg, {"sae": {}}))
+
+    a = 6.0
+    crystal = {
+        "coord": rng.uniform(0, a, (8, 3)).astype(np.float32),
+        "numbers": np.array([8, 1, 1, 6, 1, 1, 1, 1]),
+        "charge": 0.0,
+        "cell": (np.eye(3) * a).astype(np.float32),
+    }
+    water = {
+        "coord": np.array(
+            [[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]],
+            np.float32,
+        ),
+        "numbers": np.array([8, 1, 1]),
+        "charge": 0.0,
+    }
+    out = calc([crystal, water], forces=True)
+    # separate evals — the gas molecule through the SAME effective config
+    # (the whole batch auto-switched simple->DSF; here the head already is
+    # DSF so per-member evals are directly comparable)
+    e_c = calc(crystal, forces=True)
+    e_w = calc(water, forces=True)
+    np.testing.assert_allclose(out["energy"][0], e_c["energy"][0], atol=1e-5)
+    np.testing.assert_allclose(out["energy"][1], e_w["energy"][0], atol=1e-5)
+    np.testing.assert_allclose(out["forces"][:8], e_c["forces"], atol=1e-5)
+    np.testing.assert_allclose(out["forces"][8:], e_w["forces"], atol=1e-5)
+
+
+def test_fn_cache_bounded():
+    """Distinct (flags, cfg) keys must not grow the compiled-fn cache without
+    bound (reference bounds its static caches at 8 entries,
+    aimnet/calculators/neighbors.py:175-191)."""
+    cfg = _cfg(None)
+    params = aimnet2_init(jax.random.key(0), cfg)
+    calc = AIMNet2Calculator((params, cfg, {"sae": {}}))
+    import dataclasses
+
+    # churn 16 distinct cfg variants through _get_fn (jit is lazy — no
+    # compiles happen; we're testing the bound, not execution)
+    for i in range(16):
+        aev = dataclasses.replace(calc.cfg.aev, rc_s=5.0 + 0.01 * i)
+        cfg_i = dataclasses.replace(calc.cfg, aev=aev)
+        calc._get_fn(cfg_i, True, False, False)
+    assert len(calc._fn_cache) <= calc._fn_cache_max
+    # most recent entry must still be cached (LRU keeps the hot end)
+    fn = calc._get_fn(cfg_i, True, False, False)
+    assert calc._get_fn(cfg_i, True, False, False) is fn
+
+
+def test_eval_exception_leaves_state_consistent():
+    """A failing eval (unsupported species) must not corrupt calculator
+    state for subsequent evals (reference snapshots/restores eval-scoped
+    state, aimnet/calculators/calculator.py:939-947)."""
+    cfg = _cfg(None)
+    params = aimnet2_init(jax.random.key(0), cfg)
+    calc = AIMNet2Calculator(
+        (params, cfg, {"sae": {}, "metadata": {"implemented_species": [1, 6, 8]}})
+    )
+    water = {
+        "coord": np.array(
+            [[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]],
+            np.float32,
+        ),
+        "numbers": np.array([8, 1, 1]),
+        "charge": 0.0,
+    }
+    ref = calc(water, forces=True)
+    bad = dict(water, numbers=np.array([79, 1, 1]))  # Au unsupported
+    with pytest.raises(ValueError, match="implemented_species"):
+        calc(bad, forces=True)
+    again = calc(water, forces=True)
+    np.testing.assert_allclose(again["energy"], ref["energy"], atol=0)
+    np.testing.assert_allclose(again["forces"], ref["forces"], atol=0)
