@@ -14,9 +14,24 @@ Baselines (bench_baseline.json, PINNED — never overwritten by this script):
   includes integration + neighbor maintenance, so the ratio is
   conservative).  The reference publishes no GPU numbers (BASELINE.md).
 
+Also reported (VERDICT r2 items 2/3/6):
+- ``ensemble4_steps_per_sec``: the ACTUAL BASELINE config-4 north star (4
+  independently initialized members vmapped/lax.scanned on one chip).
+- ``compile_s`` (first compile in this process; cold unless the persistent
+  XLA cache is pre-populated — ``compile_cache`` says which) and
+  ``compile_s_warm`` (same executable re-compiled through the persistent
+  cache after ``jax.clear_caches()``).
+- ``xla_flops_per_step`` + ``mfu``: XLA cost-analysis FLOPs of one compiled
+  MD step vs the chip's bf16 peak (Mosaic's default dots run one bf16 MXU
+  pass — docs/performance.md); counts executed FLOPs incl. padding slack.
+- ``pair_efficiency_sr`` / ``pair_efficiency_lr``: real pairs within the
+  physical cutoff / slot-pairs examined by the stencil sweeps
+  (bins x C^2 x stencil) — the useful-work fraction of the pair machinery.
+
 Config: BENCH_ATOMS (default 10000 — the BASELINE north-star box; 2000 for
-quick iteration), BENCH_STEPS, BENCH_ENSEMBLE, AIMNET_CONV_ENGINE
-(default auto = fused Pallas stencil conv on TPU).
+quick iteration), BENCH_STEPS, BENCH_ENSEMBLE (default 4; <=1 skips the
+ensemble run), AIMNET_CONV_ENGINE (default auto = fused Pallas stencil conv
+on TPU).
 """
 
 from __future__ import annotations
@@ -52,28 +67,50 @@ def build_box(n_atoms: int, density: float = 0.09, seed: int = 0):
     return coord.astype(np.float32), numbers.astype(np.int32), cell.astype(np.float32)
 
 
+def _real_pair_count(coord: np.ndarray, cell: np.ndarray, cutoff: float) -> int:
+    """Ordered pairs within cutoff (periodic), via cKDTree count_neighbors
+    over wrapped coords + ghost images (no pair list materialized)."""
+    from scipy.spatial import cKDTree
+
+    cb = np.asarray(cell, np.float64)
+    inv = np.linalg.inv(cb)
+    fr = coord.astype(np.float64) @ inv
+    xw = (fr - np.floor(fr)) @ cb
+    offs = np.stack(
+        np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    lo, hi = xw.min(0) - cutoff, xw.max(0) + cutoff
+    pts = []
+    for s in offs:
+        g = xw + s @ cb
+        keep = ((g >= lo) & (g <= hi)).all(1)
+        if keep.any():
+            pts.append(g[keep])
+    tree_all = cKDTree(np.concatenate(pts))
+    n = cKDTree(xw).count_neighbors(tree_all, cutoff)
+    return int(n - len(xw))  # drop self pairs
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import jax
 
     from aimnetcentral_tpu.xla_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    cache_dir = enable_persistent_cache()
+    cache_prepopulated = bool(
+        cache_dir and os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    )
 
     from aimnetcentral_tpu.builders import system_from_molecules
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
     from __graft_entry__ import _flagship
 
     cfg, params = _flagship()
-    ensemble = int(os.environ.get("BENCH_ENSEMBLE", "0"))
-    if ensemble > 1:
-        import jax as _jax
-
-        from aimnetcentral_tpu.calculators.ensemble import stack_params
-        from aimnetcentral_tpu.models import aimnet2_init
-
-        params = stack_params(
-            [aimnet2_init(_jax.random.key(i), cfg) for i in range(ensemble)]
-        )
+    ensemble = int(os.environ.get("BENCH_ENSEMBLE", "4"))
 
     coord, numbers, cell = build_box(N_ATOMS)
     # the MD driver builds its own binned layout: skip the host NL entirely
@@ -94,25 +131,97 @@ def main() -> None:
     # that is NOT representative of steady-state throughput.  Run the
     # transient out, then RE-PLAN the grid from equilibrated coordinates
     # (exactly what a production MD user does) and time the steady state.
-    drv0 = MDDriver(params, cfg, system, md, ensemble=ensemble > 1)
+    _log("equilibration + first compile...")
+    drv0 = MDDriver(params, cfg, system, md)
     drv0.run(2 * chunk, chunk=chunk)
     # map the (possibly binned) carried state back to a compact system
     numbers_b = np.asarray(drv0.state.system.numbers)
     coord_b = np.asarray(drv0.state.coord)
     real = numbers_b > 0
+    coord_eq = coord_b[real]
     system_eq = system_from_molecules(
-        [{"coord": coord_b[real], "numbers": numbers_b[real], "cell": cell}],
+        [{"coord": coord_eq, "numbers": numbers_b[real], "cell": cell}],
         build_nbmat=False,
     )
-    drv = MDDriver(params, cfg, system_eq, md, ensemble=ensemble > 1)
+    drv = MDDriver(params, cfg, system_eq, md)
     # warmup with the SAME chunk size as the timed run (one compile)
     drv.run(chunk, chunk=chunk)
     compile_s = time.time() - t0
+    _log(f"compile+equilibration {compile_s:.1f}s; timing steady state...")
 
     t0 = time.time()
     drv.run(N_STEPS, chunk=chunk)
     elapsed = time.time() - t0
     steps_per_sec = N_STEPS / elapsed
+
+    _log(f"{steps_per_sec:.2f} steps/s; cost analysis...")
+    # --- XLA-counted FLOPs of one compiled MD step -> MFU ------------------
+    flops_per_step = mfu = None
+    try:
+        compiled = drv._chunk_fn[chunk].lower(drv.state).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops_per_step = float(ca["flops"]) / chunk
+            # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 — Mosaic default dots
+            # run ONE bf16 MXU pass on f32 operands (docs/performance.md)
+            if "v5 lite" in str(jax.devices()[0]):
+                mfu = flops_per_step * steps_per_sec / 197e12
+    except Exception:  # cost analysis availability differs per backend
+        pass
+
+    # --- warm-compile: same executables through the persistent cache ------
+    _log("warm-compile measurement...")
+    compile_s_warm = None
+    if cache_dir:
+        jax.clear_caches()
+        drv_w = MDDriver(params, cfg, system_eq, md)
+        t0 = time.time()
+        drv_w.run(chunk, chunk=chunk)
+        compile_s_warm = (time.time() - t0) - chunk / steps_per_sec
+
+    _log("pair efficiency...")
+    # --- pair efficiency: real pairs / slot-pairs examined per sweep ------
+    pair_eff_sr = pair_eff_lr = None
+    try:
+        g = drv.grid
+        examined_sr = (
+            g.nbins[0] * g.nbins[1] * g.nbins[2] * g.capacity**2 * 27
+        )
+        pair_eff_sr = _real_pair_count(coord_eq, cell, cfg.aev.rc_s) / examined_sr
+        if drv.lr_grid is not None:
+            from aimnetcentral_tpu.models.heads import DFTD3Head, LRCoulombHead
+
+            lr_cuts = [
+                h.dsf_rc if isinstance(h, LRCoulombHead) else h.cutoff
+                for _n, h in cfg.outputs
+                if isinstance(h, (LRCoulombHead, DFTD3Head))
+            ]
+            gl = drv.lr_grid
+            examined_lr = (
+                gl.nbins[0] * gl.nbins[1] * gl.nbins[2] * gl.capacity**2 * 125
+            )
+            pair_eff_lr = _real_pair_count(coord_eq, cell, max(lr_cuts)) / examined_lr
+    except Exception:
+        pass
+
+    # --- the BASELINE config-4 north star: 4-member ensemble MD -----------
+    _log(f"ensemble x{ensemble} run..." if ensemble > 1 else "skipping ensemble")
+    ens_steps_per_sec = None
+    if ensemble > 1:
+        from aimnetcentral_tpu.calculators.ensemble import stack_params
+        from aimnetcentral_tpu.models import aimnet2_init
+
+        params_e = stack_params(
+            [aimnet2_init(jax.random.key(i), cfg) for i in range(ensemble)]
+        )
+        drv_e = MDDriver(params_e, cfg, system_eq, md, ensemble=True)
+        drv_e.run(chunk, chunk=chunk)  # compile + warmup
+        n_e = max(20, N_STEPS // 2)
+        t0 = time.time()
+        drv_e.run(n_e, chunk=chunk)
+        ens_steps_per_sec = n_e / (time.time() - t0)
 
     pins = {}
     if os.path.exists(BASELINE_FILE):
@@ -129,11 +238,24 @@ def main() -> None:
         "atoms": N_ATOMS,
         "steps": N_STEPS,
         "compile_s": round(compile_s, 1),
+        "compile_cache": "warm" if cache_prepopulated else "cold",
         "conv_engine": os.environ.get("AIMNET_CONV_ENGINE", "auto"),
         "conv_precision": os.environ.get("AIMNET_CONV_PRECISION", "f32"),
         "device": str(jax.devices()[0]),
         "ns_per_day": round(steps_per_sec * 0.5e-6 * 86400, 4),
     }
+    if ens_steps_per_sec is not None:
+        result[f"ensemble{ensemble}_steps_per_sec"] = round(ens_steps_per_sec, 3)
+    if compile_s_warm is not None:
+        result["compile_s_warm"] = round(compile_s_warm, 1)
+    if flops_per_step is not None:
+        result["xla_flops_per_step"] = float(f"{flops_per_step:.4g}")
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+    if pair_eff_sr is not None:
+        result["pair_efficiency_sr"] = round(pair_eff_sr, 4)
+    if pair_eff_lr is not None:
+        result["pair_efficiency_lr"] = round(pair_eff_lr, 4)
     if pin:
         result["baseline_round1_steps_per_sec"] = pin
     if ref:
