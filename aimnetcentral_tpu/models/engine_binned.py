@@ -513,20 +513,46 @@ def dftd3_binned(
     (cf. the indexed path models/lr.py::dftd3_energy).
     """
     assert system.species, "binned D3 needs System.species (set by builders)"
-    species = system.species
-    s_count = len(species)
-    z = system.numbers
+    cn = pair_sum_binned(
+        system, smoothing_off, d3_cn_fn(),
+        {"rcov": tables["rcov"][system.numbers]}, layout="lr",
+    )
+    extras = d3_pair_extras(system.species, system.numbers, cn, tables)
+    e_i = pair_energy_binned(
+        system, smoothing_off,
+        d3_e_fn(a1, a2, s8, s6, smoothing_on, smoothing_off),
+        extras, layout="lr",
+    )
+    return constants.half_Hartree * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
+
+def d3_cn_fn() -> Callable:
+    """Pair term for the D3 coordination-number sweep."""
+    bohr_inv = constants.Bohr_inv
+
+    def cn_fn(d, valid, self_b, cand_b):
+        rsum = self_b["rcov"][..., :, None] + cand_b["rcov"][..., None, :]
+        return jax.nn.sigmoid(16.0 * (rsum / jnp.clip(d * bohr_inv, 1e-12, None) - 1.0))
+
+    return cn_fn
+
+
+def d3_pair_extras(
+    species: tuple, numbers: Array, cn: Array, tables: dict[str, Array]
+) -> dict[str, Array]:
+    """Factorized per-atom D3 vectors (p, r, rr) from coordination numbers.
+
+    The (nref, cnref, M) factorization structure is built HOST-side from the
+    canonical constant copies — ``tables`` entries may be jit tracers (they
+    ride in the param pytree), which must never feed host numpy control flow.
+    """
+    s_count = len(species)
     # map atomic numbers -> species slot (0 for padding; padding masked later)
     zmap = np.zeros(95, dtype=np.int32)
     for i, zz in enumerate(species):
         zmap[zz] = i
-    spec_idx = jnp.asarray(zmap)[z]  # (L,)
+    spec_idx = jnp.asarray(zmap)[numbers]  # (L,)
 
-    # the D3 reference tables are fixed physical constants; the factorized
-    # (nref, cnref, M) structure is built HOST-side from the canonical
-    # constant copies — ``tables`` entries may be jit tracers (they ride in
-    # the param pytree), which must never feed host numpy control flow
     species_arr = np.asarray(species)
     tables_np = constants.get_d3_tables()
     c6_sp = tables_np["c6ab"][species_arr[:, None], species_arr[None, :]]  # (S,S,5,5)
@@ -546,18 +572,6 @@ def dftd3_binned(
         np.transpose(np.asarray(c6_sp), (2, 0, 3, 1)).reshape(5 * s_count, 5 * s_count)
     )
 
-    rcov_at = tables["rcov"][z]
-    r4r2_at = tables["r4r2"][z]
-    bohr_inv = constants.Bohr_inv
-
-    # --- pass 1: coordination numbers
-    def cn_fn(d, valid, self_b, cand_b):
-        rsum = self_b["rcov"][..., :, None] + cand_b["rcov"][..., None, :]
-        return jax.nn.sigmoid(16.0 * (rsum / jnp.clip(d * bohr_inv, 1e-12, None) - 1.0))
-
-    cn = pair_sum_binned(system, smoothing_off, cn_fn, {"rcov": rcov_at}, layout="lr")
-
-    # --- per-atom factorized weights
     k_ids = jnp.arange(5, dtype=jnp.int32)
     w = jnp.exp(-4.0 * (cn[:, None] - cnref_sp[spec_idx]) ** 2)
     w = jnp.where(k_ids[None, :] < nref[spec_idx][:, None], w, 0.0)
@@ -568,8 +582,12 @@ def dftd3_binned(
         v[:, :, None] * jax.nn.one_hot(spec_idx, s_count, dtype=v.dtype)[:, None, :]
     ).reshape(-1, 5 * s_count)
     r_vec = p_vec @ m_mat.T  # (L, 5S): c6_ij = p_i . r_j
+    return {"p": p_vec, "r": r_vec, "rr": tables["r4r2"][numbers]}
 
-    # --- pass 2: pair energies
+
+def d3_e_fn(a1, a2, s8, s6, smoothing_on, smoothing_off) -> Callable:
+    """Pair term for the D3(BJ) energy sweep over the factorized extras."""
+    bohr_inv = constants.Bohr_inv
     r_on = smoothing_on * bohr_inv
     r_off = smoothing_off * bohr_inv
 
@@ -592,11 +610,7 @@ def dftd3_binned(
         switch = _s5_switch(d_b, r_on, r_off)
         return -c6 * damping * switch
 
-    e_i = pair_energy_binned(
-        system, smoothing_off, e_fn, {"p": p_vec, "r": r_vec, "rr": r4r2_at},
-        layout="lr",
-    )
-    return constants.half_Hartree * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
+    return e_fn
 
 
 def d3ts_binned(

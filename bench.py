@@ -155,11 +155,28 @@ def main() -> None:
     steps_per_sec = N_STEPS / elapsed
 
     _log(f"{steps_per_sec:.2f} steps/s; cost analysis...")
-    # --- XLA-counted FLOPs of one compiled MD step -> MFU ------------------
+    # --- FLOPs of one MD step -> MFU ---------------------------------------
+    # Counted on the XLA-ENGINE twin (identical math and pair counts to the
+    # production Pallas engine, but with every op visible to XLA's cost
+    # model — Pallas custom calls report no flops).  lower() only traces
+    # (no backend compile), so this is cheap.
     flops_per_step = mfu = None
     try:
-        compiled = drv._chunk_fn[chunk].lower(drv.state).compile()
-        ca = compiled.cost_analysis()
+        prev = os.environ.get("AIMNET_CONV_ENGINE")
+        os.environ["AIMNET_CONV_ENGINE"] = "xla"
+        try:
+            drv_x = MDDriver(params, cfg, system_eq, md)
+            import jax as _jax
+
+            def chunk_fn(state):
+                return _jax.lax.scan(drv_x._step, state, None, length=chunk)
+
+            ca = _jax.jit(chunk_fn).lower(drv_x.state).cost_analysis()
+        finally:
+            if prev is None:
+                os.environ.pop("AIMNET_CONV_ENGINE", None)
+            else:
+                os.environ["AIMNET_CONV_ENGINE"] = prev
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and "flops" in ca:
@@ -186,6 +203,8 @@ def main() -> None:
     pair_eff_sr = pair_eff_lr = None
     try:
         g = drv.grid
+        # conv sweep: FULL 27-offset stencil (xy-banded grid examines the
+        # same bins x C x 27C candidate rows)
         examined_sr = (
             g.nbins[0] * g.nbins[1] * g.nbins[2] * g.capacity**2 * 27
         )
@@ -199,10 +218,15 @@ def main() -> None:
                 if isinstance(h, (LRCoulombHead, DFTD3Head))
             ]
             gl = drv.lr_grid
+            # LR energy sweeps run the HALF stencil (63 of 125 radius-2
+            # offsets; each pair computed once, mirrored to both endpoints)
             examined_lr = (
-                gl.nbins[0] * gl.nbins[1] * gl.nbins[2] * gl.capacity**2 * 125
+                gl.nbins[0] * gl.nbins[1] * gl.nbins[2] * gl.capacity**2 * 63
             )
-            pair_eff_lr = _real_pair_count(coord_eq, cell, max(lr_cuts)) / examined_lr
+            # half-stencil examines each UNORDERED pair once -> /2
+            pair_eff_lr = (
+                0.5 * _real_pair_count(coord_eq, cell, max(lr_cuts)) / examined_lr
+            )
     except Exception:
         pass
 
@@ -238,7 +262,10 @@ def main() -> None:
         "atoms": N_ATOMS,
         "steps": N_STEPS,
         "compile_s": round(compile_s, 1),
-        "compile_cache": "warm" if cache_prepopulated else "cold",
+        # whether the persistent cache DIR had entries at startup (the keys
+        # may still miss after code changes — compile_s_warm is the honest
+        # warm-restart number)
+        "cache_dir_prepopulated": cache_prepopulated,
         "conv_engine": os.environ.get("AIMNET_CONV_ENGINE", "auto"),
         "conv_precision": os.environ.get("AIMNET_CONV_PRECISION", "f32"),
         "device": str(jax.devices()[0]),

@@ -221,3 +221,87 @@ def test_spatial_md_matches_single_device_nve(case):
 
     out = drv.run(4, chunk=2)
     np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def case_full():
+    """Flagship head chain with Ewald Coulomb + DFT-D3 (VERDICT r2 item 5:
+    the realistic large-box use case — D3 + Ewald — must run spatially)."""
+    from __graft_entry__ import _flagship
+    from aimnetcentral_tpu.models.ewald import attach_ewald
+    from aimnetcentral_tpu.models.heads import DFTD3Head
+
+    cfg, _ = _flagship()
+    new_outputs = []
+    for name, head in cfg.outputs:
+        if head.kind == "lrcoulomb":
+            head = dataclasses.replace(
+                head, method="ewald", ewald_accuracy=1e-2
+            )
+        new_outputs.append((name, head))
+    new_outputs.append(("dftd3", DFTD3Head(s8=1.2, a1=0.4, a2=4.8, cutoff=15.0)))
+    cfg = dataclasses.replace(cfg, outputs=tuple(new_outputs))
+    params = aimnet2_init(jax.random.key(1), cfg)
+
+    rng = np.random.default_rng(7)
+    n, a = 300, 33.0
+    m = int(np.ceil(n ** (1 / 3)))
+    grid_pts = np.stack(
+        np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)[:n]
+    coord = ((grid_pts + 0.5) * (a / m)).astype(np.float32)
+    coord += rng.uniform(-0.5, 0.5, coord.shape).astype(np.float32)
+    numbers = rng.choice([1, 6, 7, 8], size=n, p=[0.5, 0.35, 0.05, 0.1])
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_c = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    grid = plan_bins(cell, n, 5.4, safety=3.0)
+    assert grid.nbins[0] == 6, grid
+    sysb, perm, ovf = to_binned_system(sys_c, grid)
+    assert int(ovf) == 0
+    sysb = attach_ewald(sysb, 1e-2)
+    return cfg, params, sysb
+
+
+def test_spatial_ewald_d3_energy_matches_single_device(case_full):
+    cfg, params, sysb = case_full
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    e_ref, _ = _single_device_energy(cfg, params, sysb)
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    assert spec.ewald_eta is not None and spec.species
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(
+        cfg, spec, mesh, ewald_kpts=np.asarray(sysb.ewald_kpts)
+    )
+    e_sp = efn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+
+
+def test_spatial_ewald_d3_forces_match_single_device(case_full):
+    cfg, params, sysb = case_full
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(
+        cfg, spec, mesh, ewald_kpts=np.asarray(sysb.ewald_kpts)
+    )
+    g_sp = jax.grad(
+        lambda c: efn(params, c, sysb.numbers, sysb.charge, sysb.cell[0])
+    )(sysb.coord)
+    g_ref = jax.grad(
+        lambda c: _single_device_energy(cfg, params, sysb, coord=c)[0]
+    )(sysb.coord)
+    np.testing.assert_allclose(
+        np.asarray(g_sp), np.asarray(g_ref), rtol=2e-5, atol=5e-5
+    )
