@@ -8,22 +8,19 @@ formulation materializes (B, C, C) pair tensors in HBM per stencil offset
 (and rematerializes them in the backward via checkpointing); this kernel
 keeps every pair tile in VMEM.
 
-Two variants share the packed-extras / in-kernel-vjp machinery:
+One production kernel family: **banded HALF-stencil row tiles**
+(``pair_acc_hb``) — the conv kernel's xy-banded grid (programs = z-row x
+half xy offset, z as a static in-program band) applied to the pair sweep.
+Each unordered pair is computed ONCE — the same pair count as the XLA half
+sweep; receiver-side sums/adjoints accumulate resident, candidate-side
+contributions leave as small per-(s, row) side outputs reassembled by
+one static gather (ops/binned.py::xy_band_tables_half).  Dispatched
+whenever nz >= 2*radius + 1 and the grid's periodicity is uniform; the
+small/mixed-periodicity grids the banded tables don't cover route to the
+XLA twin (an earlier per-bin full-stencil kernel covered them and measured
+as an end-to-end wash — trimmed, VERDICT r2 item 10).
 
-- **v3 (production): banded HALF-stencil row tiles** (``pair_acc_hb``) —
-  the conv kernel's xy-banded grid (programs = z-row x half xy offset,
-  z as a static in-program band) applied to the pair sweep.  Each
-  unordered pair is computed ONCE — the same pair count as the XLA half
-  sweep; receiver-side sums/adjoints accumulate resident, candidate-side
-  contributions leave as small per-(s, row) side outputs reassembled by
-  one static gather (ops/binned.py::xy_band_tables_half).  Dispatched
-  whenever nz >= 2*radius + 1 and the grid's periodicity is uniform.
-- **v1 (fallback): per-bin FULL stencil** (``pair_acc``) — receiver-centric
-  (2r+1)^3-offset sweep, both adjoints resident by i<->j symmetry, zero
-  side outputs; 2x the pair math and (2r+1)x the programs, kept for the
-  small/mixed-periodicity grids the banded tables don't cover.
-
-Shared design:
+Design:
 
 - The same ``e_fn(d, valid, self_b, cand_b)`` term functions used by the
   XLA twin are traced INSIDE the kernel on (C, Cc) VMEM tiles (elementwise
@@ -39,7 +36,7 @@ close over HOST constants (Python floats) — traced values must arrive as
 extra blocks.  Callers in engine_binned guard this.
 
 Measured (TPU v5e): see docs/performance.md — hardware parity vs the XLA
-half-sweep ~1e-7 on energies and every gradient (the v1 kernel matching the
+half-sweep ~1e-7 on energies and every gradient (a Pallas sweep matching the
 f64 brute-force truth is what exposed the default-matmul-precision geometry
 bug fixed in ops/math.cellmul).
 """
@@ -73,22 +70,6 @@ if PAIR_SWEEP_ENABLED:
     _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@dataclasses.dataclass(frozen=True)
-class PairStatic:
-    b_tot: int
-    c: int
-    k_tot: int
-    s_tot: int
-    t_row: int
-    # ((name, col_offset, width, tail_is_scalar), ...) — layout of the
-    # packed per-atom extras block, restored to the e_fn's expected shapes
-    keys: tuple
-
-    @property
-    def r_tot(self) -> int:
-        return self.b_tot // self.t_row
-
-
 def _unpack_bin(ext_bin, keys):
     """(C, K_tot) packed extras -> {name: (C,) | (C, k)} per-bin views."""
     out = {}
@@ -97,295 +78,6 @@ def _unpack_bin(ext_bin, keys):
     return out
 
 
-def _tile_geometry(ci, cj, s, c, mask_self, mask_cand, cutoff):
-    """(C, Cc) pair distances + validity.  Mirrors conv_stencil._pair_geom
-    conventions: diag masked at the zero offset (s == 0), invalid gas-phase
-    probes arrive pre-pushed out of range via the shift tables."""
-    d2 = jnp.zeros((c, c), jnp.float32)
-    diffs = []
-    for k in range(3):
-        dk = ci[k][:, None] - cj[k][None, :]
-        diffs.append(dk)
-        d2 = d2 + dk * dk
-    real = jnp.logical_and(mask_self[:, None] > 0.5, mask_cand[None, :] > 0.5)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    not_self = jnp.logical_or(s != 0, row_ids != col_ids)
-    vp = jnp.logical_and(jnp.logical_and(real, not_self), d2 > 1e-10)
-    d = jnp.sqrt(jnp.where(vp, d2, 1.0))
-    vp = jnp.logical_and(vp, d < cutoff)
-    inv_d = 1.0 / d
-    return d, inv_d, diffs, vp
-
-
-# ---------------------------------------------------------------------------
-# forward
-
-
-def _fwd_kernel(
-    row_ref,  # (S*R,) int32 candidate-row table
-    dz_ref,  # (S,) int32
-    coord_self_ref,  # (T, 4, C)
-    coord_cand_ref,  # (T, 4, C)
-    mask_self_ref,  # (T, 1, C)
-    mask_cand_ref,  # (T, 1, C)
-    ext_self_ref,  # (T, C, K)
-    ext_cand_ref,  # (T, C, K)
-    shift_ref,  # (1, 1, T, 4)
-    scal_ref,  # (1, 4) [cutoff, 0, 0, 0]
-    out_ref,  # (T, 1, C)
-    *,
-    t_row: int,
-    c: int,
-    keys: tuple,
-    e_fn,
-):
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    cutoff = scal_ref[0, 0]
-    dz = dz_ref[s]
-    for t in range(t_row):
-        tc = jax.lax.rem(t + dz, t_row)
-        ci = coord_self_ref[t]
-        shift = shift_ref[0, 0, t]
-        cj = coord_cand_ref[pl.ds(tc, 1)][0] + shift.reshape(4, 1)
-        d, _inv_d, _diffs, vp = _tile_geometry(
-            ci, cj, s, c, mask_self_ref[t, 0], mask_cand_ref[pl.ds(tc, 1)][0, 0],
-            cutoff,
-        )
-        self_b = _unpack_bin(ext_self_ref[t], keys)
-        cand_b = _unpack_bin(ext_cand_ref[pl.ds(tc, 1)][0], keys)
-        e = jnp.where(vp, e_fn(d, vp, self_b, cand_b), 0.0)
-        out_ref[t, 0, :] += e.sum(axis=1)
-
-
-# ---------------------------------------------------------------------------
-# backward: one resident sweep for every cotangent
-
-
-def _bwd_kernel(
-    row_ref,
-    dz_ref,
-    coord_self_ref,  # (T, 4, C)
-    coord_cand_ref,
-    mask_self_ref,
-    mask_cand_ref,
-    ext_self_ref,  # (T, C, K)
-    ext_cand_ref,
-    ct_self_ref,  # (T, 1, C) per-atom output cotangent
-    ct_cand_ref,
-    shift_ref,
-    scal_ref,
-    g_coord_ref,  # (T, 4, C)
-    g_ext_ref,  # (T, C, K)
-    g_shift_ref,  # (1, T*4, C) per-(s, row) lattice-shift adjoint rows
-    *,
-    t_row: int,
-    c: int,
-    keys: tuple,
-    e_fn,
-):
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _init():
-        g_coord_ref[...] = jnp.zeros_like(g_coord_ref)
-        g_ext_ref[...] = jnp.zeros_like(g_ext_ref)
-
-    cutoff = scal_ref[0, 0]
-    dz = dz_ref[s]
-    for t in range(t_row):
-        tc = jax.lax.rem(t + dz, t_row)
-        ci = coord_self_ref[t]
-        shift = shift_ref[0, 0, t]
-        cj = coord_cand_ref[pl.ds(tc, 1)][0] + shift.reshape(4, 1)
-        d, inv_d, diffs, vp = _tile_geometry(
-            ci, cj, s, c, mask_self_ref[t, 0], mask_cand_ref[pl.ds(tc, 1)][0, 0],
-            cutoff,
-        )
-        self_b = _unpack_bin(ext_self_ref[t], keys)
-        cand_b = _unpack_bin(ext_cand_ref[pl.ds(tc, 1)][0], keys)
-        ct_i = ct_self_ref[t, 0]
-        ct_j = ct_cand_ref[pl.ds(tc, 1)][0, 0]
-        vf = vp.astype(jnp.float32)
-        w1 = vf * (ct_i[:, None] + ct_j[None, :])
-        w0 = vf * jnp.broadcast_to(ct_i[:, None], (c, c))
-
-        def f(d_, sv):
-            return jnp.where(vp, e_fn(d_, vp, sv, cand_b), 0.0)
-
-        _e, vjp_fn = jax.vjp(f, d, self_b)
-        dd_w1, gsv = vjp_fn(w1)
-        dd_one, _ = vjp_fn(jnp.ones_like(d))
-        dd_w0 = dd_one * w0
-        for k in range(3):
-            uk = diffs[k] * inv_d  # (r_i - r_j)/d, receiver frame
-            g_coord_ref[t, k, :] += (dd_w1 * uk).sum(axis=1)
-            # lattice-shift adjoint rows: d depends on shift via
-            # r_ij = ci - (cj + shift) => dd/dshift_k = -u_k
-            g_shift_ref[0, t * 4 + k, :] = -(dd_w0 * uk).sum(axis=1)
-        g_shift_ref[0, t * 4 + 3, :] = jnp.zeros((c,), jnp.float32)
-        for name, off, k, scalar in keys:
-            gv = gsv[name]
-            if scalar:
-                g_ext_ref[t, :, off] += gv
-            else:
-                g_ext_ref[t, :, off : off + k] += gv
-
-
-# ---------------------------------------------------------------------------
-# pallas_call wrappers
-
-
-def _common_in_specs(st: PairStatic):
-    t_row, c, k = st.t_row, st.c, st.k_tot
-    r_tot = st.r_tot
-    return [
-        pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (r, 0, 0)),
-        pl.BlockSpec((t_row, 4, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-        pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (r, 0, 0)),
-        pl.BlockSpec((t_row, 1, c), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-        pl.BlockSpec((t_row, c, k), lambda r, s, rt, dzt: (r, 0, 0)),
-        pl.BlockSpec((t_row, c, k), lambda r, s, rt, dzt: (rt[s * r_tot + r], 0, 0)),
-    ]
-
-
-def _tail_in_specs(st: PairStatic):
-    t_row = st.t_row
-    return [
-        pl.BlockSpec((1, 1, t_row, 4), lambda r, s, rt, dzt: (s, r, 0, 0)),
-        pl.BlockSpec((1, 4), lambda r, s, rt, dzt: (0, 0)),
-    ]
-
-
-@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
-def pair_sweep_forward(
-    st: PairStatic,
-    e_fn,
-    row_flat,
-    dz,
-    coord_t,
-    mask,
-    ext,
-    shift_cart,  # (S, R, T, 4)
-    scal,
-):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(st.r_tot, st.s_tot),
-        in_specs=_common_in_specs(st) + _tail_in_specs(st),
-        out_specs=pl.BlockSpec(
-            (st.t_row, 1, st.c), lambda r, s, rt, dzt: (r, 0, 0)
-        ),
-    )
-    kernel = functools.partial(
-        _fwd_kernel, t_row=st.t_row, c=st.c, keys=st.keys, e_fn=e_fn
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((st.b_tot, 1, st.c), jnp.float32),
-    )(row_flat, dz, coord_t, coord_t, mask, mask, ext, ext, shift_cart, scal)
-
-
-@functools.partial(jax.jit, static_argnames=("st", "e_fn"))
-def pair_sweep_backward(
-    st: PairStatic,
-    e_fn,
-    row_flat,
-    dz,
-    coord_t,
-    mask,
-    ext,
-    ct,  # (B, 1, C)
-    shift_cart,
-    scal,
-):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(st.r_tot, st.s_tot),
-        in_specs=_common_in_specs(st)
-        + [
-            pl.BlockSpec((st.t_row, 1, st.c), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec(
-                (st.t_row, 1, st.c),
-                lambda r, s, rt, dzt: (rt[s * st.r_tot + r], 0, 0),
-            ),
-        ]
-        + _tail_in_specs(st),
-        out_specs=(
-            pl.BlockSpec((st.t_row, 4, st.c), lambda r, s, rt, dzt: (r, 0, 0)),
-            pl.BlockSpec(
-                (st.t_row, st.c, st.k_tot), lambda r, s, rt, dzt: (r, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, st.t_row * 4, st.c),
-                lambda r, s, rt, dzt: (s * st.r_tot + r, 0, 0),
-            ),
-        ),
-    )
-    kernel = functools.partial(
-        _bwd_kernel, t_row=st.t_row, c=st.c, keys=st.keys, e_fn=e_fn
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=(
-            jax.ShapeDtypeStruct((st.b_tot, 4, st.c), jnp.float32),
-            jax.ShapeDtypeStruct((st.b_tot, st.c, st.k_tot), jnp.float32),
-            jax.ShapeDtypeStruct((st.s_tot * st.r_tot, st.t_row * 4, st.c), jnp.float32),
-        ),
-    )(
-        row_flat, dz, coord_t, coord_t, mask, mask, ext, ext, ct, ct,
-        shift_cart, scal,
-    )
-
-
-# ---------------------------------------------------------------------------
-# custom_vjp
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def pair_acc(st, e_fn, coord_t, mask, ext, row_flat, dz, shift_cart, scal):
-    """Per-atom symmetric pair sums (B, 1, C) with a fused Pallas adjoint."""
-    return pair_sweep_forward(
-        st, e_fn, row_flat, dz, coord_t, mask, ext, shift_cart, scal
-    )
-
-
-def _pair_acc_fwd(st, e_fn, coord_t, mask, ext, row_flat, dz, shift_cart, scal):
-    out = pair_sweep_forward(
-        st, e_fn, row_flat, dz, coord_t, mask, ext, shift_cart, scal
-    )
-    return out, (coord_t, mask, ext, row_flat, dz, shift_cart, scal)
-
-
-def _pair_acc_bwd(st, e_fn, res, ct):
-    coord_t, mask, ext, row_flat, dz, shift_cart, scal = res
-    gc, gext, gs_rows = pair_sweep_backward(
-        st, e_fn, row_flat, dz, coord_t, mask, ext, ct, shift_cart, scal
-    )
-    # lattice-shift adjoint: sum the per-atom rows over lanes, back to the
-    # (S, R, T, 4) frame of the shift_cart input
-    ds = gs_rows.reshape(st.s_tot, st.r_tot, st.t_row, 4, st.c).sum(-1)
-    return (
-        gc,
-        jnp.zeros_like(mask),
-        gext,
-        jnp.zeros_like(row_flat),
-        jnp.zeros_like(dz),
-        ds,
-        jnp.zeros_like(scal),
-    )
-
-
-pair_acc.defvjp(_pair_acc_fwd, _pair_acc_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +109,20 @@ def pair_energy_pallas(
     cell0 = system.cell[0] if system.cell is not None else None
     radius = stencil_radius(cutoff, grid, cell0)
 
+    nx, ny, nz = grid.nbins
+    uniform_axes = all(grid.axes_periodic) or not any(grid.axes_periodic)
+    if nz < 2 * radius + 1 or not uniform_axes:
+        # Grids the banded tables don't cover (nz < 2r+1 or mixed-
+        # periodicity axes) are SMALL by construction — route them to the
+        # XLA twin rather than maintaining a second full-stencil kernel for
+        # them (the per-bin v1 kernel measured as an end-to-end wash and
+        # was trimmed per VERDICT r2 item 10).
+        from aimnetcentral_tpu.models.engine_binned import pair_energy_binned
+
+        return pair_energy_binned(
+            system, cutoff, e_pair_fn, extra_blocks, layout, allow_pallas=False
+        )
+
     coord = system.coord
     numbers = system.numbers
     extras = dict(extra_blocks or {})
@@ -426,15 +132,6 @@ def pair_energy_pallas(
         extras = {k: jnp.take(v, lr_slot, axis=0) for k, v in extras.items()}
 
     b_tot, c = grid.total_bins, grid.capacity
-    dtype = coord.dtype
-
-    coord_t = jnp.concatenate(
-        [
-            coord.reshape(b_tot, c, 3).transpose(0, 2, 1),
-            jnp.zeros((b_tot, 1, c), dtype),
-        ],
-        axis=1,
-    )
     mask = (numbers > 0).astype(jnp.float32).reshape(b_tot, 1, c)
 
     # pack extras: scalars one column, trailing-dim vectors k columns
@@ -456,50 +153,12 @@ def pair_energy_pallas(
     else:
         ext = jnp.zeros((b_tot, c, 1), jnp.float32)
 
-    nx, ny, nz = grid.nbins
-    uniform_axes = all(grid.axes_periodic) or not any(grid.axes_periodic)
-    if nz >= 2 * radius + 1 and uniform_axes:
-        # banded half-stencil fast path: one (C, W*C) band tile per
-        # (bin, xy half-offset) — same pair count as the XLA half sweep
-        acc = _pair_acc_hb_call(
-            grid, radius, cell0, coord, mask, ext, tuple(keys), k_tot, cutoff,
-            e_pair_fn,
-        )
-        if lr_slot is not None:
-            acc_ext = jnp.concatenate([acc, jnp.zeros((1,), acc.dtype)])
-            acc = jnp.take(acc_ext, system.lr_inv, axis=0)
-        return acc
-
-    # stencil tables (host) + cartesian shifts (device, cell-differentiable)
-    nbr_np, wrap_np, _zero = B.stencil_tables(grid, radius)
-    s_tot = nbr_np.shape[0]
-    invalid = nbr_np < 0
-    if cell0 is not None:
-        shift3 = jnp.einsum("sbk,kh->sbh", jnp.asarray(wrap_np), cell0, precision=jax.lax.Precision.HIGHEST)
-    else:
-        shift3 = jnp.zeros((s_tot, b_tot, 3), dtype)
-    if invalid.any():
-        shift3 = shift3 + jnp.asarray(invalid[..., None].astype(np.float32)) * 1e6
-    shift_cart = jnp.concatenate(
-        [shift3, jnp.zeros((s_tot, b_tot, 1), dtype)], axis=-1
+    # banded half-stencil sweep: one (C, W*C) band tile per
+    # (bin, xy half-offset) — same pair count as the XLA half sweep
+    acc = _pair_acc_hb_call(
+        grid, radius, cell0, coord, mask, ext, tuple(keys), k_tot, cutoff,
+        e_pair_fn,
     )
-
-    row_np, dz_np = B.row_stencil_tables(grid, radius)
-    row_flat = jnp.asarray(np.where(row_np < 0, 0, row_np).reshape(-1))
-    dz = jnp.asarray(dz_np)
-    t_row = grid.nbins[2]
-    r_tot = row_np.shape[1]
-
-    st = PairStatic(
-        b_tot=b_tot, c=c, k_tot=k_tot, s_tot=s_tot, t_row=t_row,
-        keys=tuple(keys),
-    )
-    scal = jnp.asarray([cutoff, 0.0, 0.0, 0.0], jnp.float32).reshape(1, 4)
-    acc = pair_acc(
-        st, e_pair_fn, coord_t, mask, ext, row_flat, dz,
-        shift_cart.reshape(s_tot, r_tot, t_row, 4), scal,
-    )
-    acc = acc.reshape(-1)
     if lr_slot is not None:
         acc_ext = jnp.concatenate([acc, jnp.zeros((1,), acc.dtype)])
         acc = jnp.take(acc_ext, system.lr_inv, axis=0)

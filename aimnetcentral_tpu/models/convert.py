@@ -142,12 +142,28 @@ def config_from_yaml(model_cfg: Mapping[str, Any]) -> AIMNet2Config:
         raise ValueError(f"unsupported model class {cls!r}")
     kw = model_cfg["kwargs"]
     aev_kw = dict(kw.get("aev", {}))
-    if aev_kw.get("rc_v") is not None:
-        raise NotImplementedError("dual-basis AEV (rc_v) is not used by released models")
+    # Dual-basis AEV (rc_v/eta_v/shifts_v): ACCEPTED and inert, matching the
+    # reference exactly — its AEVSV registers the `_v` basis parameters
+    # (reference aimnet/modules/aev.py:52-62) but `_calc_aev` builds the
+    # vector features from the SCALAR basis only (aev.py:94-110 uses
+    # rc_s/shifts_s/eta_s; the `_v` tensors are never read in forward), and
+    # no shipped config or test sets rc_v.  A distinct nshifts_v is the one
+    # dual-basis knob with a real effect (the ConvSV `agh` shape,
+    # aev.py:139-141) — and only nshifts_v == nshifts_s is runnable in the
+    # reference (otherwise its einsum 'agh,...agd' fails on shape; for
+    # d2features it raises explicitly, models/aimnet2.py:34-35).
+    nshifts_s = aev_kw.get("nshifts_s", 16)
+    nshifts_v = aev_kw.get("nshifts_v") or nshifts_s
+    if nshifts_v != nshifts_s:
+        raise ValueError(
+            "nshifts_v must equal nshifts_s (the reference cannot run such "
+            "models either: ConvSV's agh contraction requires matching shift "
+            "counts, reference aimnet/modules/aev.py:188)"
+        )
     aev = AEVConfig(
         rmin=aev_kw.get("rmin", 0.8),
         rc_s=aev_kw.get("rc_s", 5.0),
-        nshifts_s=aev_kw.get("nshifts_s", 16),
+        nshifts_s=nshifts_s,
         eta_s=aev_kw.get("eta_s"),
     )
     outputs_cfg = kw.get("outputs", {})

@@ -597,9 +597,12 @@ class SpatialMDDriver:
         self.veloc = maxwell_boltzmann_velocities(
             vkey, self.masses, system.numbers, md.temperature_K
         )
-        self.forces, self.epot = self._force(
-            system.coord, system.numbers, system.charge, system.cell[0]
-        )
+        # initial forces are primed through the chunk executable with dt=0
+        # on the first run() — a standalone force jit here would compile the
+        # full sharded force graph twice (same trick as dynamics/md.MDDriver)
+        self.forces = jnp.zeros_like(system.coord)
+        self.epot = None
+        self._primed = False
         self._chunk_cache: dict[int, Any] = {}
 
     # -- jitted pieces ------------------------------------------------------
@@ -615,11 +618,13 @@ class SpatialMDDriver:
         from aimnetcentral_tpu import constants
 
         md = self.md
-        dt = md.dt_fs * constants.fs
         charge = self.system.charge
         cell = self.system.cell[0]
 
-        def step(carry, _):
+        def make_step(dt):
+            return lambda carry, x: step(carry, x, dt)
+
+        def step(carry, _, dt):
             # numbers/masses ride the carry: the end-of-chunk re-bin
             # permutes them, and the cached executable must see fresh values
             coord, veloc, forces, key, numbers, masses = carry
@@ -642,10 +647,11 @@ class SpatialMDDriver:
             return (coord, veloc, f2, key, numbers, masses), epot
 
         @jax.jit
-        def chunk(coord, veloc, forces, key, numbers, masses):
+        def chunk(coord, veloc, forces, key, numbers, masses, dt_fs):
+            dt = dt_fs * constants.fs  # traced: dt_fs=0 primes forces
             (coord, veloc, forces, key, _n, _m), epots = jax.lax.scan(
-                step, (coord, veloc, forces, key, numbers, masses), None,
-                length=n_steps,
+                make_step(dt), (coord, veloc, forces, key, numbers, masses),
+                None, length=n_steps,
             )
             return coord, veloc, forces, key, epots
 
@@ -677,9 +683,18 @@ class SpatialMDDriver:
             k = min(chunk, n_steps - done)
             if k not in self._chunk_cache:
                 self._chunk_cache[k] = self._make_chunk(k)
+            if not self._primed:
+                # zero-dt chunk: moves nothing, fills F(x) exactly through
+                # the SAME executable (no second force-graph compile); the
+                # key is restored so trajectories match an eager prime
+                _c, _v, self.forces, _key, _ep = self._chunk_cache[k](
+                    sysb.coord, self.veloc, self.forces, self.key,
+                    sysb.numbers, self.masses, 0.0,
+                )
+                self._primed = True
             coord, veloc, forces, self.key, ep = self._chunk_cache[k](
                 sysb.coord, self.veloc, self.forces, self.key,
-                sysb.numbers, self.masses,
+                sysb.numbers, self.masses, self.md.dt_fs,
             )
             epots.append(np.asarray(ep))
             coord, veloc, forces, numbers, mol_idx, masses, ovf = self._rebin(

@@ -125,6 +125,13 @@ def main() -> None:
     # regrow); on-device rebuilds cost ~3 ms, so the short skin is free
     md = MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.3)
     chunk = max(10, N_STEPS // 4)
+    # force the device claim + backend init OUTSIDE the compile timer: the
+    # axon tunnel's claim handshake after a previous process exits can take
+    # minutes and is unrelated to XLA compile cost
+    _log("claiming device...")
+    import jax.numpy as jnp
+
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8,))))
     t0 = time.time()
     # equilibration pass: the synthetic box's first steps are violent (large
     # initial forces); density spikes there can trigger a capacity regrow
@@ -146,47 +153,75 @@ def main() -> None:
     drv = MDDriver(params, cfg, system_eq, md)
     # warmup with the SAME chunk size as the timed run (one compile)
     drv.run(chunk, chunk=chunk)
-    compile_s = time.time() - t0
-    _log(f"compile+equilibration {compile_s:.1f}s; timing steady state...")
+    startup_s = time.time() - t0
+    _log(f"compile+equilibration {startup_s:.1f}s; timing steady state...")
 
     t0 = time.time()
     drv.run(N_STEPS, chunk=chunk)
     elapsed = time.time() - t0
     steps_per_sec = N_STEPS / elapsed
+    # compile_s: startup minus the MD actually executed during it — drv0
+    # ran prime + 2*chunk equilibration, drv ran prime + chunk warmup
+    # (each prime costs one zero-dt chunk of runtime, not a compile)
+    compile_s = startup_s - 5 * chunk / steps_per_sec
 
     _log(f"{steps_per_sec:.2f} steps/s; cost analysis...")
     # --- FLOPs of one MD step -> MFU ---------------------------------------
-    # Counted on the XLA-ENGINE twin (identical math and pair counts to the
-    # production Pallas engine, but with every op visible to XLA's cost
-    # model — Pallas custom calls report no flops).  lower() only traces
-    # (no backend compile), so this is cheap.
+    # Counted by XLA's cost model on a COMPILED XLA-ENGINE twin (identical
+    # math and pair counts to the production Pallas engine, but with every
+    # op visible — Pallas custom calls report no flops; Lowered.cost_analysis
+    # returns None on this backend, only Compiled works).  The twin compile
+    # costs real time, so the count is cached in bench_flops.json keyed by
+    # everything that changes it (size, grid geometry, chunk, jax version);
+    # cache hits make this free on repeat runs.
     flops_per_step = mfu = None
+    flops_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_flops.json")
     try:
-        prev = os.environ.get("AIMNET_CONV_ENGINE")
-        os.environ["AIMNET_CONV_ENGINE"] = "xla"
-        try:
-            drv_x = MDDriver(params, cfg, system_eq, md)
-            import jax as _jax
+        g = drv.grid
+        gl = drv.lr_grid
+        flops_key = (
+            f"atoms={N_ATOMS} chunk={chunk} grid={g.nbins}x{g.capacity} "
+            f"lr={None if gl is None else (gl.nbins, gl.capacity)} jax={jax.__version__}"
+        )
+        flops_cache = {}
+        if os.path.exists(flops_file):
+            with open(flops_file) as fh:
+                flops_cache = json.load(fh)
+        if flops_key in flops_cache:
+            flops_per_step = float(flops_cache[flops_key])
+        else:
+            _log("compiling the XLA-engine twin for the FLOP count...")
+            prev = os.environ.get("AIMNET_CONV_ENGINE")
+            os.environ["AIMNET_CONV_ENGINE"] = "xla"
+            try:
+                drv_x = MDDriver(params, cfg, system_eq, md)
+                import jax as _jax
 
-            def chunk_fn(state):
-                return _jax.lax.scan(drv_x._step, state, None, length=chunk)
+                def chunk_fn(state):
+                    return _jax.lax.scan(drv_x._step, state, None, length=chunk)
 
-            ca = _jax.jit(chunk_fn).lower(drv_x.state).cost_analysis()
-        finally:
-            if prev is None:
-                os.environ.pop("AIMNET_CONV_ENGINE", None)
-            else:
-                os.environ["AIMNET_CONV_ENGINE"] = prev
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        if ca and "flops" in ca:
-            flops_per_step = float(ca["flops"]) / chunk
+                # _state: the unprimed carry (the .state property would
+                # compile and RUN a standalone force eval to fill forces,
+                # which a flop count does not need)
+                ca = _jax.jit(chunk_fn).lower(drv_x._state).compile().cost_analysis()
+            finally:
+                if prev is None:
+                    os.environ.pop("AIMNET_CONV_ENGINE", None)
+                else:
+                    os.environ["AIMNET_CONV_ENGINE"] = prev
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            if ca and "flops" in ca:
+                flops_per_step = float(ca["flops"]) / chunk
+                flops_cache[flops_key] = flops_per_step
+                with open(flops_file, "w") as fh:
+                    json.dump(flops_cache, fh, indent=1)
+        if flops_per_step is not None and "v5 lite" in str(jax.devices()[0]):
             # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 — Mosaic default dots
             # run ONE bf16 MXU pass on f32 operands (docs/performance.md)
-            if "v5 lite" in str(jax.devices()[0]):
-                mfu = flops_per_step * steps_per_sec / 197e12
-    except Exception:  # cost analysis availability differs per backend
-        pass
+            mfu = flops_per_step * steps_per_sec / 197e12
+    except Exception as e:  # cost analysis availability differs per backend
+        _log(f"flop count unavailable: {e!r}")
 
     # --- warm-compile: same executables through the persistent cache ------
     _log("warm-compile measurement...")
@@ -196,7 +231,8 @@ def main() -> None:
         drv_w = MDDriver(params, cfg, system_eq, md)
         t0 = time.time()
         drv_w.run(chunk, chunk=chunk)
-        compile_s_warm = (time.time() - t0) - chunk / steps_per_sec
+        # prime chunk + warmup chunk of real MD ran in there
+        compile_s_warm = (time.time() - t0) - 2 * chunk / steps_per_sec
 
     _log("pair efficiency...")
     # --- pair efficiency: real pairs / slot-pairs examined per sweep ------

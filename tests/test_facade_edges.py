@@ -190,6 +190,33 @@ def test_fn_cache_bounded():
     assert calc._get_fn(cfg_i, True, False, False) is fn
 
 
+def test_repeated_evals_do_not_grow_memory():
+    """Steady-state eval loops must not accumulate device buffers: after
+    warmup, the live-array count is flat across iterations (the reference's
+    analogous guarantee is its bounded static input caches,
+    aimnet/calculators/neighbors.py:175-191; here the prep/fn caches hold
+    ONE prepared system and <= 8 compiled fns)."""
+    cfg = _cfg(None)
+    params = aimnet2_init(jax.random.key(0), cfg)
+    calc = AIMNet2Calculator((params, cfg, {"sae": {}}))
+    coord, numbers = _cluster(n=12, spread=6.0)
+    rng = np.random.default_rng(0)
+
+    def eval_once(i):
+        jig = coord + rng.uniform(-0.01, 0.01, coord.shape).astype(np.float32)
+        out = calc({"coord": jig, "numbers": numbers}, forces=True)
+        np.asarray(out["energy"])
+
+    for i in range(3):  # warmup: compiles + caches settle
+        eval_once(i)
+    n0 = len(jax.live_arrays())
+    for i in range(10):
+        eval_once(i)
+    n1 = len(jax.live_arrays())
+    assert n1 <= n0 + 2, f"live device arrays grew {n0} -> {n1}"
+    assert len(calc._fn_cache) <= calc._fn_cache_max
+
+
 def test_eval_exception_leaves_state_consistent():
     """A failing eval (unsupported species) must not corrupt calculator
     state for subsequent evals (reference snapshots/restores eval-scoped

@@ -72,94 +72,35 @@ def _pal(system, cutoff, e_fn, extras, layout="sr"):
         return pair_energy_pallas(system, cutoff, e_fn, extras, layout)
 
 
-@pytest.mark.parametrize("periodic", [True, False])
-def test_energy_matches_xla(periodic):
-    sysb, q = _make_case(periodic=periodic)
+def test_small_grid_routes_to_xla_twin():
+    """Grids the banded tables don't cover (nz < 2r+1) route to the XLA
+    twin — numerically identical by construction (the per-bin v1 kernel
+    that used to cover them was trimmed, VERDICT r2 item 10)."""
+    sysb, q = _make_case()
+    assert sysb.bins.nbins[2] < 3  # NOT band-eligible at radius 1
     e_fn = _dsf_like()
     ref = _xla(sysb, 5.0, e_fn, {"q": q})
     pal = _pal(sysb, 5.0, e_fn, {"q": q})
-    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pal), np.asarray(ref))
 
 
-def test_vector_extras_matches_xla():
-    sysb, q = _make_case()
-    rng = np.random.default_rng(3)
-    p = jnp.asarray(
-        np.abs(rng.normal(size=(sysb.natoms, 2))).astype(np.float32) + 0.5
-    )
-    e_fn = _rep_like()
-    ref = _xla(sysb, 5.0, e_fn, {"p": p})
-    pal = _pal(sysb, 5.0, e_fn, {"p": p})
-    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
-
-
-def test_gradients_match_xla():
-    sysb, q = _make_case()
-    e_fn = _dsf_like()
-    ct = jnp.asarray(
-        np.random.default_rng(5).normal(size=(sysb.natoms,)).astype(np.float32)
-    )
-
-    def loss_x(coord, q_):
-        return (_xla(sysb.replace(coord=coord), 5.0, e_fn, {"q": q_}) * ct).sum()
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
-
-    def loss_p(coord, q_):
-        return (
-            pair_energy_pallas(sysb.replace(coord=coord), 5.0, e_fn, {"q": q_}) * ct
-        ).sum()
-
-    gx_c, gx_q = jax.grad(loss_x, argnums=(0, 1))(sysb.coord, q)
-    with pltpu.force_tpu_interpret_mode():
-        gp_c, gp_q = jax.grad(loss_p, argnums=(0, 1))(sysb.coord, q)
-    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gx_c), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(gp_q), np.asarray(gx_q), atol=3e-5)
-
-
-def test_cell_gradient_matches_xla():
-    """The lattice-shift adjoint side output must reproduce the XLA cell
-    gradient (stress/NPT path)."""
-    sysb, q = _make_case()
-    e_fn = _dsf_like()
-
-    def loss_x(cell):
-        return _xla(sysb.replace(cell=cell), 5.0, e_fn, {"q": q}).sum()
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    from aimnetcentral_tpu.kernels.pair_sweep import pair_energy_pallas
-
-    def loss_p(cell):
-        return pair_energy_pallas(sysb.replace(cell=cell), 5.0, e_fn, {"q": q}).sum()
-
-    gx = jax.grad(loss_x)(sysb.cell)
-    with pltpu.force_tpu_interpret_mode():
-        gp = jax.grad(loss_p)(sysb.cell)
-    scale = max(float(np.abs(np.asarray(gx)).max()), 1e-8)
-    np.testing.assert_allclose(
-        np.asarray(gp), np.asarray(gx), atol=3e-5 * scale + 1e-6
-    )
-
-
-def test_lr_layout_routing():
+def test_small_grid_lr_layout_routes_to_xla_twin():
     sysb, q = _make_case(lr=True)
     if sysb.lr_bins is None:
         pytest.skip("case has no LR twin layout")
     e_fn = _dsf_like()
     ref = _xla(sysb, 5.0, e_fn, {"q": q}, layout="lr")
     pal = _pal(sysb, 5.0, e_fn, {"q": q}, layout="lr")
-    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pal), np.asarray(ref))
 
 
 @pytest.mark.parametrize("banded", [False, True])
 def test_dftd3_full_path_matches(monkeypatch, banded):
     """dftd3_binned end-to-end (CN sweep + factorized energy sweep) through
-    the Pallas engine == XLA engine, on both the per-bin (v1) and banded
-    half-stencil (v3) kernels — the banded case exercises the asymmetric
-    p/r extras through the two-sided in-kernel vjp."""
+    the Pallas engine == XLA engine.  banded=True runs the banded
+    half-stencil kernel (exercising the asymmetric p/r extras through the
+    two-sided in-kernel vjp); banded=False covers the small-grid routing
+    back to the XLA twin."""
     from jax.experimental.pallas import tpu as pltpu
 
     from aimnetcentral_tpu import constants

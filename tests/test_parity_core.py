@@ -145,6 +145,56 @@ def test_rxn_model_dipole_quadrupole_parity(reference_aimnet2, rng):
     )
 
 
+def test_dual_basis_rc_v_is_inert_parity(reference_aimnet2, rng):
+    """A yaml with rc_v SET (dual-basis AEV) must convert and match the
+    reference — because the reference's own forward never reads the `_v`
+    basis (reference aimnet/modules/aev.py:94-110 builds vector features
+    from the scalar basis; the registered rc_v/eta_v/shifts_v tensors are
+    inert).  This is the evidence behind accepting rc_v in
+    models/convert.py::config_from_yaml (VERDICT r2 item 9)."""
+    model, cfg_yaml = reference_aimnet2(
+        "aimnet2.yaml", aev={"rc_s": 5.0, "nshifts_s": 16, "rc_v": 4.0, "nshifts_v": 16}
+    )
+    import torch
+
+    # the reference registered the dual basis (and it differs from _s)...
+    aev_mod = model.aev
+    assert float(aev_mod.rc_v) == 4.0 and float(aev_mod.rc_s) == 5.0
+    assert aev_mod._dual_basis
+    # ...but its forward output is identical to the single-basis model
+    coord, numbers = random_molecule(rng, 12)
+    ref = _run_reference(model, coord, numbers, charge=0.0)
+    with torch.no_grad():
+        aev_mod.rc_v.fill_(5.0)  # neutralize the dual basis entirely
+        aev_mod.shifts_v.copy_(aev_mod.shifts_s)
+    ref_single = _run_reference(model, coord, numbers, charge=0.0)
+    np.testing.assert_array_equal(ref["energy"], ref_single["energy"])
+
+    cfg = config_from_yaml(cfg_yaml)
+    params, _ = convert_state_dict(_to_numpy_sd(model), cfg)
+    sys = system_from_molecules([{"coord": coord, "numbers": numbers}])
+    out = aimnet2_apply(params, cfg, sys)
+    np.testing.assert_allclose(
+        np.asarray(out["energy"]), ref["energy"], atol=ENERGY_ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["charges"])[:12], ref["charges"], atol=CHARGE_ATOL
+    )
+
+    # the one dual-basis knob with a real effect is rejected, mirroring the
+    # reference's own shape failure (aev.py:188)
+    with pytest.raises(ValueError, match="nshifts_v"):
+        config_from_yaml(
+            {
+                "class": "aimnet.models.AIMNet2",
+                "kwargs": {
+                    **cfg_yaml["kwargs"],
+                    "aev": {"rc_s": 5.0, "nshifts_s": 16, "nshifts_v": 8},
+                },
+            }
+        )
+
+
 def test_jit_matches_eager(reference_aimnet2, rng):
     model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
     cfg = config_from_yaml(cfg_yaml)
