@@ -27,6 +27,7 @@ Units: Angstrom / eV / amu; dt in fs via the ASE time conversion
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -91,8 +92,34 @@ def kinetic_temperature(veloc: Array, masses: Array, numbers: Array) -> Array:
     return 2.0 * ke / (ndof * constants.kB)
 
 
+# module-level jits shared by every driver instance: ONE trace + ONE
+# compile per process/shape instead of ~10 eager dispatch mini-compiles
+# per ctor (each eager op is a separate remote compile on axon)
+@jax.jit
+def _init_dynamics_arrays(mass_table, numbers, seed_key, temperature_K):
+    masses = mass_table[numbers]
+    key, vkey = jax.random.split(seed_key)
+    veloc = maxwell_boltzmann_velocities(vkey, masses, numbers, temperature_K)
+    return masses, key, veloc
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _prep_binned_state(system, grid, lr_grid, mass_table, seed_key, temperature_K):
+    """Binned ctor prep as ONE executable: layout build + velocity init
+    (each remote compile round-trip costs seconds on the axon backend)."""
+    sysb, _perm, ovf = B.to_binned_system(system, grid, lr_grid)
+    masses, key, veloc = _init_dynamics_arrays(
+        mass_table, sysb.numbers, seed_key, temperature_K
+    )
+    return sysb, ovf, masses, key, veloc
+
+
 class MDDriver:
     """Compile-once MD driver over a fixed-size system.
+
+    Chunk executables are shared across instances with equal static config
+    (``_shared_chunk_fns``, LRU-bounded) — params/dt ride as arguments, so
+    a re-planned or restarted driver pays zero re-compile and zero re-trace.
 
     Parameters
     ----------
@@ -101,6 +128,10 @@ class MDDriver:
     system : initial compact System (defines shapes); periodic systems are
         converted to the binned layout unless ``engine='indexed'``
     """
+
+    # cross-instance executable cache: key = every static the chunk fn
+    # closes over (cfg, md, engine, ensemble, chunk, grids/specs)
+    _shared_chunk_fns: dict = {}
 
     def __init__(
         self,
@@ -151,9 +182,10 @@ class MDDriver:
                     if lr_cut is not None
                     else None
                 )
-                sysb, _perm, ovf = jax.jit(
-                    B.to_binned_system, static_argnums=(1, 2)
-                )(system, grid, lr_grid)
+                sysb, ovf, masses, key, veloc = _prep_binned_state(
+                    system, grid, lr_grid, self._mass_table,
+                    jax.random.key(seed), md.temperature_K,
+                )
                 if int(ovf) == 0:
                     break
                 safety *= 1.5
@@ -164,6 +196,7 @@ class MDDriver:
             self.lr_grid = lr_grid
             system0 = sysb
         else:
+            self.grid = None
             self.lr_grid = None
             extent = None
             if cell_np is None:
@@ -179,13 +212,10 @@ class MDDriver:
                     cell_np, n_real, lr_cut + md.lr_skin, extent=extent
                 )
             system0 = self._rebuild_indexed(system)
-
-        masses = self._mass_table[system0.numbers]
-        key = jax.random.key(seed)
-        key, vkey = jax.random.split(key)
-        veloc = maxwell_boltzmann_velocities(
-            vkey, masses, system0.numbers, md.temperature_K
-        )
+            masses, key, veloc = _init_dynamics_arrays(
+                self._mass_table, system0.numbers, jax.random.key(seed),
+                md.temperature_K,
+            )
         # Initial forces are NOT computed here: a standalone
         # ``jit(self._force_fn)`` would compile the full force graph a second
         # time next to the chunk-scan executable (~half the cold-start cost
@@ -194,16 +224,18 @@ class MDDriver:
         # Verlet step only evaluates F(x) and stores it); reading ``.state``
         # before the first ``run()`` primes eagerly instead.
         self._primed = False
+        # zero fills stay NUMPY (uploaded at the first jit call boundary —
+        # no eager dispatch compile)
         self._state = MDState(
             coord=system0.coord,
             veloc=veloc,
-            forces=jnp.zeros_like(system0.coord),
+            forces=np.zeros(tuple(system0.coord.shape), np.float32),
             masses=masses,
             system=system0,
             ref_coord=system0.coord,
             key=key,
-            overflow=jnp.zeros((2,), jnp.int32),
-            epot=jnp.zeros((system0.num_mol,), jnp.float32),
+            overflow=np.zeros((2,), np.int32),
+            epot=np.zeros((system0.num_mol,), np.float32),
         )
         self._chunk_fn: dict[int, Callable] = {}
 
@@ -310,15 +342,24 @@ class MDDriver:
     # -- one MD step --------------------------------------------------------
 
     def _step(
-        self, state: MDState, _unused, dt_fs: Array | float | None = None
+        self,
+        state: MDState,
+        _unused,
+        dt_fs: Array | float | None = None,
+        params: Any = None,
     ) -> tuple[MDState, dict]:
         """One velocity-Verlet step.  ``dt_fs`` may be a traced scalar (the
         chunk executable takes it as an argument so ``dt_fs=0`` can prime
         initial forces through the same compiled program); ``None`` falls
-        back to the static ``md.dt_fs`` (back-compat for direct callers)."""
+        back to the static ``md.dt_fs`` (back-compat for direct callers).
+        ``params`` likewise rides as an explicit traced argument in the
+        chunk executable — NOT a closure constant — so drivers with equal
+        static config share one compiled program (see ``run``)."""
         md = self.md
         if dt_fs is None:
             dt_fs = md.dt_fs
+        if params is None:
+            params = self.params
         dt = dt_fs * constants.fs
         m = state.masses[:, None]
         real = (state.system.numbers > 0)[:, None]
@@ -394,9 +435,9 @@ class MDDriver:
         m = masses[:, None]
         real = (system.numbers > 0)[:, None]
         if md.barostat == "berendsen":
-            forces2, epot, tr_w = self._force_virial_fn(self.params, system)
+            forces2, epot, tr_w = self._force_virial_fn(params, system)
         else:
-            forces2, epot = self._force_fn(self.params, system)
+            forces2, epot = self._force_fn(params, system)
         acc2 = jnp.where(real, forces2 / m, 0.0)
         veloc = v_half2 + 0.5 * dt * acc2
 
@@ -529,17 +570,34 @@ class MDDriver:
         """
 
         def get_chunk_fn():
-            if chunk not in self._chunk_fn:
+            if chunk in self._chunk_fn:
+                return self._chunk_fn[chunk]
+            # Share chunk executables ACROSS driver instances: the jitted
+            # fn only reads self fields that are part of the key (cfg, md,
+            # engine, grids, ensemble) — params and dt ride as explicit
+            # arguments — so a second driver over the same layout (e.g. a
+            # re-planned equilibrated box, an ensemble restart) reuses the
+            # compiled program instead of re-tracing + re-deserializing.
+            key = (
+                self.cfg, self.md, self.engine, self.ensemble, chunk,
+                self.grid, self.lr_grid,
+                getattr(self, "sr_spec", None), getattr(self, "lr_spec", None),
+            )
+            shared = MDDriver._shared_chunk_fns
+            if key not in shared:
 
                 @jax.jit
-                def run_chunk(state: MDState, dt_fs):
+                def run_chunk(state: MDState, dt_fs, params):
                     return jax.lax.scan(
-                        lambda s, x: self._step(s, x, dt_fs),
+                        lambda s, x: self._step(s, x, dt_fs, params),
                         state, None, length=chunk,
                     )
 
-                self._chunk_fn[chunk] = run_chunk
-            return self._chunk_fn[chunk]
+                shared[key] = run_chunk
+                while len(shared) > 8:  # bound like the calculator caches
+                    shared.pop(next(iter(shared)))
+            self._chunk_fn[chunk] = shared[key]
+            return shared[key]
 
         all_obs = []
         state = self._state
@@ -550,14 +608,14 @@ class MDDriver:
             # RNG key is restored so trajectories are identical to an
             # eagerly-primed driver.  Costs one chunk of runtime instead of
             # a second full force-graph compile.
-            primed_state, _ = get_chunk_fn()(state, 0.0)
+            primed_state, _ = get_chunk_fn()(state, 0.0, self.params)
             state = dataclasses.replace(primed_state, key=state.key)
             self._primed = True
         n_chunks = int(np.ceil(n_steps / chunk))
         i = 0
         retries = 0
         while i < n_chunks:
-            new_state, obs = get_chunk_fn()(state, self.md.dt_fs)
+            new_state, obs = get_chunk_fn()(state, self.md.dt_fs, self.params)
             ovf = np.asarray(new_state.overflow)
             if ovf.sum() > 0:
                 retries += 1

@@ -31,7 +31,7 @@ Design:
 Scope: single-molecule periodic systems (the large-box use case) with the
 energy surface of the flagship head chain (Output/AtomicShift/AtomicSum +
 LRCoulomb in SR/DSF mode), 1- or 2-channel (NSE open-shell) charge models.
-D3 and Ewald/PME ARE routed spatially (round 3): the D3 CN sweep refreshes halo coordination numbers from their owner shards, and the Ewald k-space structure factor is a psum of shard-local contributions (no halo needed in k-space).  Dipole/quadrupole heads are not yet routed spatially.  Validated for bitwise-level equality against the single-device
+D3 and Ewald/PME ARE routed spatially (round 3): the D3 CN sweep refreshes halo coordination numbers from their owner shards, and the Ewald k-space structure factor is a psum of shard-local contributions (no halo needed in k-space).  Dipole/quadrupole heads are accepted (observable-only: zero energy, so rxn-family configs run spatially; the observables themselves come from the calculator's single-device eval).  Validated for bitwise-level equality against the single-device
 forward on a virtual CPU mesh (tests/test_spatial.py).
 """
 
@@ -60,8 +60,10 @@ from aimnetcentral_tpu.models.heads import (
     AtomicShiftHead,
     AtomicSumHead,
     DFTD3Head,
+    DipoleHead,
     LRCoulombHead,
     OutputHead,
+    QuadrupoleHead,
 )
 from aimnetcentral_tpu.models.modules import mlp_apply
 from aimnetcentral_tpu.ops import binned as B
@@ -217,6 +219,7 @@ def make_spatial_energy_fn(
     spec: SpatialSpec,
     mesh: Mesh,
     ewald_kpts: np.ndarray | None = None,
+    ens_axis: str | None = None,
 ):
     """Build ``fn(params, coord, numbers, charge, cell) -> total energy``.
 
@@ -230,6 +233,13 @@ def make_spatial_energy_fn(
     ``attach_ewald`` (``System.ewald_kpts``), required for Ewald/PME heads
     — the reciprocal-space structure factor is a ``psum`` of shard-local
     (n_core, K) contributions, so k-space needs no halo at all.
+
+    ``ens_axis``: composes ENSEMBLE parallelism with the spatial ring —
+    pass a 2-axis ``Mesh`` (e.g. ``(ens, sp)``) and params STACKED on a
+    leading member axis; the returned fn gives per-member energies
+    ``(n_ens,)``, each member's box sharded over its own sp ring (the sp
+    collectives stay inside one ens slice of the mesh).  Geometry arrays
+    remain replicated across ``ens``.
     """
     from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
 
@@ -239,7 +249,10 @@ def make_spatial_energy_fn(
     for name, head in cfg.outputs:
         assert isinstance(
             head,
-            (OutputHead, AtomicShiftHead, AtomicSumHead, LRCoulombHead, DFTD3Head),
+            (
+                OutputHead, AtomicShiftHead, AtomicSumHead, LRCoulombHead,
+                DFTD3Head, DipoleHead, QuadrupoleHead,
+            ),
         ), f"head {name!r} is not routed spatially yet"
         if isinstance(head, LRCoulombHead) and head.method in ("ewald", "pme"):
             assert ewald_kpts is not None and spec.ewald_eta is not None, (
@@ -338,7 +351,9 @@ def make_spatial_energy_fn(
         q_ext = _exchange(spec, q_total_core)
         data_core = {"aim": aim_core, "charges": q_total_core}
         for name, head in cfg.outputs:
-            p = params["outputs"][name]
+            # .get: observable-only heads may have no param entry when the
+            # caller reuses params initialized for the energy-only config
+            p = params["outputs"].get(name)
             if isinstance(head, OutputHead):
                 val = mlp_apply(p["mlp"], data_core[head.key_in], head.mlp)
                 e_atom = e_atom + jnp.where(
@@ -363,6 +378,12 @@ def make_spatial_energy_fn(
                 e_mol = e_mol + _coulomb_spatial(
                     head, sys_ext, q_ext, mol_idx_core, core,
                 )
+            elif isinstance(head, (DipoleHead, QuadrupoleHead)):
+                # observable-only heads: no energy contribution — allowed so
+                # rxn-family configs run spatially (the spatial surface is
+                # energy/forces; dipole/quadrupole observables come from the
+                # calculator's single-device eval, heads.py:250-269)
+                pass
             elif isinstance(head, DFTD3Head):
                 e_mol = e_mol + _dftd3_spatial(
                     head, spec, sys_ext, p, mol_idx_core, core,
@@ -377,14 +398,33 @@ def make_spatial_energy_fn(
 
         if mult is None:
             mult = jnp.ones_like(charge)  # closed shell default
+        if ens_axis is None:
+            f = shard_map(
+                local_energy,
+                mesh=mesh,
+                in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
+                out_specs=P(),
+                check_rep=False,
+            )
+            return f(params, coord, numbers, charge, mult, cell)[0]
+
+        # ens x sp: each mesh slice along ens_axis holds ONE stacked
+        # member (leading axis sharded to local size 1 — squeezed before
+        # the per-shard energy); sp collectives inside local_energy see
+        # only their own slice of the 2-axis mesh
+        def local_member(params_m, coord_l, numbers_l, charge, mult, cell):
+            p1 = jax.tree.map(lambda x: x[0], params_m)
+            e = local_energy(p1, coord_l, numbers_l, charge, mult, cell)[0]
+            return e[None]
+
         f = shard_map(
-            local_energy,
+            local_member,
             mesh=mesh,
-            in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
-            out_specs=P(),
+            in_specs=(P(ens_axis), P("sp"), P("sp"), P(), P(), P()),
+            out_specs=P(ens_axis),
             check_rep=False,
         )
-        return f(params, coord, numbers, charge, mult, cell)[0]
+        return f(params, coord, numbers, charge, mult, cell)
 
     return efn
 

@@ -18,9 +18,13 @@ Also reported (VERDICT r2 items 2/3/6):
 - ``ensemble4_steps_per_sec``: the ACTUAL BASELINE config-4 north star (4
   independently initialized members vmapped/lax.scanned on one chip).
 - ``compile_s`` (first compile in this process; cold unless the persistent
-  XLA cache is pre-populated — ``compile_cache`` says which) and
+  XLA cache is pre-populated — ``cache_dir_prepopulated`` says which) and
   ``compile_s_warm`` (same executable re-compiled through the persistent
-  cache after ``jax.clear_caches()``).
+  cache after ``jax.clear_caches()``).  NOTE: cold numbers include the
+  remote compile service's queueing, which varies 1.5-3x window-to-window
+  (the same 10k chunk compile measured 24.6 s and ~70 s on different
+  runs); ``compile_s_warm`` is the stable number.  See
+  docs/performance.md "Cold-start anatomy" for the measured breakdown.
 - ``xla_flops_per_step`` + ``mfu``: XLA cost-analysis FLOPs of one compiled
   MD step vs the chip's bf16 peak (Mosaic's default dots run one bf16 MXU
   pass — docs/performance.md); counts executed FLOPs incl. padding slack.

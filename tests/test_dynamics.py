@@ -156,3 +156,29 @@ def test_npt_berendsen_compresses_toward_target_pressure(model, rng):
     assert obs["volume"][-1] < obs["volume"][0]
     assert np.isfinite(obs["epot"]).all()
     assert np.isfinite(obs["pressure"]).all()
+
+
+def test_indexed_engine_md_and_shared_chunk_fns(model, rng):
+    """Gas-phase (no cell) MD routes to the indexed engine (self.grid is
+    None there — the round-3 shared-cache key must tolerate it), and two
+    drivers with equal static config share ONE compiled chunk executable
+    (params ride as jit arguments, not closure constants)."""
+    params, cfg = model
+    coord, numbers = random_molecule(rng, 8)
+    sys = system_from_molecules(
+        [{"coord": coord, "numbers": numbers}], cutoff=6.0
+    )
+    md = MDConfig(dt_fs=0.3, thermostat="nve", temperature_K=50.0)
+    drv = MDDriver(params, cfg, sys, md, seed=5)
+    assert drv.engine == "indexed" and drv.grid is None
+    obs = drv.run(6, chunk=3)
+    assert np.isfinite(obs["epot"]).all()
+
+    # a second driver over the same layout must reuse the SAME compiled fn
+    drv2 = MDDriver(params, cfg, sys, md, seed=9)
+    obs2 = drv2.run(3, chunk=3)
+    assert drv2._chunk_fn[3] is drv._chunk_fn[3]
+    assert np.isfinite(obs2["epot"]).all()
+    # different seeds -> different velocities -> different trajectories
+    # (i.e. the shared executable did not leak driver-A state)
+    assert not np.allclose(obs["epot"][:3], obs2["epot"])

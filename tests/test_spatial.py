@@ -105,6 +105,61 @@ def test_spatial_forces_match_single_device(case):
     assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
 
 
+def test_spatial_accepts_observable_heads(case):
+    """Dipole/quadrupole heads are observable-only (zero energy): a
+    rxn-style config must run spatially with unchanged energy."""
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.models.heads import DipoleHead, QuadrupoleHead
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    cfg_rxn = dataclasses.replace(
+        cfg,
+        outputs=cfg.outputs
+        + (("dipole", DipoleHead()), ("quadrupole", QuadrupoleHead())),
+    )
+    e_ref, _ = _single_device_energy(cfg, params, sysb)
+    spec = plan_spatial(sysb, cfg_rxn, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(cfg_rxn, spec, mesh)
+    e_sp = efn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+
+
+def test_ens_x_sp_composition(case):
+    """Ensemble x spatial mesh composition (VERDICT r2 weak #5): per-member
+    energies on a (ens=2, sp=2) mesh must equal the per-member single-device
+    energies; the sp collectives stay inside each ens slice."""
+    cfg, params, sysb = case
+    from jax.sharding import Mesh
+
+    from aimnetcentral_tpu.calculators.ensemble import stack_params
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        plan_spatial,
+    )
+
+    params2 = aimnet2_init(jax.random.key(7), cfg)
+    stacked = stack_params([params, params2])
+    e_ref = np.array(
+        [
+            float(_single_device_energy(cfg, p, sysb)[0])
+            for p in (params, params2)
+        ]
+    )
+
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("ens", "sp"))
+    efn = make_spatial_energy_fn(cfg, spec, mesh, ens_axis="ens")
+    e = efn(stacked, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    assert e.shape == (2,)
+    np.testing.assert_allclose(np.asarray(e), e_ref, rtol=2e-6, atol=2e-5)
+
+
 def test_spatial_four_shards(case):
     cfg, params, sysb = case
     from aimnetcentral_tpu.parallel.spatial import (
