@@ -21,6 +21,7 @@ jit-first design:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Mapping, Sequence
 
 import jax
@@ -178,6 +179,7 @@ class AIMNet2Calculator:
         # identity cache so repeated evals of the same numbers array skip the
         # species scan (reference aimnet/calculators/calculator.py:785-838)
         self._species_cache: tuple | None = None
+        self._mult_warned = False
         # Verlet-style prepared-system reuse: neighbor structure (binned
         # layout or neighbor matrices, built with +reuse_skin reach) is
         # reused across eval calls while no atom moved more than
@@ -209,6 +211,11 @@ class AIMNet2Calculator:
         """Switch the Coulomb method at runtime
         (reference aimnet/calculators/calculator.py:638-728).  Triggers a jit
         recompile on next eval (config is static)."""
+        valid = ("simple", "dsf", "ewald", "pme")
+        if method not in valid:
+            raise ValueError(
+                f"unknown Coulomb method {method!r}; expected one of {valid}"
+            )
         new_outputs = []
         for name, h in self.cfg.outputs:
             if isinstance(h, LRCoulombHead):
@@ -258,6 +265,20 @@ class AIMNet2Calculator:
             for m in data:
                 self._validate_species_and_charge(m)
             return
+        if (
+            data.get("mult") is not None
+            and self.cfg.num_charge_channels == 1
+            and not self._mult_warned
+            and np.any(np.asarray(data["mult"], dtype=np.float64) != 1.0)
+        ):
+            # warn ONCE per calculator, like the reference
+            # (aimnet/calculators/calculator.py mult guard, tests/
+            # test_calculator.py:1740 test_mult_ignored_warns_once)
+            warnings.warn(
+                "mult is ignored by this closed-shell (non-NSE) model",
+                stacklevel=3,
+            )
+            self._mult_warned = True
         impl = self.metadata.get("implemented_species") or []
         if impl and "numbers" in data:
             numbers = data["numbers"]
