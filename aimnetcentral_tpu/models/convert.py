@@ -11,6 +11,7 @@ are extracted as host-side float64 tables — see AtomicShiftHead docs.
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any, Mapping
 
 import jax.numpy as jnp
@@ -193,8 +194,29 @@ def convert_state_dict(
 
     Returns ``(params, aux)``; ``aux['sae']`` maps atomic-shift head names to
     float64 per-element tables applied host-side by the calculator.
+
+    Checked load (reference aimnet/models/utils.py:300-378
+    ``load_state_dict_checked``): a missing parameter raises a ValueError
+    naming it; keys the config doesn't consume trigger ONE warning listing
+    them (the inert dual-basis ``aev.*_v`` buffers are expected leftovers
+    and stay silent).
     """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    raw = {k: np.asarray(v) for k, v in sd.items()}
+    consumed: set[str] = set()
+
+    class _Tracking(dict):
+        def __getitem__(self, k):
+            try:
+                v = dict.__getitem__(self, k)
+            except KeyError:
+                raise ValueError(
+                    f"state dict is missing parameter {k!r} required by this "
+                    "model config"
+                ) from None
+            consumed.add(k)
+            return v
+
+    sd = _Tracking(raw)
     f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
 
     params: dict = {
@@ -254,4 +276,22 @@ def convert_state_dict(
         else:
             outputs[name] = {}
     params["outputs"] = outputs
+    _IGNORED = ("aev.rc_v", "aev.eta_v", "aev.shifts_v")  # inert dual-basis
+    unexpected = sorted(
+        k
+        for k in raw
+        if k not in consumed
+        and k not in _IGNORED
+        # Coulomb-head ``rc`` cutoff buffers duplicate the yaml config (the
+        # reference registers them as module buffers; the value the model
+        # runs with comes from the head kwargs)
+        and not (k.startswith("outputs.") and k.endswith(".rc"))
+    )
+    if unexpected:
+        warnings.warn(
+            f"state dict has {len(unexpected)} parameter(s) this model config "
+            f"does not consume: {unexpected[:8]}"
+            + (" ..." if len(unexpected) > 8 else ""),
+            stacklevel=2,
+        )
     return params, aux

@@ -132,11 +132,26 @@ def resolve_model_import_policy(
     )
 
 
-def validate_model_yaml_tree(tree: Any, policy: ModelImportPolicy) -> None:
+def validate_model_yaml_tree(
+    tree: Any, policy: ModelImportPolicy, _seen: set[int] | None = None
+) -> None:
     """Walk a parsed model-yaml tree: enforce the import policy on every
     ``class:``/``activation_fn:`` entry, reject forbidden constructor kwargs,
     and sanity-check D3TS damping parameters
-    (reference artifact_validation.py:100-127, 242-330)."""
+    (reference artifact_validation.py:100-127, 242-330).
+
+    Rejects cyclic YAML alias structures (``a: &x [*x]``) up front — PyYAML's
+    safe loader constructs genuinely recursive containers, which would
+    otherwise crash the walk (reference
+    tests/test_model_artifact_security.py:401)."""
+    if _seen is None:
+        _seen = set()
+    if isinstance(tree, (Mapping, list, tuple)):
+        if id(tree) in _seen:
+            raise ValueError(
+                "model yaml contains a cyclic alias structure; refusing to load"
+            )
+        _seen = _seen | {id(tree)}
     if isinstance(tree, Mapping):
         cls = tree.get("class")
         if isinstance(cls, str):
@@ -167,10 +182,10 @@ def validate_model_yaml_tree(tree: Any, policy: ModelImportPolicy) -> None:
         if isinstance(act, str):
             policy.require_allowed(act, "activation")
         for v in tree.values():
-            validate_model_yaml_tree(v, policy)
+            validate_model_yaml_tree(v, policy, _seen)
     elif isinstance(tree, (list, tuple)):
         for v in tree:
-            validate_model_yaml_tree(v, policy)
+            validate_model_yaml_tree(v, policy, _seen)
 
 
 # ---------------------------------------------------------------------------

@@ -219,3 +219,67 @@ def test_loader_rejects_untrusted_artifact(tmp_path):
     # unsafe mode accepts the path but still cannot CONSTRUCT unknown classes
     with pytest.raises(ValueError, match="unsupported model class"):
         load_v2_artifact(p, model_import_mode="unsafe")
+
+
+def test_cyclic_yaml_alias_rejected():
+    """PyYAML's safe loader constructs genuinely recursive containers
+    (``a: &x [*x]``); the walker must reject them instead of crashing with
+    RecursionError (reference tests/test_model_artifact_security.py:401)."""
+    import yaml
+
+    from aimnetcentral_tpu.models.validation import (
+        REGISTRY_IMPORT_POLICY,
+        validate_model_yaml_tree,
+    )
+
+    tree = yaml.safe_load("a: &x [*x]")
+    assert tree["a"][0] is tree["a"]  # genuinely recursive
+    with pytest.raises(ValueError, match="cyclic"):
+        validate_model_yaml_tree(tree, REGISTRY_IMPORT_POLICY)
+
+
+def test_shared_yaml_alias_is_allowed():
+    """Non-cyclic SHARED aliases (a DAG) are legitimate yaml reuse and must
+    still validate."""
+    import yaml
+
+    from aimnetcentral_tpu.models.validation import (
+        REGISTRY_IMPORT_POLICY,
+        validate_model_yaml_tree,
+    )
+
+    tree = yaml.safe_load("shared: &s {hidden: [16, 16]}\na: *s\nb: *s\n")
+    assert tree["a"] is tree["b"]
+    validate_model_yaml_tree(tree, REGISTRY_IMPORT_POLICY)
+
+
+def test_convert_state_dict_missing_parameter_raises(reference_aimnet2):
+    from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd.pop("conv_a.agh")
+    with pytest.raises(ValueError, match="missing parameter 'conv_a.agh'"):
+        convert_state_dict(sd, cfg)
+
+
+def test_convert_state_dict_unexpected_parameter_warns(reference_aimnet2):
+    import numpy as np
+
+    from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd["totally.unknown.weight"] = np.zeros(3, np.float32)
+    with pytest.warns(UserWarning, match="does not consume.*totally.unknown"):
+        convert_state_dict(sd, cfg)
+    # the inert dual-basis buffers stay silent
+    sd.pop("totally.unknown.weight")
+    sd["aev.rc_v"] = np.float32(5.0)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        convert_state_dict(sd, cfg)
