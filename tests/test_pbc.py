@@ -238,3 +238,89 @@ def test_ewald_batched_heterogeneous_cells(rng):
         qs[: len(m["q"])] = m["q"]
         e_single = _ewald_of_system(single, qs, acc)[0]
         assert e_batched[i] == pytest.approx(e_single, rel=1e-5, abs=1e-5), i
+
+
+def _calc_from_yaml(reference_aimnet2, yaml_name):
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+    model, cfg_yaml = reference_aimnet2(yaml_name)
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, aux = convert_state_dict(sd, cfg)
+    return AIMNet2Calculator((params, cfg, aux))
+
+
+def _crystal(rng, n, a):
+    coord = rng.uniform(0.5, a - 0.5, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    return {
+        "coord": coord,
+        "numbers": numbers,
+        "cell": np.eye(3, dtype=np.float32) * a,
+        "charge": 0.0,
+    }
+
+
+@pytest.mark.slow
+def test_batched_stress_matches_individual(reference_aimnet2, rng):
+    """Two crystals with DIFFERENT cells evaluated as one batch: per-system
+    stress must equal the individual evals (reference tests/test_pbc.py:586
+    test_batched_stress_matches_individual / :692 different-cells case)."""
+    calc = _calc_from_yaml(reference_aimnet2, "aimnet2.yaml")
+    m1 = _crystal(rng, 10, 7.0)
+    m2 = _crystal(rng, 14, 9.0)
+    out = calc([m1, m2], forces=True, stress=True)
+    assert out["stress"].shape == (2, 3, 3)
+    for i, m in enumerate((m1, m2)):
+        single = calc(m, forces=True, stress=True)
+        np.testing.assert_allclose(
+            out["energy"][i], single["energy"][0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            out["stress"][i], single["stress"][0], atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_d3_stress_matches_fd(reference_aimnet2, rng):
+    """Embedded-DFTD3 model: analytic stress (strain gradient through the
+    D3 pair sweep) vs finite difference of the energy w.r.t. strain
+    (reference tests/test_pbc.py:846)."""
+    calc = _calc_from_yaml(reference_aimnet2, "aimnet2_dftd3_wb97m.yaml")
+    mol = _crystal(rng, 10, 7.5)
+    out = calc(mol, stress=True)
+    stress = out["stress"][0]
+    volume = 7.5**3
+
+    def energy_at(de):
+        s = np.eye(3) + de
+        m2 = dict(mol, coord=mol["coord"] @ s, cell=mol["cell"] @ s)
+        return float(calc(m2)["energy"][0])
+
+    eps = 1e-4
+    for a, b in [(0, 0), (2, 2), (0, 2)]:
+        de = np.zeros((3, 3))
+        de[a, b] = eps
+        fd = (energy_at(de) - energy_at(-de)) / (2 * eps) / volume
+        sym = 0.5 * (stress[a, b] + stress[b, a])
+        np.testing.assert_allclose(sym, fd, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_ewald_calculator_forces_match_fd(reference_aimnet2, rng):
+    """Full-model forces under EWALD Coulomb vs central differences at the
+    calculator surface (reference tests/test_pbc.py:1054 per-method FD)."""
+    calc = _calc_from_yaml(reference_aimnet2, "aimnet2.yaml")
+    calc.set_lrcoulomb_method("ewald")
+    mol = _crystal(rng, 8, 7.0)
+    out = calc(mol, forces=True)
+    eps = 2e-3
+    for atom, axis in [(0, 0), (3, 2)]:
+        cp = mol["coord"].copy()
+        cp[atom, axis] += eps
+        ep = float(calc(dict(mol, coord=cp))["energy"][0])
+        cp[atom, axis] -= 2 * eps
+        em = float(calc(dict(mol, coord=cp))["energy"][0])
+        fd = -(ep - em) / (2 * eps)
+        np.testing.assert_allclose(out["forces"][atom, axis], fd, atol=2e-3)
