@@ -126,6 +126,37 @@ def md(model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell)
 
 
 @cli.command()
+@click.argument("model")
+@click.argument("xyz")
+@click.option("--charge", default=0.0)
+@click.option("--n-modes", default=12, help="print the N lowest frequencies")
+def freq(model: str, xyz: str, charge: float, n_modes: int) -> None:
+    """Harmonic vibrational frequencies (cm^-1) from the dense Hessian.
+
+    Imaginary modes print as negative numbers — one significant imaginary
+    frequency at a saddle point is the transition-state signature the
+    reference's Sella workflow checks via get_hessian
+    (reference aimnet/calculators/aimnet2ase.py:163)."""
+    from aimnetcentral_tpu.dynamics import frequencies_from_calculator
+
+    calc, _loaded = _load_calc(model)
+    coord, numbers = _read_xyz(xyz)
+    freqs, _modes = frequencies_from_calculator(
+        calc, {"coord": coord, "numbers": numbers, "charge": charge}
+    )
+    n_imag = int((freqs < -10.0).sum())  # ignore numerical near-zeros
+    click.echo(
+        json.dumps(
+            {
+                "n_imaginary": n_imag,
+                "lowest_cm1": [round(float(f), 2) for f in freqs[:n_modes]],
+                "highest_cm1": round(float(freqs[-1]), 2),
+            }
+        )
+    )
+
+
+@cli.command()
 @click.option("--config", "config_path", required=True, help="training yaml")
 @click.option("--load", "load_path", default=None, help="checkpoint to resume from")
 @click.option(
