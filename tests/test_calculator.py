@@ -235,3 +235,23 @@ def test_matmul_precision_env_validated(monkeypatch):
         make_hvp_fn(AIMNet2Config())
     monkeypatch.setenv("AIMNET_MATMUL_PRECISION", "default")
     make_eval_fn(AIMNet2Config(), forces=True)  # builds fine
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["dsf", "ewald", "pme"])
+def test_hvp_matches_dense_hessian_per_lr_method(calc, rng, method):
+    """HVP == dense Hessian for EVERY periodic LR method (reference
+    tests/test_hvp.py:61-96; its PME needs fixed-charge FD — ours is one
+    exact jvp for all three)."""
+    coord, numbers = random_molecule(rng, 6, spread=2.5)
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    data = {"coord": coord + 4.0, "numbers": numbers, "cell": cell}
+    try:
+        calc.set_lrcoulomb_method(method)
+        out = calc(data, hessian=True)
+        h = out["hessian"].reshape(18, 18)
+        v = rng.normal(size=(6, 3)).astype(np.float32)
+        hv = calc.hessian_vector_product(data, v)
+        np.testing.assert_allclose(hv.reshape(-1), h @ v.reshape(-1), atol=2e-3)
+    finally:
+        calc.set_lrcoulomb_method("simple")
