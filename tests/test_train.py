@@ -218,3 +218,43 @@ def test_dataset_sharding(rng):
     assert len(shard0) + len(shard1) == len(full)
     np.testing.assert_array_equal(shard0[5]["energy"], [0, 2, 4, 6, 8])
     np.testing.assert_array_equal(shard1[5]["energy"], [1, 3, 5, 7, 9])
+
+
+def test_sampler_batches_per_epoch_cap_and_duplication(rng):
+    """batches_per_epoch both CAPS an oversized epoch and DUPLICATES to fill
+    an undersized one (reference data/sgdataset.py sampler semantics)."""
+    ds = _synthetic_ds(rng)
+    total = len(list(SizeGroupedSampler(ds, batch_size=8)))
+    capped = SizeGroupedSampler(ds, batch_size=8, batches_per_epoch=total - 2, seed=1)
+    assert len(list(capped)) == total - 2 == len(capped)
+    filled = SizeGroupedSampler(ds, batch_size=8, batches_per_epoch=total + 3, seed=1)
+    got = list(filled)
+    assert len(got) == total + 3
+    assert all(len(idx) > 0 for _s, idx in got)
+
+
+def test_sampler_shuffle_is_seeded_and_epoch_varying(rng):
+    ds = _synthetic_ds(rng)
+    def epoch(s):
+        return [(sz, tuple(idx)) for sz, idx in s]
+    a = SizeGroupedSampler(ds, batch_size=8, shuffle=True, seed=7)
+    b = SizeGroupedSampler(ds, batch_size=8, shuffle=True, seed=7)
+    e_a1, e_a2 = epoch(a), epoch(a)
+    assert epoch(b) == e_a1  # same seed, same first epoch
+    assert e_a1 != e_a2  # consecutive epochs reshuffle
+
+
+def test_sampler_atoms_mode_respects_budget(rng):
+    ds = _synthetic_ds(rng)
+    sampler = SizeGroupedSampler(ds, batch_size=12, batch_mode="atoms")
+    for size, idx in sampler:
+        assert len(idx) * size <= 12 or len(idx) == 1
+    with pytest.raises(ValueError, match="batch_mode"):
+        SizeGroupedSampler(ds, batch_size=8, batch_mode="bogus")
+
+
+def test_empty_group_skipped(rng):
+    ds = _synthetic_ds(rng, sizes=(4,), n_per=3)
+    sampler = SizeGroupedSampler(ds, batch_size=8)
+    batches = list(sampler)
+    assert len(batches) == 1 and len(batches[0][1]) == 3
