@@ -116,8 +116,6 @@ class AIMNet2Pysis:
         self._cache = None
 
     def _eval(self, elem, coords_bohr, **kw):
-        from aimnetcentral_tpu.cli import _read_xyz  # symbol table
-
         key = (tuple(elem), coords_bohr.tobytes(), tuple(sorted(kw)))
         if key == self._cache_key:
             return self._cache

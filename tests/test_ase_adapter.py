@@ -194,3 +194,71 @@ def test_get_hessian_shape(ase_adapter_module, calc):
     h = ase_calc.get_hessian(atoms)
     assert h.shape == (9, 9)
     np.testing.assert_allclose(h, h.T, atol=1e-4)  # symmetric
+
+
+# -- PySisyphus adapter (reference tests/test_pysis.py analogues) -------------
+
+
+class _CountingCalc:
+    """Stands in for AIMNet2Calculator: records calls, returns canned eV/A
+    results sized to the input."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, data, **kw):
+        self.calls.append((np.asarray(data["coord"]).copy(), dict(kw)))
+        n = len(data["numbers"])
+        out = {"energy": np.array([-2.0]), "charges": np.zeros(n)}
+        if kw.get("forces"):
+            out["forces"] = np.full((n, 3), 0.5)
+        if kw.get("hessian"):
+            out["hessian"] = np.eye(3 * n).reshape(n, 3, n, 3) * 4.0
+        return out
+
+
+def test_pysis_unit_conversions():
+    from aimnetcentral_tpu import constants
+    from aimnetcentral_tpu.calculators.ase_adapter import AIMNet2Pysis
+
+    base = _CountingCalc()
+    p = AIMNet2Pysis(base, charge=1.0)
+    elem = ["O", "H", "H"]
+    coords_bohr = np.arange(9, dtype=np.float64)
+
+    r = p.get_energy(elem, coords_bohr)
+    assert r["energy"] == pytest.approx(-2.0 / constants.Hartree)
+    # the calculator saw ANGSTROM coordinates and the ctor charge
+    coord_seen = base.calls[0][0]
+    np.testing.assert_allclose(
+        coord_seen, coords_bohr.reshape(-1, 3) * constants.Bohr, rtol=1e-6
+    )
+
+    r = p.get_forces(elem, coords_bohr)
+    # eV/A -> Hartree/Bohr
+    np.testing.assert_allclose(
+        r["forces"], 0.5 * constants.Bohr / constants.Hartree, rtol=1e-12
+    )
+    assert r["forces"].shape == (9,)
+
+    r = p.get_hessian(elem, coords_bohr)
+    assert r["hessian"].shape == (9, 9)
+    np.testing.assert_allclose(
+        r["hessian"], np.eye(9) * 4.0 * constants.Bohr**2 / constants.Hartree,
+        rtol=1e-12,
+    )
+
+
+def test_pysis_coordinate_keyed_cache():
+    from aimnetcentral_tpu.calculators.ase_adapter import AIMNet2Pysis
+
+    base = _CountingCalc()
+    p = AIMNet2Pysis(base)
+    elem = ["C", "O"]
+    c1 = np.arange(6, dtype=np.float64)
+
+    p.get_forces(elem, c1)
+    p.get_forces(elem, c1)  # same coords: cached, no new eval
+    assert len(base.calls) == 1
+    p.get_forces(elem, c1 + 0.1)  # moved: re-evaluates
+    assert len(base.calls) == 2
