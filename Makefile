@@ -3,7 +3,7 @@
 # fast CI lane: excludes compile-heavy `slow` tests (interpret-mode Pallas
 # kernels, saddle search) so it stays bounded on CPU; `make test-all` is the
 # full suite (reference Makefile:15-23 marker-split scheme).
-# Measured lane time: ~8 min for 161 tests on a 1-vCPU dev box (2026-08-19).
+# Measured lane time: ~13 min for 215 tests on a 1-vCPU dev box (2026-08-19).
 test:
 	python -m pytest tests/ -q -m "not slow"
 
