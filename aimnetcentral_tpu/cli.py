@@ -97,9 +97,14 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
 @click.option("--temperature", default=300.0)
 @click.option("--dt-fs", default=0.5)
 @click.option("--cell", default=None, help="cubic cell length (Angstrom)")
-def md(model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell) -> None:
+@click.option("--traj", default=None, help="extxyz trajectory output path")
+@click.option("--chunk", default=50, help="steps per compiled chunk (= trajectory stride)")
+def md(
+    model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
+    traj, chunk,
+) -> None:
     """On-device NVT MD (Langevin)."""
-    from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
+    from aimnetcentral_tpu.dynamics import MDConfig, MDDriver, TrajectoryWriter
 
     calc, loaded = _load_calc(model)
     coord, numbers = _read_xyz(xyz)
@@ -113,16 +118,20 @@ def md(model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell)
         system,
         MDConfig(dt_fs=dt_fs, temperature_K=temperature),
     )
-    obs = drv.run(steps)
-    click.echo(
-        json.dumps(
-            {
-                "steps": steps,
-                "final_epot_eV": float(obs["epot"][-1]),
-                "mean_T_K": float(obs["temperature"][steps // 2 :].mean()),
-            }
-        )
-    )
+    writer = TrajectoryWriter(traj) if traj else None
+    try:
+        obs = drv.run(steps, chunk=chunk, traj=writer)
+    finally:
+        if writer is not None:
+            writer.close()
+    result = {
+        "steps": steps,
+        "final_epot_eV": float(obs["epot"][-1]),
+        "mean_T_K": float(obs["temperature"][steps // 2 :].mean()),
+    }
+    if writer is not None:
+        result["traj_frames"] = writer.frames_written
+    click.echo(json.dumps(result))
 
 
 @cli.command()

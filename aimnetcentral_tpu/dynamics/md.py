@@ -74,6 +74,9 @@ class MDState:
     key: Array
     overflow: Array  # (2,) accumulated dropped-neighbor counts [sr, lr]
     epot: Array  # last potential energy per molecule
+    atom_id: Array | None = None  # (N,) int32 slot -> original compact row;
+    # carried through every re-bin so trajectory frames (MDDriver.snapshot)
+    # map back to the caller's atom order
 
 
 def maxwell_boltzmann_velocities(
@@ -107,11 +110,11 @@ def _init_dynamics_arrays(mass_table, numbers, seed_key, temperature_K):
 def _prep_binned_state(system, grid, lr_grid, mass_table, seed_key, temperature_K):
     """Binned ctor prep as ONE executable: layout build + velocity init
     (each remote compile round-trip costs seconds on the axon backend)."""
-    sysb, _perm, ovf = B.to_binned_system(system, grid, lr_grid)
+    sysb, perm, ovf = B.to_binned_system(system, grid, lr_grid)
     masses, key, veloc = _init_dynamics_arrays(
         mass_table, sysb.numbers, seed_key, temperature_K
     )
-    return sysb, ovf, masses, key, veloc
+    return sysb, perm.astype(jnp.int32), ovf, masses, key, veloc
 
 
 class MDDriver:
@@ -182,7 +185,7 @@ class MDDriver:
                     if lr_cut is not None
                     else None
                 )
-                sysb, ovf, masses, key, veloc = _prep_binned_state(
+                sysb, atom_id, ovf, masses, key, veloc = _prep_binned_state(
                     system, grid, lr_grid, self._mass_table,
                     jax.random.key(seed), md.temperature_K,
                 )
@@ -216,6 +219,8 @@ class MDDriver:
                 self._mass_table, system0.numbers, jax.random.key(seed),
                 md.temperature_K,
             )
+            # indexed layout never permutes: identity map
+            atom_id = np.arange(system0.coord.shape[0], dtype=np.int32)
         # Initial forces are NOT computed here: a standalone
         # ``jit(self._force_fn)`` would compile the full force graph a second
         # time next to the chunk-scan executable (~half the cold-start cost
@@ -236,7 +241,9 @@ class MDDriver:
             key=key,
             overflow=np.zeros((2,), np.int32),
             epot=np.zeros((system0.num_mol,), np.float32),
+            atom_id=atom_id,
         )
+        self._n_compact = int(np.asarray(system.numbers).shape[0])
         self._chunk_fn: dict[int, Callable] = {}
 
     @property
@@ -399,6 +406,8 @@ class MDDriver:
                     B.to_slots(state.masses, perm),
                     sys2.coord,
                     jnp.stack([ovf, lr_ovf]).astype(jnp.int32),
+                    None if state.atom_id is None
+                    else B.to_slots(state.atom_id, perm),
                 )
 
             def keep(c, v):
@@ -408,9 +417,10 @@ class MDDriver:
                     state.masses,
                     state.ref_coord,
                     jnp.zeros((2,), jnp.int32),
+                    state.atom_id,
                 )
 
-            system, v_half2, masses, ref_coord, ovf = jax.lax.cond(
+            system, v_half2, masses, ref_coord, ovf, atom_id = jax.lax.cond(
                 need, rebuild, keep, coord, v_half
             )
             coord = system.coord
@@ -430,6 +440,7 @@ class MDDriver:
             system, ref_coord, ovf = jax.lax.cond(need, rebuild, keep, coord)
             coord = system.coord
             v_half2 = v_half
+            atom_id = state.atom_id
             masses = state.masses
 
         m = masses[:, None]
@@ -491,6 +502,7 @@ class MDDriver:
             key=key,
             overflow=state.overflow + ovf,
             epot=epot,
+            atom_id=atom_id,
         )
         return new_state, obs
 
@@ -557,10 +569,47 @@ class MDDriver:
             key=state.key,
             overflow=jnp.zeros((2,), jnp.int32),
             epot=state.epot,
+            atom_id=None if state.atom_id is None
+            else B.to_slots(state.atom_id, perm),
         )
 
-    def run(self, n_steps: int, chunk: int = 50) -> dict[str, np.ndarray]:
+    def snapshot(self, state: MDState | None = None) -> dict[str, np.ndarray]:
+        """Current frame in the CALLER's atom order (undoes the slot
+        permutation via the carried ``atom_id``): coord (wrapped), numbers,
+        velocities, plus the cell if periodic."""
+        state = self._state if state is None else state
+        fetched = jax.device_get(
+            {
+                "coord": state.coord,
+                "veloc": state.veloc,
+                "numbers": state.system.numbers,
+                "atom_id": state.atom_id,
+            }
+        )
+        numbers = np.asarray(fetched["numbers"])
+        real = numbers > 0
+        n = self._n_compact
+        out = {
+            "coord": np.zeros((n, 3), np.float32),
+            "veloc": np.zeros((n, 3), np.float32),
+            "numbers": np.zeros((n,), numbers.dtype),
+        }
+        ids = np.asarray(fetched["atom_id"])[real]
+        out["coord"][ids] = np.asarray(fetched["coord"])[real]
+        out["veloc"][ids] = np.asarray(fetched["veloc"])[real]
+        out["numbers"][ids] = numbers[real]
+        if state.system.cell is not None:
+            out["cell"] = np.asarray(state.system.cell[0])
+        return out
+
+    def run(
+        self, n_steps: int, chunk: int = 50, traj=None
+    ) -> dict[str, np.ndarray]:
         """Run ``n_steps`` of MD; returns stacked per-step observables.
+
+        ``traj``: optional ``dynamics.trajectory.TrajectoryWriter`` — one
+        frame (caller atom order, wrapped coordinates) is appended after
+        every completed chunk, stamped with the chunk-end potential energy.
 
         Device work happens in ``chunk``-step compiled scans; the host checks
         the neighbor-overflow counter between chunks.  On a true overflow the
@@ -637,6 +686,15 @@ class MDDriver:
             state = new_state
             all_obs.append(jax.tree.map(np.asarray, obs))
             i += 1
+            if traj is not None:
+                frame = self.snapshot(state)
+                real = frame["numbers"] > 0  # drop padding rows from output
+                traj.write(
+                    frame["numbers"][real], frame["coord"][real],
+                    cell=frame.get("cell"),
+                    comment={"step": min(i * chunk, n_steps),
+                             "epot_eV": float(np.asarray(state.epot).sum())},
+                )
         self.state = state
         out = {
             k: np.concatenate([o[k] for o in all_obs])[:n_steps] for k in all_obs[0]

@@ -182,3 +182,57 @@ def test_indexed_engine_md_and_shared_chunk_fns(model, rng):
     # different seeds -> different velocities -> different trajectories
     # (i.e. the shared executable did not leak driver-A state)
     assert not np.allclose(obs["epot"][:3], obs2["epot"])
+
+
+def test_trajectory_identity_across_rebinning(model, rng, tmp_path):
+    """Hot MD over a periodic box triggers in-scan re-binning (slot
+    permutations); trajectory frames must still come out in the CALLER's
+    atom order — numbers match the input exactly, every frame."""
+    from aimnetcentral_tpu.dynamics import TrajectoryWriter, read_frames
+
+    params, cfg = model
+    sys = _pbc_system(rng)
+    numbers_in = np.asarray(sys.numbers)[:24].copy()
+    drv = MDDriver(
+        params, cfg, sys,
+        MDConfig(dt_fs=0.5, temperature_K=600.0, skin=0.4), seed=2,
+    )
+    path = str(tmp_path / "traj.extxyz")
+    with TrajectoryWriter(path) as w:
+        drv.run(40, chunk=10, traj=w)
+    frames = read_frames(path)
+    assert len(frames) == 4
+    cell = np.asarray(sys.cell[0])
+    for fr in frames:
+        # identity preserved: exact input element order, every frame
+        np.testing.assert_array_equal(fr["numbers"][:24], numbers_in)
+        assert fr["cell"].shape == (3, 3)
+        np.testing.assert_allclose(fr["cell"], cell, atol=1e-6)
+        # wrapped coords stay inside the box (small tolerance for drift
+        # within the verlet skin before the next rebuild wraps)
+        assert fr["coord"][:24].min() > -1.5 and fr["coord"][:24].max() < 10.5
+        assert float(fr["epot_eV"]) == float(fr["epot_eV"])  # parses, not NaN
+    # frames actually evolve
+    assert np.abs(frames[-1]["coord"] - frames[0]["coord"]).max() > 1e-3
+    # snapshot agrees with the last frame
+    snap = drv.snapshot()
+    np.testing.assert_allclose(
+        snap["coord"][:24], frames[-1]["coord"][:24], atol=1e-5
+    )
+    np.testing.assert_array_equal(snap["numbers"][:24], numbers_in)
+
+
+def test_trajectory_roundtrip_gas_phase(model, rng, tmp_path):
+    from aimnetcentral_tpu.dynamics import TrajectoryWriter, read_frames
+
+    params, cfg = model
+    coord, numbers = random_molecule(rng, 7)
+    sys = system_from_molecules([{"coord": coord, "numbers": numbers}], cutoff=6.0)
+    drv = MDDriver(params, cfg, sys, MDConfig(dt_fs=0.3, temperature_K=100.0))
+    path = str(tmp_path / "gas.extxyz")
+    with TrajectoryWriter(path) as w:
+        drv.run(6, chunk=3, traj=w)
+    frames = read_frames(path)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0]["numbers"][:7], numbers)
+    assert "cell" not in frames[0]
