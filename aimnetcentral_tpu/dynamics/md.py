@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable
 
 import jax
@@ -162,6 +163,7 @@ class MDDriver:
 
         n_real = int(np.asarray(system.numbers > 0).sum())
         cell_np = np.asarray(system.cell[0]) if system.cell is not None else None
+        self._compact_system = system  # kept for checkpoint restore (re-bin)
 
         mass_table = np.clip(constants.get_masses(), 1e-6, None).astype(np.float32)
         self._mass_table = jnp.asarray(mass_table)
@@ -601,6 +603,91 @@ class MDDriver:
         if state.system.cell is not None:
             out["cell"] = np.asarray(state.system.cell[0])
         return out
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write the dynamical state (coord/veloc in CALLER atom order + RNG
+        key) as one .npz — layout-independent: restore re-bins from scratch,
+        so a checkpoint survives capacity regrows, grid re-plans, and even a
+        different engine choice.  Atomic write (tmp + rename), matching the
+        export pipeline's convention."""
+        import tempfile
+
+        snap = self.snapshot()
+        payload = {
+            "coord": snap["coord"],
+            "veloc": snap["veloc"],
+            "numbers": snap["numbers"],
+            "key_data": np.asarray(jax.random.key_data(self.state.key)),
+        }
+        if "cell" in snap:
+            payload["cell"] = snap["cell"]
+        d = os.path.dirname(os.path.abspath(path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
+        os.close(fd)
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume from ``save_checkpoint``: rebuilds the slot layout from the
+        restored coordinates (ctor-equivalent re-bin, growing capacity if the
+        new geometry overflows), injects velocities mapped into the new
+        layout, and restores the RNG key — the continued trajectory is
+        statistically seamless (forces re-prime through the chunk
+        executable on the next ``run``)."""
+        d = np.load(path)
+        numbers_now = np.asarray(self._compact_system.numbers)
+        if not np.array_equal(np.asarray(d["numbers"]), numbers_now):
+            raise ValueError(
+                "checkpoint was written for a different atom set "
+                "(numbers mismatch); construct the driver over the same system"
+            )
+        compact = self._compact_system.replace(
+            coord=jnp.asarray(d["coord"], jnp.float32)
+        )
+        key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
+        veloc_compact = np.asarray(d["veloc"], np.float32)
+
+        if self.engine == "binned":
+            while True:
+                sysb, atom_id, ovf, masses, _k, _v = _prep_binned_state(
+                    compact, self.grid, self.lr_grid, self._mass_table,
+                    jax.random.key(0), self.md.temperature_K,
+                )
+                if int(ovf) == 0:
+                    break
+                self.grid = dataclasses.replace(
+                    self.grid,
+                    capacity=int(np.ceil(self.grid.capacity * 1.25 / 8.0)) * 8,
+                )
+                if self.lr_grid is not None:
+                    self.lr_grid = dataclasses.replace(
+                        self.lr_grid,
+                        capacity=int(np.ceil(self.lr_grid.capacity * 1.25 / 8.0)) * 8,
+                    )
+                self._chunk_fn.clear()
+            system0 = sysb
+        else:
+            system0 = self._rebuild_indexed(compact)
+            atom_id = np.arange(system0.coord.shape[0], dtype=np.int32)
+            masses = self._mass_table[system0.numbers]
+        real = np.asarray(system0.numbers) > 0
+        veloc = np.zeros(tuple(system0.coord.shape), np.float32)
+        veloc[real] = veloc_compact[np.asarray(atom_id)[real]]
+        self._state = MDState(
+            coord=system0.coord,
+            veloc=jnp.asarray(veloc),
+            forces=np.zeros(tuple(system0.coord.shape), np.float32),
+            masses=masses,
+            system=system0,
+            ref_coord=system0.coord,
+            key=key,
+            overflow=np.zeros((2,), np.int32),
+            epot=np.zeros((system0.num_mol,), np.float32),
+            atom_id=atom_id,
+        )
+        self._primed = False  # next run() re-primes through the chunk fn
 
     def run(
         self, n_steps: int, chunk: int = 50, traj=None

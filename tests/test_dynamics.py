@@ -236,3 +236,31 @@ def test_trajectory_roundtrip_gas_phase(model, rng, tmp_path):
     assert len(frames) == 2
     np.testing.assert_array_equal(frames[0]["numbers"][:7], numbers)
     assert "cell" not in frames[0]
+
+
+def test_checkpoint_resume_continues_trajectory(model, rng, tmp_path):
+    """save_checkpoint/restore_checkpoint: a run split across a checkpoint
+    must reproduce the unsplit run's observables (RNG key restored, layout
+    re-binned from the restored coordinates)."""
+    params, cfg = model
+    sys = _pbc_system(rng)
+    md = MDConfig(dt_fs=0.4, thermostat="langevin", temperature_K=250.0,
+                  friction_fs=0.02)
+    drv_a = MDDriver(params, cfg, sys, md, seed=11)
+    drv_a.run(20, chunk=10)
+    ckpt = str(tmp_path / "md.ckpt.npz")
+    drv_a.save_checkpoint(ckpt)
+    obs_a = drv_a.run(20, chunk=10)
+
+    drv_b = MDDriver(params, cfg, sys, md, seed=99)  # different seed: dead
+    drv_b.restore_checkpoint(ckpt)
+    obs_b = drv_b.run(20, chunk=10)
+    np.testing.assert_allclose(obs_b["epot"], obs_a["epot"], atol=2e-4)
+    np.testing.assert_allclose(
+        obs_b["temperature"], obs_a["temperature"], rtol=2e-4, atol=1e-3
+    )
+    # numbers mismatch is a clear error
+    other = _pbc_system(np.random.default_rng(5), n=20)
+    drv_c = MDDriver(params, cfg, other, md)
+    with pytest.raises(ValueError, match="numbers mismatch"):
+        drv_c.restore_checkpoint(ckpt)
