@@ -64,8 +64,10 @@ class EnsembleCalculator(AIMNet2Calculator):
                 outs = jax.lax.map(lambda p: single(p, system), params)
                 res = {k: v.mean(axis=0) for k, v in outs.items()}
                 res["energy_std"] = outs["energy"].std(axis=0)
-                if "forces" in outs:
-                    res["forces_std"] = outs["forces"].std(axis=0)
+                for k in ("forces", "charges"):  # reference emits *_std for
+                    # every keys_out member (calculator.py:1728)
+                    if k in outs:
+                        res[f"{k}_std"] = outs[k].std(axis=0)
                 if "mol_element_counts" in outs:
                     res["mol_element_counts"] = outs["mol_element_counts"][0]
                 return res
@@ -78,6 +80,15 @@ class EnsembleCalculator(AIMNet2Calculator):
         n_real = int(np.asarray(system.numbers > 0).sum())
         if "energy_std" in out:
             res["energy_std"] = np.asarray(out["energy_std"])
-        if "forces_std" in out:
-            res["forces_std"] = np.asarray(out["forces_std"])[:n_real]
+        numbers_np = np.asarray(system.numbers)
+        for k in ("forces_std", "charges_std"):
+            if k in out:
+                x = np.asarray(out[k])
+                # binned layouts need the slot -> caller-order mapping, same
+                # as the mean-valued keys in the parent _postprocess
+                res[k] = (
+                    self._slots_to_compact(x, numbers_np, n_real)
+                    if self._last_perm is not None
+                    else x[:n_real]
+                )
         return res

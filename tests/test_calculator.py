@@ -255,3 +255,40 @@ def test_hvp_matches_dense_hessian_per_lr_method(calc, rng, method):
         np.testing.assert_allclose(hv.reshape(-1), h @ v.reshape(-1), atol=2e-3)
     finally:
         calc.set_lrcoulomb_method("simple")
+
+
+@pytest.mark.slow
+def test_ensemble_std_caller_order_on_binned_layout(reference_aimnet2, rng):
+    """*_std outputs must ride the same slot->caller-order mapping as the
+    mean-valued keys when the ensemble eval routes through the binned
+    engine (they previously bypassed it)."""
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    import torch
+
+    members = []
+    for seed in (0, 1):
+        torch.manual_seed(seed)
+        model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+        cfg = config_from_yaml(cfg_yaml)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, aux = convert_state_dict(sd, cfg)
+        members.append((params, cfg, aux))
+    ens = EnsembleCalculator.from_members(members)
+    ens.binned_threshold = 40  # force the binned route at n=60
+
+    a = 10.0
+    coord = rng.uniform(0.5, a - 0.5, size=(60, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=60)
+    cell = np.eye(3, dtype=np.float32) * a
+    data = {"coord": coord, "numbers": numbers, "cell": cell}
+    out = ens(data, forces=True)
+    assert ens._last_perm is not None  # really went binned
+    assert "charges_std" in out and out["charges_std"].shape == (60,)
+
+    f_members = np.stack(
+        [AIMNet2Calculator(m)(data, forces=True)["forces"] for m in members]
+    )
+    np.testing.assert_allclose(
+        out["forces_std"], f_members.std(axis=0), atol=2e-4
+    )
