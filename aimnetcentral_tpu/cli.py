@@ -99,9 +99,11 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
 @click.option("--cell", default=None, help="cubic cell length (Angstrom)")
 @click.option("--traj", default=None, help="extxyz trajectory output path")
 @click.option("--chunk", default=50, help="steps per compiled chunk (= trajectory stride)")
+@click.option("--save-ckpt", default=None, help="write a resume checkpoint here at the end")
+@click.option("--restore-ckpt", default=None, help="resume from a checkpoint written by --save-ckpt")
 def md(
     model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
-    traj, chunk,
+    traj, chunk, save_ckpt, restore_ckpt,
 ) -> None:
     """On-device NVT MD (Langevin)."""
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver, TrajectoryWriter
@@ -118,12 +120,16 @@ def md(
         system,
         MDConfig(dt_fs=dt_fs, temperature_K=temperature),
     )
+    if restore_ckpt:
+        drv.restore_checkpoint(restore_ckpt)
     writer = TrajectoryWriter(traj) if traj else None
     try:
         obs = drv.run(steps, chunk=chunk, traj=writer)
     finally:
         if writer is not None:
             writer.close()
+    if save_ckpt:
+        drv.save_checkpoint(save_ckpt)
     result = {
         "steps": steps,
         "final_epot_eV": float(obs["epot"][-1]),
@@ -131,6 +137,8 @@ def md(
     }
     if writer is not None:
         result["traj_frames"] = writer.frames_written
+    if save_ckpt:
+        result["checkpoint"] = save_ckpt
     click.echo(json.dumps(result))
 
 
