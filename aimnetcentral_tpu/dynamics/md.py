@@ -356,6 +356,8 @@ class MDDriver:
         _unused,
         dt_fs: Array | float | None = None,
         params: Any = None,
+        grid="self",
+        lr_grid=None,
     ) -> tuple[MDState, dict]:
         """One velocity-Verlet step.  ``dt_fs`` may be a traced scalar (the
         chunk executable takes it as an argument so ``dt_fs=0`` can prime
@@ -363,12 +365,20 @@ class MDDriver:
         back to the static ``md.dt_fs`` (back-compat for direct callers).
         ``params`` likewise rides as an explicit traced argument in the
         chunk executable — NOT a closure constant — so drivers with equal
-        static config share one compiled program (see ``run``)."""
+        static config share one compiled program (see ``run``).
+
+        ``grid``/``lr_grid`` are bound into the chunk closure at creation:
+        a shared executable must NEVER read ``self.grid`` at trace time —
+        the owning driver may have regrown it since, and a cache-cleared
+        retrace (e.g. ``jax.clear_caches()``) would then trace a layout
+        that disagrees with the carried state's shapes."""
         md = self.md
         if dt_fs is None:
             dt_fs = md.dt_fs
         if params is None:
             params = self.params
+        if grid == "self":
+            grid, lr_grid = self.grid, self.lr_grid
         dt = dt_fs * constants.fs
         m = state.masses[:, None]
         real = (state.system.numbers > 0)[:, None]
@@ -385,7 +395,7 @@ class MDDriver:
 
             def rebuild(c, v):
                 perm, wrap, ovf = B.bin_atoms(
-                    c, state.system.numbers, self.grid, cell0
+                    c, state.system.numbers, grid, cell0
                 )
                 cw = c - aops.cellmul(wrap, cell0) if cell0 is not None else c
                 sys2 = state.system.replace(
@@ -394,9 +404,9 @@ class MDDriver:
                     mol_idx=B.to_slots(state.system.mol_idx, perm),
                 )
                 lr_ovf = jnp.int32(0)
-                if self.lr_grid is not None:
+                if lr_grid is not None:
                     lr_perm, _lrw, lr_ovf = B.bin_atoms(
-                        sys2.coord, sys2.numbers, self.lr_grid, cell0
+                        sys2.coord, sys2.numbers, lr_grid, cell0
                     )
                     sys2 = sys2.replace(
                         lr_slot=lr_perm,
@@ -721,11 +731,18 @@ class MDDriver:
             )
             shared = MDDriver._shared_chunk_fns
             if key not in shared:
+                # bind the layout statics NOW: a later retrace (another
+                # driver instance, or jax.clear_caches()) must see the grids
+                # this fn was keyed under, not whatever self.grid has
+                # regrown to since
+                grid, lr_grid = self.grid, self.lr_grid
 
                 @jax.jit
                 def run_chunk(state: MDState, dt_fs, params):
                     return jax.lax.scan(
-                        lambda s, x: self._step(s, x, dt_fs, params),
+                        lambda s, x: self._step(
+                            s, x, dt_fs, params, grid=grid, lr_grid=lr_grid
+                        ),
                         state, None, length=chunk,
                     )
 

@@ -264,3 +264,30 @@ def test_checkpoint_resume_continues_trajectory(model, rng, tmp_path):
     drv_c = MDDriver(params, cfg, other, md)
     with pytest.raises(ValueError, match="numbers mismatch"):
         drv_c.restore_checkpoint(ckpt)
+
+
+def test_shared_chunk_fn_survives_regrow_and_cache_clear(model, rng):
+    """The round-3 bench failure: driver A's chunk executable lands in the
+    shared cache, A regrows its grid, jax.clear_caches() wipes the jit
+    cache, then driver B (matching A's ORIGINAL key) retraces the shared fn
+    — the retrace must see the grids the fn was created under, not A's
+    regrown self.grid (shape mismatch in the rebuild lax.cond otherwise)."""
+    import jax
+
+    params, cfg = model
+    sys = _pbc_system(rng)
+    md = MDConfig(dt_fs=0.4, temperature_K=200.0, skin=0.4)
+    drv_a = MDDriver(params, cfg, sys, md, seed=1)
+    drv_a.run(4, chunk=2)
+    key_grid = drv_a.grid
+    # force a regrow: A's grid no longer matches the shared key it created
+    drv_a.state = drv_a._grow_capacity(drv_a.state)
+    assert drv_a.grid != key_grid
+    drv_a.run(2, chunk=2)
+
+    jax.clear_caches()  # exactly what bench.py's warm-compile phase does
+
+    drv_b = MDDriver(params, cfg, sys, md, seed=2)
+    assert drv_b.grid == key_grid  # hits A's original shared entry
+    obs = drv_b.run(4, chunk=2)  # retraces the shared fn
+    assert np.isfinite(obs["epot"]).all()
