@@ -160,9 +160,19 @@ def main() -> None:
     startup_s = time.time() - t0
     _log(f"compile+equilibration {startup_s:.1f}s; timing steady state...")
 
-    t0 = time.time()
-    drv.run(N_STEPS, chunk=chunk)
-    elapsed = time.time() - t0
+    regrows = 0
+    while True:
+        grids_before = (drv.grid, drv.lr_grid)
+        t0 = time.time()
+        drv.run(N_STEPS, chunk=chunk)
+        elapsed = time.time() - t0
+        if (drv.grid, drv.lr_grid) == grids_before or regrows >= 3:
+            break
+        # a capacity regrow (occupancy-tail overflow) recompiled INSIDE the
+        # timed window — an adaptive one-time event, not steady-state cost.
+        # Re-time at the settled capacity; `regrows` reports it happened.
+        regrows += 1
+        _log(f"capacity regrew during timing (x{regrows}); re-timing...")
     steps_per_sec = N_STEPS / elapsed
     # compile_s: startup minus the MD actually executed during it — drv0
     # ran prime + 2*chunk equilibration, drv ran prime + chunk warmup
@@ -301,6 +311,7 @@ def main() -> None:
         "vs_baseline": round(steps_per_sec / pin, 3) if pin else 1.0,
         "atoms": N_ATOMS,
         "steps": N_STEPS,
+        "regrows_during_timing": regrows,
         "compile_s": round(compile_s, 1),
         # whether the persistent cache DIR had entries at startup (the keys
         # may still miss after code changes — compile_s_warm is the honest
