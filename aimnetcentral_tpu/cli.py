@@ -192,11 +192,7 @@ def train(config_path: str, load_path: str | None, hyperpar: str | None) -> None
     from aimnetcentral_tpu.models.convert import config_from_yaml
     from aimnetcentral_tpu.models.aimnet2 import aimnet2_init
     from aimnetcentral_tpu.train.loss import LossConfig, LossTerm
-    from aimnetcentral_tpu.train.trainer import (
-        Trainer,
-        TrainerConfig,
-        load_checkpoint_params,
-    )
+    from aimnetcentral_tpu.train.trainer import Trainer, TrainerConfig
 
     from aimnetcentral_tpu.config import load_yaml
 
@@ -236,11 +232,9 @@ def train(config_path: str, load_path: str | None, hyperpar: str | None) -> None
         loss_cfg=LossConfig(terms=terms),
     )
     if load_path:
-        trainer.state = trainer.state.__class__(
-            params=load_checkpoint_params(load_path, trainer.state.params),
-            opt_state=trainer.state.opt_state,
-            step=trainer.state.step,
-        )
+        # full resume (optimizer + scheduler) when the checkpoint carries
+        # it; weights-only files restore params with a fresh optimizer
+        trainer.resume(load_path)
     result = trainer.fit()
     click.echo(json.dumps({"best_val": result["best_val"], "epochs": len(result["history"])}))
     if cfg_dict.get("export"):

@@ -21,7 +21,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable
+from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
@@ -69,13 +69,25 @@ class TrainerConfig:
     layout: str = "packed"
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
-    leaves, treedef = jax.tree.flatten(state.params)
-    np.savez(
-        path,
-        __step__=int(state.step),
-        **{f"p{i}": np.asarray(x) for i, x in enumerate(leaves)},
-    )
+def save_checkpoint(
+    path: str, state: TrainState, scheduler: Mapping[str, float] | None = None
+) -> None:
+    """Params + FULL optimizer state + scheduler bookkeeping in one npz.
+
+    The reference resumes weights only (its --load is a strict=False
+    state_dict load, aimnet/train/train.py:120-126); carrying Adam moments
+    and the plateau counters makes resume bit-continuous instead of
+    restarting the optimizer cold."""
+    p_leaves, _ = jax.tree.flatten(state.params)
+    o_leaves, _ = jax.tree.flatten(state.opt_state)
+    payload = {
+        "__step__": int(state.step),
+        **{f"p{i}": np.asarray(x) for i, x in enumerate(p_leaves)},
+        **{f"o{i}": np.asarray(x) for i, x in enumerate(o_leaves)},
+    }
+    for k, v in (scheduler or {}).items():
+        payload[f"__sched_{k}__"] = float(v)
+    np.savez(path, **payload)
 
 
 def load_checkpoint_params(path: str, params_template: Any) -> Any:
@@ -83,6 +95,35 @@ def load_checkpoint_params(path: str, params_template: Any) -> Any:
         leaves, treedef = jax.tree.flatten(params_template)
         new_leaves = [jnp.asarray(z[f"p{i}"]) for i in range(len(leaves))]
     return jax.tree.unflatten(treedef, new_leaves)
+
+
+def load_checkpoint_full(
+    path: str, state_template: TrainState
+) -> tuple[TrainState, dict[str, float]]:
+    """Restore (params, opt_state, step) + scheduler dict.  Checkpoints
+    written before full-state saving (no ``o*`` keys) restore params only,
+    keeping the template's fresh optimizer state."""
+    with np.load(path) as z:
+        params = load_checkpoint_params(path, state_template.params)
+        opt_state = state_template.opt_state
+        if "o0" in z:
+            o_leaves, o_def = jax.tree.flatten(state_template.opt_state)
+            new_o = []
+            for i, tmpl in enumerate(o_leaves):
+                x = z[f"o{i}"]
+                new_o.append(
+                    jnp.asarray(x, dtype=getattr(tmpl, "dtype", None))
+                    if getattr(x, "shape", ()) != () or hasattr(tmpl, "dtype")
+                    else x
+                )
+            opt_state = jax.tree.unflatten(o_def, new_o)
+        step = jnp.asarray(int(z["__step__"])) if "__step__" in z else state_template.step
+        sched = {
+            k[len("__sched_"):-2]: float(z[k])
+            for k in z.files
+            if k.startswith("__sched_")
+        }
+    return TrainState(params=params, opt_state=opt_state, step=step), sched
 
 
 class Trainer:
@@ -119,6 +160,22 @@ class Trainer:
         self._lr = tcfg.learning_rate
         self._best_val = float("inf")
         self._plateau = 0
+
+    def resume(self, path: str) -> None:
+        """Full resume from a ``save_checkpoint`` file: params + Adam
+        moments + step + plateau-scheduler bookkeeping (LR, patience
+        counter, best score).  Weights-only checkpoints (pre-full-state, or
+        exported from elsewhere) restore params and keep a fresh optimizer."""
+        self.state, sched = load_checkpoint_full(path, self.state)
+        if "lr" in sched:
+            self._lr = sched["lr"]
+            self.state = TrainState(
+                params=self.state.params,
+                opt_state=set_learning_rate(self.state.opt_state, self._lr),
+                step=self.state.step,
+            )
+        self._plateau = int(sched.get("plateau", 0))
+        self._best_val = sched.get("best_val", float("inf"))
 
     # -- batch conversion ---------------------------------------------------
 
@@ -275,7 +332,13 @@ class Trainer:
                 if tcfg.checkpoint_dir:
                     os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
                     save_checkpoint(
-                        os.path.join(tcfg.checkpoint_dir, "best.npz"), self.state
+                        os.path.join(tcfg.checkpoint_dir, "best.npz"),
+                        self.state,
+                        scheduler={
+                            "lr": self._lr,
+                            "plateau": self._plateau,
+                            "best_val": self._best_val,
+                        },
                     )
             else:
                 self._plateau += 1

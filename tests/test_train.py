@@ -258,3 +258,69 @@ def test_empty_group_skipped(rng):
     sampler = SizeGroupedSampler(ds, batch_size=8)
     batches = list(sampler)
     assert len(batches) == 1 and len(batches[0][1]) == 3
+
+
+def test_full_checkpoint_resume_restores_optimizer_and_scheduler(rng, tmp_path):
+    """Full-state resume (beyond the reference's weights-only --load): Adam
+    moments, step count, LR, plateau counter, and best score all survive —
+    a restored optimizer takes the SAME next step as the original."""
+    import jax
+    import jax.numpy as jnp
+
+    from aimnetcentral_tpu.train.step import (
+        get_learning_rate,
+        init_train_state,
+        make_optimizer,
+        set_learning_rate,
+    )
+    from aimnetcentral_tpu.train.trainer import (
+        load_checkpoint_full,
+        save_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    params = aimnet2_init(jax.random.key(0), cfg)
+    opt = make_optimizer(learning_rate=1e-3)
+    state = init_train_state(params, opt)
+
+    # advance the optimizer so moments are non-trivial
+    grads = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, params)
+    for _ in range(3):
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        state = state.__class__(
+            params=jax.tree.map(lambda p, u: p + u, state.params, updates),
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+    state = state.__class__(
+        params=state.params,
+        opt_state=set_learning_rate(state.opt_state, 2.5e-4),
+        step=state.step,
+    )
+
+    path = str(tmp_path / "full.npz")
+    save_checkpoint(path, state, scheduler={"lr": 2.5e-4, "plateau": 2, "best_val": 0.125})
+
+    fresh = init_train_state(aimnet2_init(jax.random.key(1), cfg), opt)
+    restored, sched = load_checkpoint_full(path, fresh)
+    assert int(restored.step) == 3
+    assert sched == {"lr": 2.5e-4, "plateau": 2.0, "best_val": 0.125}
+    assert get_learning_rate(restored.opt_state) == pytest.approx(2.5e-4)
+    # optimizer state bit-equal -> identical next update
+    u_a, _ = opt.update(grads, state.opt_state, state.params)
+    u_b, _ = opt.update(grads, restored.opt_state, restored.params)
+    for x, y in zip(jax.tree.leaves(u_a), jax.tree.leaves(u_b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # weights-only (legacy) checkpoint: params restore, optimizer stays fresh
+    legacy = {"__step__": 3}
+    leaves, _ = jax.tree.flatten(state.params)
+    legacy.update({f"p{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    lp = str(tmp_path / "legacy.npz")
+    np.savez(lp, **legacy)
+    restored2, sched2 = load_checkpoint_full(lp, fresh)
+    assert sched2 == {}
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored2.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
