@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -500,23 +501,37 @@ def conv_pass_pallas(
     f_dim = a.shape[1]
     g_dim = a.shape[2]
     cq = q.shape[1] if q is not None else 0
-    # pad feature columns so gamma * f_pad is lane-aligned
-    f_pad = f_dim if q is None else 2 * f_dim
-    # g-group size: the block-diagonal matmul computes gamma x the useful
-    # FLOPs, so pick the SMALLEST gamma whose output width gamma*f_pad still
-    # fills the 128 lanes (q-passes, f_pad=32: gamma=4 halves the MXU work
-    # vs gamma=8 at identical results; f_pad=16: gamma=8).  Overridable for
+    # Joint (gamma, f_pad) choice.  Constraints: gamma divides G; the
+    # per-group column width gamma*f_pad must be a 128-lane multiple (keeps
+    # every group slice tile-aligned).  The block-diagonal matmul computes
+    # gamma*f_pad-proportional FLOPs, so minimize that work — but ONLY among
+    # gammas with gamma*C >= 128 when possible: the backward's adjoint dots
+    # have gamma*C-sized dims, and starving them costs more than the saved
+    # zero-fill (measured on the member-stacked ensemble conv at f=128:
+    # fwd+bwd 95 ms at gamma=1 vs 66 ms at gamma=4 — docs/performance.md).
+    # Single-model behavior is unchanged (f_pad 16->gamma 8, 32->gamma 4);
+    # the 4-member ensemble gets gamma=4 with f_pad=96 instead of 128 (the
+    # q channels no longer pad all the way to f_dim).  Overridable for
     # experiments via AIMNET_CONV_GAMMA.
     import os as _os
+
+    f_min = f_dim + cq
+
+    def _f_for(cand_g: int) -> int:
+        step = 128 // math.gcd(cand_g, 128)  # smallest f with g*f % 128 == 0
+        return max(step, ((f_min + step - 1) // step) * step)
 
     _gamma_env = _os.environ.get("AIMNET_CONV_GAMMA")
     if _gamma_env:
         gamma = int(_gamma_env)
+        f_pad = _f_for(gamma)
     else:
-        gamma = g_dim if g_dim % 8 else 8
-        for cand_g in (8, 4, 2, 1):
-            if g_dim % cand_g == 0 and cand_g * f_pad >= 128:
-                gamma = cand_g
+        cands = [cg for cg in (1, 2, 4, 8, 16) if g_dim % cg == 0]
+        gamma = min(
+            cands,
+            key=lambda cg: (cg * c < 128, cg * _f_for(cg), -cg),
+        )
+        f_pad = _f_for(gamma)
 
     ops = build_conv_tables(grid, radius, cell0)
     nbr, shift_cart = ops["nbr"], ops["shift_cart"]

@@ -291,3 +291,51 @@ def test_shared_chunk_fn_survives_regrow_and_cache_clear(model, rng):
     assert drv_b.grid == key_grid  # hits A's original shared entry
     obs = drv_b.run(4, chunk=2)  # retraces the shared fn
     assert np.isfinite(obs["epot"]).all()
+
+
+def test_capacity_shrinks_back(model, rng):
+    """Shrink-back hysteresis (VERDICT r3 next #2): after a transient
+    excursion grows the bin capacity, a settled occupancy shrinks it back to
+    the ctor plan — and the shrunk layout reuses the ORIGINAL shared chunk
+    executable (bit-exact round trip, zero recompile)."""
+    params, cfg = model
+    sys = _pbc_system(rng)
+    md = MDConfig(
+        dt_fs=0.2, temperature_K=100.0, skin=0.4,
+        shrink_patience=2, shrink_margin=4,
+    )
+    drv = MDDriver(params, cfg, sys, md, seed=5)
+    cap0 = (drv.grid.capacity, drv.lr_grid.capacity)
+    grid0 = (drv.grid, drv.lr_grid)
+    drv.run(4, chunk=2)
+    fn0 = drv._chunk_fn[2]
+
+    # transient: grow both layouts (exactly what the overflow path does)
+    drv.state = drv._grow_capacity(drv.state, grow_sr=True, grow_lr=True)
+    assert drv.grid.capacity > cap0[0]
+    assert drv.lr_grid.capacity > cap0[1]
+
+    # settled occupancy for >= shrink_patience chunks -> shrink back
+    obs = drv.run(8, chunk=2)
+    assert (drv.grid, drv.lr_grid) == grid0
+    assert (drv.grid.capacity, drv.lr_grid.capacity) == cap0
+    assert np.isfinite(obs["epot"]).all()
+    # the original executable is reused (shared-cache hit, no retrace)
+    drv.run(2, chunk=2)
+    assert drv._chunk_fn[2] is fn0
+
+    # never shrinks below the ctor plan even if occupancy would allow it
+    drv._occ_window.clear()
+    drv.run(8, chunk=2)
+    assert drv.grid.capacity == cap0[0]
+
+
+def test_shrink_disabled_keeps_grown_capacity(model, rng):
+    params, cfg = model
+    sys = _pbc_system(rng)
+    md = MDConfig(dt_fs=0.2, temperature_K=100.0, skin=0.4, shrink_patience=0)
+    drv = MDDriver(params, cfg, sys, md, seed=5)
+    drv.state = drv._grow_capacity(drv.state)
+    grown = drv.grid.capacity
+    drv.run(8, chunk=2)
+    assert drv.grid.capacity == grown

@@ -1,0 +1,248 @@
+"""Fused ensemble forward == per-member forward (models/ensemble_fused.py).
+
+The fused path shares geometry/basis across members and runs member-stacked
+conv GEMMs + member-fused LR pair sweeps; these tests pin it bit-for-bit
+(to f32 reassociation tolerance) against looping ``aimnet2_apply`` over the
+members — the round-3 reference semantics (dynamics/md.py vmap path).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimnetcentral_tpu.builders import system_from_molecules
+from aimnetcentral_tpu.models import AIMNet2Config, aimnet2_init
+from aimnetcentral_tpu.models.aimnet2 import AEVConfig, aimnet2_apply
+from aimnetcentral_tpu.models.ensemble_fused import aimnet2_apply_ensemble
+from aimnetcentral_tpu.models.heads import (
+    AtomicShiftHead,
+    AtomicSumHead,
+    D3TSHead,
+    DFTD3Head,
+    DipoleHead,
+    DispParamHead,
+    LRCoulombHead,
+    OutputHead,
+    SRRepHead,
+)
+from aimnetcentral_tpu.models.modules import MLPSpec
+from aimnetcentral_tpu.calculators.ensemble import stack_params
+from aimnetcentral_tpu.ops.binned import plan_bins, plan_lr_bins, to_binned_system
+
+
+def _small_cfg(outputs, num_charge_channels=1):
+    return AIMNet2Config(
+        aev=AEVConfig(rc_s=4.0, nshifts_s=16),
+        nfeature=8,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((48, 32), (48, 32), (48, 32, 32)),
+        aim_size=24,
+        num_charge_channels=num_charge_channels,
+        outputs=outputs,
+    )
+
+
+def _energy_heads(lr_head):
+    return (
+        ("energy_mlp", OutputHead(
+            n_in=24, n_out=1, key_in="aim", key_out="energy",
+            mlp=MLPSpec(hidden=(32,), last_linear=True))),
+        ("atomic_shift", AtomicShiftHead(key_in="energy", key_out="energy")),
+        ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+    ) + lr_head
+
+
+def _periodic_system(rng, n=40, a=10.0, lr_cut=None):
+    coord = rng.uniform(0, a, size=(n, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 7, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_idx = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    grid = plan_bins(cell, n, edge=4.0)
+    lr_grid = plan_lr_bins(cell, n, lr_cut) if lr_cut else None
+    sys_bin, _perm, ovf = to_binned_system(sys_idx, grid, lr_grid)
+    assert int(ovf) == 0
+    return sys_bin
+
+
+def _members(cfg, n_e=3):
+    return stack_params(
+        [aimnet2_init(jax.random.key(i), cfg) for i in range(n_e)]
+    )
+
+
+def _loop_reference(params, cfg, system, **kw):
+    n_e = params["afv"]["weight"].shape[0]
+    outs = [
+        aimnet2_apply(
+            jax.tree.map(lambda x, e=e: x[e], params), cfg, system, **kw
+        )
+        for e in range(n_e)
+    ]
+    return outs
+
+
+@pytest.mark.parametrize("sae_external", [True, False])
+def test_fused_matches_loop_binned_dsf(rng, sae_external):
+    cfg = _small_cfg(_energy_heads(
+        (("lrcoulomb", LRCoulombHead(rc=3.5, method="dsf", dsf_rc=6.0)),)
+    ))
+    system = _periodic_system(rng, lr_cut=6.0)
+    params = _members(cfg)
+
+    fused = jax.jit(
+        lambda p: aimnet2_apply_ensemble(p, cfg, system, sae_external=sae_external)
+    )(params)
+    ref = _loop_reference(params, cfg, system, sae_external=sae_external)
+
+    e_ref = np.stack([np.asarray(o["energy"]) for o in ref])
+    np.testing.assert_allclose(np.asarray(fused["energy"]), e_ref, atol=2e-4)
+    q_ref = np.stack([np.asarray(o["charges"]) for o in ref])
+    np.testing.assert_allclose(np.asarray(fused["charges"]), q_ref, atol=1e-5)
+    aim_ref = np.stack([np.asarray(o["aim"]) for o in ref])
+    np.testing.assert_allclose(np.asarray(fused["aim"]), aim_ref, atol=1e-5)
+    if sae_external:
+        np.testing.assert_array_equal(
+            np.asarray(fused["mol_element_counts"]),
+            np.asarray(ref[0]["mol_element_counts"]),
+        )
+
+
+def test_fused_forces_match_loop(rng):
+    """grad of the ensemble-MEAN energy (the MD force path) agrees."""
+    cfg = _small_cfg(_energy_heads(
+        (("lrcoulomb", LRCoulombHead(rc=3.5, method="dsf", dsf_rc=6.0)),)
+    ))
+    system = _periodic_system(rng, lr_cut=6.0)
+    params = _members(cfg)
+
+    def e_fused(coord):
+        out = aimnet2_apply_ensemble(
+            params, cfg, system.replace(coord=coord), sae_external=True
+        )
+        return out["energy"].mean(axis=0).sum()
+
+    def e_loop(coord):
+        sys2 = system.replace(coord=coord)
+        es = [
+            aimnet2_apply(
+                jax.tree.map(lambda x, e=e: x[e], params), cfg, sys2,
+                sae_external=True,
+            )["energy"]
+            for e in range(3)
+        ]
+        return jnp.stack(es).mean(axis=0).sum()
+
+    g_fused = np.asarray(jax.jit(jax.grad(e_fused))(system.coord))
+    g_loop = np.asarray(jax.jit(jax.grad(e_loop))(system.coord))
+    np.testing.assert_allclose(g_fused, g_loop, atol=5e-5)
+
+
+def test_fused_matches_loop_indexed_gas_phase(rng):
+    cfg = _small_cfg(_energy_heads(
+        (("lrcoulomb", LRCoulombHead(rc=3.5, method="simple")),)
+    ))
+    coord = rng.uniform(-3, 3, size=(20, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=20)
+    system = system_from_molecules(
+        [{"coord": coord, "numbers": numbers}], cutoff=4.0
+    )
+    params = _members(cfg)
+    fused = jax.jit(
+        lambda p: aimnet2_apply_ensemble(p, cfg, system, sae_external=True)
+    )(params)
+    ref = _loop_reference(params, cfg, system, sae_external=True)
+    e_ref = np.stack([np.asarray(o["energy"]) for o in ref])
+    np.testing.assert_allclose(np.asarray(fused["energy"]), e_ref, atol=2e-4)
+
+
+def test_fused_nse_two_channel(rng):
+    cfg = _small_cfg(
+        _energy_heads(
+            (("lrcoulomb", LRCoulombHead(rc=3.5, method="dsf", dsf_rc=6.0)),)
+        ),
+        num_charge_channels=2,
+    )
+    coord = rng.uniform(0, 10.0, size=(30, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 7, 8], size=30)
+    cell = np.eye(3, dtype=np.float32) * 10.0
+    sys_idx = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell,
+          "charge": 1.0, "mult": 2.0}],
+        build_nbmat=False,
+    )
+    grid = plan_bins(cell, 30, edge=4.0)
+    system, _p, ovf = to_binned_system(sys_idx, grid, plan_lr_bins(cell, 30, 6.0))
+    assert int(ovf) == 0
+    params = _members(cfg)
+    fused = jax.jit(
+        lambda p: aimnet2_apply_ensemble(p, cfg, system, sae_external=True)
+    )(params)
+    ref = _loop_reference(params, cfg, system, sae_external=True)
+    for key in ("energy", "charges", "spin_charges"):
+        r = np.stack([np.asarray(o[key]) for o in ref])
+        np.testing.assert_allclose(np.asarray(fused[key]), r, atol=2e-4)
+
+
+def test_fused_member_independent_and_d3ts_heads(rng):
+    """SRRep/DFTD3 (computed once, broadcast), D3TS/DispParam (member-fused
+    sweep), and dipole all agree with the per-member loop."""
+    heads = _energy_heads(
+        (
+            ("srrep", SRRepHead(rc=4.0, cutoff_fn="cosine_cutoff")),
+            ("dftd3", DFTD3Head(s8=1.2, a1=0.4, a2=5.0, cutoff=6.0)),
+            ("disp_raw", OutputHead(
+                n_in=24, n_out=2, key_in="aim", key_out="disp_param",
+                mlp=MLPSpec(hidden=(16,), last_linear=True))),
+            ("disp_param", DispParamHead()),
+            ("d3ts", D3TSHead(a1=0.49, a2=3.5, s8=0.78)),
+            ("dipole", DipoleHead()),
+        )
+    )
+    cfg = _small_cfg(heads)
+    system = _periodic_system(rng, lr_cut=6.0)
+    params = _members(cfg)
+    fused = jax.jit(
+        lambda p: aimnet2_apply_ensemble(p, cfg, system, sae_external=True)
+    )(params)
+    ref = _loop_reference(params, cfg, system, sae_external=True)
+    for key in ("energy", "disp_param", "dipole"):
+        r = np.stack([np.asarray(o[key]) for o in ref])
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), r, atol=2e-4, err_msg=key
+        )
+
+
+def test_md_driver_fused_vs_vmap_trajectory(rng, monkeypatch):
+    """MDDriver with the fused ensemble reproduces the vmap-path trajectory
+    (same seed, same steps) — the production wiring, not just the forward."""
+    from aimnetcentral_tpu.dynamics import MDConfig, MDDriver
+
+    cfg = _small_cfg(_energy_heads(
+        (("lrcoulomb", LRCoulombHead(rc=3.5, method="dsf", dsf_rc=6.0)),)
+    ))
+    coord = rng.uniform(0, 10.0, size=(32, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=32)
+    cell = np.eye(3, dtype=np.float32) * 10.0
+    system = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    params = _members(cfg)
+    md = MDConfig(dt_fs=0.2, temperature_K=200.0, thermostat="langevin")
+
+    monkeypatch.setenv("AIMNET_ENSEMBLE_FUSED", "1")
+    drv_f = MDDriver(params, cfg, system, md, ensemble=True, seed=3)
+    obs_f = drv_f.run(10, chunk=5)
+    monkeypatch.setenv("AIMNET_ENSEMBLE_FUSED", "0")
+    drv_v = MDDriver(params, cfg, system, md, ensemble=True, seed=3)
+    obs_v = drv_v.run(10, chunk=5)
+
+    np.testing.assert_allclose(obs_f["epot"], obs_v["epot"], atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(drv_f.state.coord), np.asarray(drv_v.state.coord), atol=1e-4
+    )
