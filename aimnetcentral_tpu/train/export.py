@@ -104,7 +104,10 @@ def _head_to_yaml(name: str, head) -> dict:
         "srrep": ("SRRep", lambda h: {"key_out": h.key_out, "rc": h.rc, "cutoff_fn": h.cutoff_fn}),
         "srcoulomb": ("SRCoulomb", lambda h: {"rc": h.rc, "key_in": h.key_in, "key_out": h.key_out, "envelope": h.envelope}),
         "lrcoulomb": ("LRCoulomb", lambda h: {"rc": h.rc, "key_in": h.key_in, "key_out": h.key_out, "method": h.method}),
-        "disp_param": ("DispParam", lambda h: {"key_in": h.key_in, "key_out": h.key_out}),
+        # DispParam has NO barrel re-export in the reference: its only
+        # allowlisted path is the submodule spelling
+        # (reference aimnet/models/artifact_validation.py:66-70)
+        "disp_param": ("lr.DispParam", lambda h: {"key_in": h.key_in, "key_out": h.key_out}),
         "d3ts": ("D3TS", lambda h: {"a1": h.a1, "a2": h.a2, "s8": h.s8, "s6": h.s6, "key_in": h.key_in, "key_out": h.key_out}),
         "dftd3": ("DFTD3", lambda h: {"s8": h.s8, "a1": h.a1, "a2": h.a2, "s6": h.s6, "cutoff": h.cutoff, "smoothing_fraction": h.smoothing_fraction, "key_out": h.key_out}),
     }

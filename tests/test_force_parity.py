@@ -61,19 +61,24 @@ def flagship_artifact(tmp_path_factory):
     return path
 
 
-@pytest.fixture(scope="module")
-def calcs(flagship_artifact):
+def _calc_pair(artifact: str):
     """(our calculator, reference calculator) over the SAME artifact."""
     from aimnetcentral_tpu.calculators import AIMNet2Calculator
     from aimnetcentral_tpu.models.loader import load_model
 
-    loaded = load_model(flagship_artifact)
+    loaded = load_model(artifact)
     ours = AIMNet2Calculator(loaded.as_calculator_model())
 
     _install_reference_stubs()
     from aimnet.calculators import AIMNet2Calculator as RefCalc
 
-    ref = RefCalc(model=flagship_artifact, device="cpu", deterministic=True)
+    ref = RefCalc(model=artifact, device="cpu", deterministic=True)
+    return ours, ref
+
+
+@pytest.fixture(scope="module")
+def calcs(flagship_artifact):
+    ours, ref = _calc_pair(flagship_artifact)
     assert ref.external_coulomb is not None and ref.external_dftd3 is not None
     return ours, ref
 
@@ -146,3 +151,204 @@ def test_allose_crystal_force_stress_parity(calcs):
 
     e, re_ = float(np.asarray(got["energy"]).reshape(-1)[0]), float(want["energy"].reshape(-1)[0])
     assert abs(e - re_) < ENERGY_RTOL * abs(re_) + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# non-flagship family surfaces (VERDICT r3 next #3): NSE 2-channel, rxn
+# (dipole/quadrupole), and embedded D3TS+DispParam — each a synthetic
+# artifact evaluated calculator-vs-calculator with FORCES.
+
+
+def _export_from_tree(tree, tmp_path_factory, name, sae=None, seed=0, patch=None):
+    import jax
+
+    from aimnetcentral_tpu.models import aimnet2_init
+    from aimnetcentral_tpu.models.convert import config_from_yaml
+    from aimnetcentral_tpu.train.export import export_model
+
+    cfg = config_from_yaml(tree)
+    params = aimnet2_init(jax.random.key(seed), cfg)
+    if patch is not None:
+        params = patch(params)
+    sae = sae or {1: -13.6, 6: -1029.5, 7: -1485.3, 8: -2042.6}
+    path = str(tmp_path_factory.mktemp(name) / f"{name}.pt")
+    export_model(params, cfg, path, sae=sae, implemented_species=sorted(sae))
+    return path
+
+
+def _pushed_molecule(n, seed=7, spread=4.0):
+    rng = np.random.default_rng(seed)
+    coord = rng.uniform(-spread, spread, size=(n, 3))
+    for _ in range(300):
+        d = np.linalg.norm(coord[:, None] - coord[None, :], axis=-1)
+        np.fill_diagonal(d, 10.0)
+        if d.min() > 0.85:
+            break
+        i, j = np.unravel_index(d.argmin(), d.shape)
+        push = coord[i] - coord[j]
+        nrm = np.linalg.norm(push) + 1e-9
+        coord[i] += 0.5 * push / nrm * (0.9 - d.min())
+        coord[j] -= 0.5 * push / nrm * (0.9 - d.min())
+    numbers = np.random.default_rng(seed + 1).choice([1, 6, 7, 8], size=n)
+    return coord.astype(np.float32), numbers.astype(np.int64)
+
+
+def _assert_force_parity(got, want, n_atoms):
+    f = np.asarray(got["forces"]).reshape(-1, 3)[:n_atoms]
+    rf = want["forces"].reshape(-1, 3)[:n_atoms]
+    mae = np.abs(f - rf).mean()
+    assert mae < FORCE_MAE_GATE, f"force MAE {mae:.2e} eV/A"
+    assert np.abs(f - rf).max() < FORCE_MAX_GATE
+    e = float(np.asarray(got["energy"]).reshape(-1)[0])
+    re_ = float(want["energy"].reshape(-1)[0])
+    assert abs(e - re_) < ENERGY_RTOL * abs(re_) + 1e-5
+
+
+@pytest.fixture(scope="module")
+def nse_artifact(tmp_path_factory):
+    """NSE 2-channel architecture (reference aimnet2.yaml with
+    num_charge_channels=2 — the open-shell family, reference
+    aimnet/models/aimnet2.py:94-106)."""
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2.yaml") as f:
+        tree = yaml.safe_load(f)
+    tree["kwargs"]["num_charge_channels"] = 2
+    return _export_from_tree(tree, tmp_path_factory, "nse")
+
+
+def test_nse_open_shell_force_parity(nse_artifact):
+    """Charged doublet through BOTH calculators: forces + spin charges."""
+    ours, ref = _calc_pair(nse_artifact)
+    coord, numbers = _pushed_molecule(17)
+    data = {"coord": coord, "numbers": numbers, "charge": 1.0, "mult": 2.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+    np.testing.assert_allclose(
+        np.asarray(got["charges"]).reshape(-1)[: len(numbers)],
+        want["charges"].reshape(-1)[: len(numbers)],
+        atol=1e-5,
+    )
+    assert "spin_charges" in got
+    np.testing.assert_allclose(
+        np.asarray(got["spin_charges"]).reshape(-1)[: len(numbers)],
+        want["spin_charges"].reshape(-1)[: len(numbers)],
+        atol=1e-5,
+    )
+    # total charge is conserved exactly by NSE
+    assert float(np.asarray(got["charges"]).reshape(-1)[: len(numbers)].sum()) == pytest.approx(1.0, abs=1e-4)
+
+
+@pytest.fixture(scope="module")
+def rxn_artifact(tmp_path_factory):
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2_rxn.yaml") as f:
+        tree = yaml.safe_load(f)
+    return _export_from_tree(tree, tmp_path_factory, "rxn")
+
+
+def test_rxn_force_dipole_quadrupole_parity(rxn_artifact):
+    """rxn-family architecture (reference aimnet/models/aimnet2_rxn.yaml):
+    forces plus the dipole/quadrupole observables through both calculators."""
+    ours, ref = _calc_pair(rxn_artifact)
+    # the reference calculator's ClassVar keys_out drops dipole/quadrupole
+    # (reference aimnet/calculators/calculator.py:143); extend the instance
+    # list so the embedded heads' observables survive process_output
+    ref.keys_out = list(ref.keys_out) + ["dipole", "quadrupole"]
+    coord, numbers = _pushed_molecule(14, seed=11)
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+    np.testing.assert_allclose(
+        np.asarray(got["dipole"]).reshape(-1),
+        want["dipole"].reshape(-1),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["quadrupole"]).reshape(-1),
+        want["quadrupole"].reshape(-1),
+        atol=1e-5,
+    )
+
+
+@pytest.fixture(scope="module")
+def d3ts_artifact(tmp_path_factory):
+    """Embedded D3TS+DispParam architecture (the registry families' learned
+    dispersion, reference aimnet/modules/lr.py:1035-1157): aimnet2.yaml plus
+    a 2-channel disp head -> DispParam -> D3TS chain."""
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2.yaml") as f:
+        tree = yaml.safe_load(f)
+    outputs = tree["kwargs"]["outputs"]
+    outputs["disp_raw"] = {
+        "class": "aimnet.modules.Output",
+        "kwargs": {
+            "n_in": tree["kwargs"]["aim_size"],
+            "n_out": 2,
+            "key_in": "aim",
+            "key_out": "disp_param",
+            "mlp": {
+                "activation_fn": "torch.nn.GELU",
+                "last_linear": True,
+                "hidden": [64],
+            },
+        },
+    }
+    outputs["disp_param"] = {
+        "class": "aimnet.modules.lr.DispParam",
+        "kwargs": {"key_in": "disp_param", "key_out": "disp_param"},
+    }
+    outputs["d3ts"] = {
+        "class": "aimnet.modules.D3TS",
+        "kwargs": {"a1": 0.49, "a2": 3.5, "s8": 0.78},
+    }
+
+    def patch(params):
+        # real artifacts ship a physical per-element C6/alpha table in the
+        # state dict; the init placeholder is zeros (both frameworks), and
+        # the TS combination rule is 0/0 at c6=alpha=0 — load a plausible
+        # table so the D3TS term is numerically exercised
+        import jax.numpy as jnp
+
+        tab = np.zeros((87, 2), np.float32)
+        tab[:, 0] = 3.0 + 0.5 * np.arange(87)  # free-atom-ish C6 (a.u.)
+        tab[:, 1] = 4.0 + 0.2 * np.arange(87)  # polarizability-ish alpha
+        tab[0] = (0.0, 1.0)  # dummy-atom convention (reference lr.py:1067)
+        params["outputs"]["disp_param"]["disp_param0"] = jnp.asarray(tab)
+        return params
+
+    return _export_from_tree(tree, tmp_path_factory, "d3ts", patch=patch)
+
+
+def test_embedded_d3ts_force_parity(d3ts_artifact):
+    """First numeric D3TS/DispParam gate (VERDICT r3 weak #5): an artifact
+    with the full learned-dispersion chain evaluates with force parity
+    through both calculators' default paths."""
+    ours, ref = _calc_pair(d3ts_artifact)
+    coord, numbers = _pushed_molecule(16, seed=23)
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+    # the D3TS term is actually live (not silently dropped): the loaded
+    # metadata flags embedded D3TS, and attractive dispersion lowers the
+    # energy vs the same artifact re-evaluated without its d3ts head
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.models.loader import load_model
+
+    loaded = load_model(d3ts_artifact)
+    assert loaded.metadata.get("has_embedded_d3ts", False)
+    params_l, cfg_l, aux_l = loaded.as_calculator_model()
+    import dataclasses as _dc
+
+    cfg_no = _dc.replace(
+        cfg_l, outputs=tuple((n, h) for n, h in cfg_l.outputs if h.kind != "d3ts")
+    )
+    no_d3 = AIMNet2Calculator((params_l, cfg_no, aux_l))(data)
+    e_full = float(np.asarray(got["energy"]).reshape(-1)[0])
+    e_no = float(np.asarray(no_d3["energy"]).reshape(-1)[0])
+    assert e_full < e_no - 1e-4  # dispersion is attractive and non-trivial
