@@ -120,7 +120,20 @@ class AIMNet2Calculator:
         nb_safety: float = 1.25,
         binned_threshold: int = 1024,
         reuse_skin: float = 0.6,
+        precision: str = "exact",
     ):
+        """``precision``: ``"exact"`` (default) pins every matmul to exact
+        f32 ("highest"), matching the <1e-4 eV/A parity gate — the TPU
+        analogue of the reference pinning TF32 OFF for inference
+        (reference aimnet/train/utils.py:19-33, same knob with the opposite
+        default).  ``"fast"`` runs the MXU's default single-bf16-pass dots
+        (~2x matmul throughput, ~4e-3 eV/A force noise — the MD driver's
+        default regime; docs/performance.md "Matmul precision").  Use for
+        screening workloads where single-point throughput matters more than
+        the last digits (VERDICT r3 next #8)."""
+        if precision not in ("exact", "fast"):
+            raise ValueError(f"precision must be 'exact' or 'fast', got {precision!r}")
+        self.precision = precision
         if isinstance(model, str):
             # registry name / alias / artifact path / HF snapshot dir
             # (reference aimnet/calculators/resolve.py:69)
@@ -622,7 +635,7 @@ class AIMNet2Calculator:
         return fn
 
     def _get_fn(self, cfg: AIMNet2Config, forces: bool, stress: bool, hessian: bool):
-        key = (forces, stress, hessian, cfg)
+        key = (forces, stress, hessian, cfg, self.precision)
         if key in self._fn_cache:
             self._fn_cache.move_to_end(key)
             return self._fn_cache[key]
@@ -632,6 +645,7 @@ class AIMNet2Calculator:
             stress=stress,
             hessian=hessian,
             sae_external=True,
+            matmul_precision="highest" if self.precision == "exact" else "default",
         )
         return self._cache_put(key, jax.jit(fn))
 
