@@ -167,6 +167,23 @@ def coulomb_periodic_binned(
     k_cutoff = jnp.asarray(system.ewald_k_cutoff).reshape(-1)[0]
     e_real = ewald_real_binned(system, q, eta, system.ewald_r_static)
 
+    if system.pme_mesh is not None:
+        # PME requested (attach_ewald(pme=True)): FFT-mesh reciprocal space
+        # instead of the k-point sum; real/self/background are identical
+        from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched
+
+        e_recip = pme_reciprocal_energy_batched(
+            system.coord, q, system.cell, system.mol_idx, system.num_mol,
+            eta.reshape(1), system.pme_mesh,
+        )
+        e_self = -nbops.mol_sum(q * q, system.mol_idx, system.num_mol) / (
+            jnp.sqrt(2.0 * jnp.pi) * eta
+        )
+        volume = jnp.abs(jnp.linalg.det(system.cell))
+        q_tot = nbops.mol_sum(q, system.mol_idx, system.num_mol)
+        e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
+        return KE * (e_real + e_recip + e_self + e_bg)
+
     e_other = _ewald_nonreal(
         system.coord,
         q,
@@ -235,7 +252,11 @@ def attach_ewald(system: System, accuracy: float = 1e-6, pme: bool = False) -> S
     if pme:
         from aimnetcentral_tpu.models.pme import estimate_pme_mesh
 
-        pme_mesh = estimate_pme_mesh(cells[0], accuracy)
+        # one shared padded FFT shape covering every molecule's mesh (a
+        # finer-than-needed mesh is strictly MORE accurate, so per-molecule
+        # accuracy holds — same policy as the shared k-grid above)
+        meshes = [estimate_pme_mesh(cells[m], accuracy) for m in range(system.num_mol)]
+        pme_mesh = tuple(max(mm[i] for mm in meshes) for i in range(3))
     return system.replace(
         ewald_kpts=jnp.asarray(_k_grid(kmax)),
         ewald_eta=jnp.asarray(np.array(etas, dtype=np.float32)),
@@ -269,32 +290,44 @@ def coulomb_periodic(
     nb, sh, _sfx = system.resolve_nb("_coulomb", "_lr", "")
     if sh is None:
         raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
-    if method == "pme" and system.pme_mesh is not None and system.num_mol == 1:
-        from aimnetcentral_tpu.models.pme import pme_energy
+    if method == "pme" and system.pme_mesh is not None:
+        # batched smooth PME: per-molecule real-space erfc sums over the
+        # neighbor matrix + batched-FFT reciprocal space over a shared
+        # padded mesh shape (reference batch_idx PME,
+        # aimnet/modules/lr.py:674-700) + per-molecule self/background
+        from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched
         from aimnetcentral_tpu.ops.math import calc_distances
 
+        num_mol = system.num_mol
+        mol_idx = system.mol_idx
         q = jnp.where(system.numbers > 0, data[key_in], 0.0)
-        d, _ = calc_distances(system.coord, nb, sh, system.cell, system.mol_idx)
-        import math as _math
-
-        from aimnetcentral_tpu.ops import nb as nbops
-
-        eta0 = jnp.asarray(system.ewald_eta).reshape(-1)[0]
-        rcut0 = jnp.asarray(system.ewald_r_cutoff).reshape(-1)[0]
-        valid = nbops.pair_mask(nb) & (d < rcut0)
-        qq = q[:, None] * nbops.gather_nb(q, nb)
-        e_pair = jax.scipy.special.erfc(d / (_math.sqrt(2.0) * eta0)) / d
-        e_real = 0.5 * jnp.where(valid, qq * e_pair, 0.0).sum()
-        e = pme_energy(
-            system.coord,
-            q,
-            system.cell[0],
-            system.numbers,
-            eta0,
-            system.pme_mesh,
-            e_real,
+        ones_b = jnp.ones((num_mol,), system.coord.dtype)
+        eta_b = jnp.asarray(system.ewald_eta).reshape(-1) * ones_b
+        rcut_b = jnp.asarray(system.ewald_r_cutoff).reshape(-1) * ones_b
+        eta_at = jnp.take(
+            jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx
         )
-        return e[None]
+        rcut_at = jnp.take(
+            jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx
+        )
+        d, _ = calc_distances(system.coord, nb, sh, system.cell, mol_idx)
+        valid = nbops.pair_mask(nb) & (d < rcut_at[:, None])
+        qq = q[:, None] * nbops.gather_nb(q, nb)
+        e_pair = jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta_at[:, None])) / d
+        e_real = 0.5 * nbops.mol_sum(
+            jnp.where(valid, qq * e_pair, 0.0).sum(-1), mol_idx, num_mol
+        )
+        e_recip = pme_reciprocal_energy_batched(
+            system.coord, q, system.cell, mol_idx, num_mol, eta_b,
+            system.pme_mesh,
+        )
+        e_self = -nbops.mol_sum(q * q / eta_at, mol_idx, num_mol) / math.sqrt(
+            2.0 * math.pi
+        )
+        volume = jnp.abs(jnp.linalg.det(system.cell))
+        q_tot = nbops.mol_sum(q, mol_idx, num_mol)
+        e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b) / volume
+        return KE * (e_real + e_recip + e_self + e_bg)
     return ewald_energy(
         system.coord,
         data[key_in],

@@ -147,6 +147,108 @@ def pme_reciprocal_energy(
     return (2.0 * jnp.pi / volume) * jnp.sum(green * s2 / bmod)
 
 
+def pme_spread_charges(
+    coord: Array,
+    charges: Array,
+    inv_cells_at: Array,  # (N, 3, 3) per-atom inverse cell (HIGHEST products)
+    mol_idx: Array,
+    num_mol: int,
+    mesh: tuple[int, int, int],
+) -> Array:
+    """B-spline charge spreading onto per-molecule meshes of ONE shared
+    padded FFT shape: (num_mol, K1, K2, K3).  Padding atoms carry
+    ``mol_idx == num_mol`` and land in a trash mesh that is dropped.
+    Shared by the batched PME (below) and the spatial PME route
+    (parallel/spatial.py — shard-local spreads psum'd over the ring)."""
+    k1, k2, k3 = mesh
+    ktot = k1 * k2 * k3
+    frac = jnp.einsum(
+        "nd,ndh->nh", coord, inv_cells_at, precision=jax.lax.Precision.HIGHEST
+    )
+    frac = frac - jnp.floor(frac)  # [0, 1)
+    mesh_arr = jnp.array(mesh, dtype=coord.dtype)
+    scaled = frac * mesh_arr
+    base = jnp.floor(scaled).astype(jnp.int32)
+    u = scaled - base
+    w = bspline4_weights(u)  # (N, 3, 4)
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    idx = (base[:, :, None] + offs[None, None, :]) % jnp.array(
+        mesh, dtype=jnp.int32
+    )[None, :, None]
+    w3 = w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
+    flat_idx = (
+        (idx[:, 0, :, None, None] * k2 + idx[:, 1, None, :, None]) * k3
+        + idx[:, 2, None, None, :]
+    )
+    flat_idx = (flat_idx + mol_idx[:, None, None, None] * ktot).reshape(-1)
+    vals = (charges[:, None, None, None] * w3).reshape(-1)
+    rho = jnp.zeros(((num_mol + 1) * ktot,), coord.dtype).at[flat_idx].add(vals)
+    return rho[: num_mol * ktot].reshape((num_mol, k1, k2, k3))
+
+
+def pme_reciprocal_from_rho(
+    rho: Array,  # (B, K1, K2, K3) spread charge meshes
+    cells: Array,  # (B, 3, 3)
+    eta_b: Array,  # (B,)
+    mesh: tuple[int, int, int],
+) -> Array:
+    """Reciprocal energies (B,) from already-spread meshes (no k_e)."""
+    k1, k2, k3 = mesh
+    rho_k = jnp.fft.fftn(rho, axes=(1, 2, 3))
+    recip = 2.0 * jnp.pi * jnp.linalg.inv(cells).transpose(0, 2, 1)  # (B,3,3)
+    fx = jnp.fft.fftfreq(k1) * k1
+    fy = jnp.fft.fftfreq(k2) * k2
+    fz = jnp.fft.fftfreq(k3) * k3
+    fgrid = jnp.stack(
+        jnp.meshgrid(fx, fy, fz, indexing="ij"), axis=-1
+    ).astype(rho.dtype)  # (K1,K2,K3,3) integer frequencies
+    kvec = jnp.einsum(
+        "xyzd,bdh->bxyzh", fgrid, recip, precision=jax.lax.Precision.HIGHEST
+    )
+    kk = jnp.sum(kvec * kvec, axis=-1)  # (B,K1,K2,K3)
+    bmod = (
+        jnp.asarray(_bspline_moduli(k1))[:, None, None]
+        * jnp.asarray(_bspline_moduli(k2))[None, :, None]
+        * jnp.asarray(_bspline_moduli(k3))[None, None, :]
+    ).astype(rho.dtype)
+    volume = jnp.abs(jnp.linalg.det(cells))  # (B,)
+    mask = kk > 1e-12
+    green = jnp.where(
+        mask,
+        jnp.exp(-0.5 * (eta_b * eta_b)[:, None, None, None] * kk)
+        / jnp.where(mask, kk, 1.0),
+        0.0,
+    )
+    s2 = jnp.abs(rho_k) ** 2
+    return (2.0 * jnp.pi / volume) * jnp.sum(
+        green * s2 / bmod[None], axis=(1, 2, 3)
+    )
+
+
+def pme_reciprocal_energy_batched(
+    coord: Array,
+    charges: Array,
+    cells: Array,  # (B, 3, 3)
+    mol_idx: Array,
+    num_mol: int,
+    eta_b: Array,  # (B,)
+    mesh: tuple[int, int, int],
+) -> Array:
+    """Batched reciprocal-space PME (B,): per-molecule meshes over ONE
+    shared padded FFT shape (batched 3D FFT + per-molecule Green function).
+    The reference PME handles batches via batch_idx
+    (reference aimnet/modules/lr.py:674-700); here the batch axis is the
+    leading mesh axis — shared static shape, per-molecule masking, exactly
+    like the shared Ewald k-grid."""
+    inv_cells = jnp.linalg.inv(cells)
+    inv_ext = jnp.concatenate(
+        [inv_cells, jnp.eye(3, dtype=cells.dtype)[None]], axis=0
+    )
+    inv_at = jnp.take(inv_ext, mol_idx, axis=0)  # (N,3,3)
+    rho = pme_spread_charges(coord, charges, inv_at, mol_idx, num_mol, mesh)
+    return pme_reciprocal_from_rho(rho, cells, eta_b, mesh)
+
+
 def pme_energy(
     coord: Array,
     charges: Array,

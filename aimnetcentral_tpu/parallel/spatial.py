@@ -93,6 +93,8 @@ class SpatialSpec:
     ewald_eta: float | None = None
     ewald_k_cutoff: float | None = None
     ewald_r_static: float | None = None
+    # static FFT mesh dims when PME is requested (attach_ewald(pme=True))
+    pme_mesh: tuple[int, int, int] | None = None
 
     @property
     def nx_local(self) -> int:
@@ -132,8 +134,11 @@ def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
     )
     cutoffs = [cfg.aev.rc_s]
     ewald_eta = ewald_k_cutoff = ewald_r_static = None
+    pme_mesh = None
     for _name, head in cfg.outputs:
         if isinstance(head, LRCoulombHead):
+            if head.method == "pme":
+                pme_mesh = system.pme_mesh
             if head.method in ("ewald", "pme"):
                 assert system.ewald_r_static is not None, (
                     "spatial Ewald needs attach_ewald() on the System first"
@@ -157,7 +162,7 @@ def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
     return SpatialSpec(
         grid=grid, n_sp=n_sp, halo=halo, species=system.species,
         ewald_eta=ewald_eta, ewald_k_cutoff=ewald_k_cutoff,
-        ewald_r_static=ewald_r_static,
+        ewald_r_static=ewald_r_static, pme_mesh=pme_mesh,
     )
 
 
@@ -494,8 +499,9 @@ def _ewald_spatial(
     shard-local core-atom contributions — k-space needs NO halo; every shard
     then evaluates the same (replicated) reciprocal/self/background energy.
     Mirrors models/ewald.py::coulomb_periodic_binned + _ewald_nonreal.
-    PME requests route to the exact Ewald evaluation (same policy as the
-    single-device binned engine)."""
+    PME requests with an attached mesh spread shard-local charges and psum
+    the ADDITIVE mesh instead of S(k) (VERDICT r3 next #4); without a mesh
+    they fall back to the exact Ewald k-sum."""
     from aimnetcentral_tpu.models.ewald import HI, KE
 
     eta = spec.ewald_eta
@@ -512,20 +518,48 @@ def _ewald_spatial(
 
     coord_core = sys_ext.coord[core]
     q_core = q_ext_m[core]
-    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).T  # (3, 3)
-    kvec = jnp.einsum("kd,dh->kh", jnp.asarray(k_pts), recip, precision=HI)
-    k2 = jnp.sum(kvec * kvec, axis=-1)  # (K,)
-    kmask = (k2 > 1e-12) & (k2 < spec.ewald_k_cutoff**2)
-    phase = jnp.einsum("kh,nh->nk", kvec, coord_core, precision=HI)
-    s_re = jax.lax.psum(
-        jnp.sum(q_core[:, None] * jnp.cos(phase), axis=0), axis_name
-    )
-    s_im = jax.lax.psum(
-        jnp.sum(q_core[:, None] * jnp.sin(phase), axis=0), axis_name
-    )
     volume = jnp.abs(jnp.linalg.det(cell))
-    w = jnp.where(kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0)
-    e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im))
+    if head.method == "pme" and spec.pme_mesh is not None:
+        # PME reciprocal space on the ring: the spread mesh is ADDITIVE over
+        # shards (each shard spreads its own core atoms), so rho is one
+        # psum; the batched-FFT energy is then evaluated replicated — the
+        # same collective pattern as the Ewald structure-factor psum below,
+        # with the mesh in place of S(k).  Gradients flow through the psum
+        # transpose back to each shard's own atoms.
+        from aimnetcentral_tpu.models.pme import (
+            pme_reciprocal_from_rho,
+            pme_spread_charges,
+        )
+
+        inv_at = jnp.broadcast_to(
+            jnp.linalg.inv(cell)[None], (coord_core.shape[0], 3, 3)
+        )
+        rho_local = pme_spread_charges(
+            coord_core, q_core, inv_at,
+            jnp.zeros(coord_core.shape[0], jnp.int32), 1, spec.pme_mesh,
+        )
+        rho = jax.lax.psum(rho_local, axis_name)
+        e_recip = pme_reciprocal_from_rho(
+            rho, cell[None], jnp.asarray([eta], cell.dtype), spec.pme_mesh
+        )[0]
+    else:
+        recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).T  # (3, 3)
+        kvec = jnp.einsum("kd,dh->kh", jnp.asarray(k_pts), recip, precision=HI)
+        k2 = jnp.sum(kvec * kvec, axis=-1)  # (K,)
+        kmask = (k2 > 1e-12) & (k2 < spec.ewald_k_cutoff**2)
+        phase = jnp.einsum("kh,nh->nk", kvec, coord_core, precision=HI)
+        s_re = jax.lax.psum(
+            jnp.sum(q_core[:, None] * jnp.cos(phase), axis=0), axis_name
+        )
+        s_im = jax.lax.psum(
+            jnp.sum(q_core[:, None] * jnp.sin(phase), axis=0), axis_name
+        )
+        w = jnp.where(
+            kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0
+        )
+        e_recip = (2.0 * jnp.pi / volume) * jnp.sum(
+            w * (s_re * s_re + s_im * s_im)
+        )
     e_self = -jax.lax.psum(jnp.sum(q_core * q_core), axis_name) / (
         jnp.sqrt(2.0 * jnp.pi) * eta
     )

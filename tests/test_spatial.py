@@ -360,3 +360,68 @@ def test_spatial_ewald_d3_forces_match_single_device(case_full):
     np.testing.assert_allclose(
         np.asarray(g_sp), np.asarray(g_ref), rtol=2e-5, atol=5e-5
     )
+
+
+@pytest.mark.slow
+def test_spatial_pme_matches_single_device():
+    """PME routed through the spatial ring (VERDICT r3 next #4): shard-local
+    charge spreading psum'd into one mesh == the single-device binned PME
+    route, energy AND forces."""
+    import dataclasses
+
+    from __graft_entry__ import _flagship
+    from aimnetcentral_tpu.models.ewald import attach_ewald
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    cfg, _ = _flagship()
+    new_outputs = tuple(
+        (nm, dataclasses.replace(h, method="pme", ewald_accuracy=1e-2)
+         if h.kind == "lrcoulomb" else h)
+        for nm, h in cfg.outputs
+    )
+    cfg = dataclasses.replace(cfg, outputs=new_outputs)
+    params = aimnet2_init(jax.random.key(4), cfg)
+
+    rng = np.random.default_rng(9)
+    n, a = 300, 33.0
+    m = int(np.ceil(n ** (1 / 3)))
+    grid_pts = np.stack(
+        np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)[:n]
+    coord = ((grid_pts + 0.5) * (a / m)).astype(np.float32)
+    coord += rng.uniform(-0.4, 0.4, coord.shape).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=n)
+    cell = np.eye(3, dtype=np.float32) * a
+    sys_c = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "cell": cell}], build_nbmat=False
+    )
+    grid = plan_bins(cell, n, 5.4, safety=3.0)
+    sysb, _perm, ovf = to_binned_system(sys_c, grid)
+    assert int(ovf) == 0
+    sysb = attach_ewald(sysb, 1e-2, pme=True)
+    assert sysb.pme_mesh is not None
+
+    e_ref, _ = _single_device_energy(cfg, params, sysb)
+    spec = plan_spatial(sysb, cfg, n_sp=2)
+    assert spec.pme_mesh == sysb.pme_mesh
+    mesh = make_spatial_mesh(2)
+    efn = make_spatial_energy_fn(
+        cfg, spec, mesh, ewald_kpts=np.asarray(sysb.ewald_kpts)
+    )
+    e_sp = efn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+
+    g_sp = jax.grad(
+        lambda c: efn(params, c, sysb.numbers, sysb.charge, sysb.cell[0])
+    )(sysb.coord)
+    g_ref = jax.grad(
+        lambda c: _single_device_energy(cfg, params, sysb, coord=c)[0]
+    )(sysb.coord)
+    mask = np.asarray(sysb.numbers > 0)
+    d = np.abs(np.asarray(g_sp) - np.asarray(g_ref))[mask]
+    scale = max(float(np.abs(np.asarray(g_ref)).max()), 1e-9)
+    assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
