@@ -297,7 +297,15 @@ class AIMNet2Calculator:
             numbers = data["numbers"]
             key = None
             if isinstance(numbers, np.ndarray):
-                key = (id(numbers), numbers.shape, str(numbers.dtype))
+                # identity alone is NOT enough: numpy arrays mutate in place
+                # with the same id/shape (no torch-style _version counter to
+                # ride, cf. reference aimnet/calculators/neighbors.py:175-191
+                # keying on _version) — a content fingerprint keeps the skip
+                # honest at ~50x less cost than the np.unique scan it avoids
+                key = (
+                    id(numbers), numbers.shape, str(numbers.dtype),
+                    hash(numbers.tobytes()),
+                )
             if key is None or self._species_cache != key:
                 seen = {int(z) for z in np.unique(np.asarray(numbers)) if int(z) > 0}
                 unsupported = sorted(seen - set(int(z) for z in impl))

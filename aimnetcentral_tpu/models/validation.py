@@ -146,6 +146,14 @@ def validate_model_yaml_tree(
     tests/test_model_artifact_security.py:401)."""
     if _seen is None:
         _seen = set()
+        # the TOP level must be a class-mapping — a list/scalar model_yaml
+        # would crash downstream construction with an opaque AttributeError
+        # (reference artifact_validation.py rejects non-mapping model_yaml
+        # structurally, tests/test_model_artifact_security.py:406)
+        if not isinstance(tree, Mapping):
+            raise ValueError(
+                f"model yaml must be a mapping, got {type(tree).__name__}"
+            )
     if isinstance(tree, (Mapping, list, tuple)):
         if id(tree) in _seen:
             raise ValueError(

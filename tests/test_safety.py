@@ -253,3 +253,94 @@ def test_set_lr_cutoff_resizes_lists(rng):
     calc.set_lr_cutoff(6.0)
     narrow = calc.prepare_system(data)
     assert narrow.nbmat_lr.shape[1] < wide.nbmat_lr.shape[1]
+
+
+# -- cache-identity pathologies (VERDICT r3 next #9; reference
+# tests/test_calculator.py:255-370 exercises the same class of bugs against
+# its identity-keyed static caches) -------------------------------------------
+
+
+def test_inplace_numbers_mutation_is_revalidated(rng):
+    """Mutating the SAME numbers array in place (same id/shape/dtype) must
+    not ride the species-validation identity cache: numpy has no torch-style
+    _version counter, so the key carries a content fingerprint."""
+    calc = _calc(metadata={"implemented_species": [1, 6, 7, 8]})
+    coord, numbers = random_molecule(rng, 8)
+    calc({"coord": coord, "numbers": numbers})  # validates + caches
+    calc({"coord": coord, "numbers": numbers})  # cache hit
+    numbers[0] = 17  # IN PLACE — id unchanged
+    with pytest.raises(ValueError, match=r"\[17\].*implemented_species"):
+        calc({"coord": coord, "numbers": numbers})
+
+
+def test_inplace_coord_mutation_gives_fresh_results(rng):
+    """The Verlet-skin prep reuse must key on coordinate VALUES, not array
+    identity: mutating the same buffer in place between calls yields the
+    new geometry's energy."""
+    calc = _calc()
+    coord, numbers = random_molecule(rng, 8)
+    coord = np.ascontiguousarray(coord)
+    e0 = float(calc({"coord": coord, "numbers": numbers})["energy"][0])
+    coord[0, 0] += 0.05  # in place, same buffer, within reuse skin
+    e1 = float(calc({"coord": coord, "numbers": numbers})["energy"][0])
+    coord2 = coord.copy()
+    e1_fresh = float(
+        AIMNet2Calculator(
+            (calc.params, calc.cfg, calc.aux)
+        )({"coord": coord2, "numbers": numbers})["energy"][0]
+    )
+    assert e1 != e0
+    assert e1 == pytest.approx(e1_fresh, abs=5e-5)
+
+
+def test_inplace_cell_mutation_invalidates_prep(rng):
+    """Cell changes (in place) must rebuild the prepared neighbor structure
+    — the prep key hashes cell VALUES."""
+    calc = _calc(coulomb_method="dsf", dsf_rc=6.0)
+    coord = rng.uniform(0, 9.0, size=(12, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=12)
+    cell = np.eye(3, dtype=np.float32) * 9.0
+    e0 = float(
+        calc({"coord": coord, "numbers": numbers, "cell": cell})["energy"][0]
+    )
+    cell *= 1.1  # in place
+    e1 = float(
+        calc({"coord": coord, "numbers": numbers, "cell": cell})["energy"][0]
+    )
+    e1_fresh = float(
+        AIMNet2Calculator((calc.params, calc.cfg, calc.aux))(
+            {"coord": coord, "numbers": numbers, "cell": cell.copy()}
+        )["energy"][0]
+    )
+    assert e1 == pytest.approx(e1_fresh, abs=5e-5)
+    assert e1 != e0
+
+
+# -- HVP vs dense Hessian on BATCHED inputs (VERDICT r3 next #9) --------------
+
+
+def test_batched_hvp_matches_per_molecule_dense_hessian(rng):
+    """Two gas-phase molecules in one batch: the calculator splits dense
+    Hessians per structure (reference calculator.py:1247-1414); the HVP on
+    each structure must match its dense block."""
+    calc = _calc()
+    c1, n1 = random_molecule(rng, 6)
+    c2, n2 = random_molecule(rng, 5)
+    data = [
+        {"coord": c1, "numbers": n1, "charge": 0.0},
+        {"coord": c2, "numbers": n2, "charge": 0.0},
+    ]
+    out = calc.eval(data, hessian=True)
+    hessians = out["hessian"]
+    assert isinstance(hessians, list) and len(hessians) == 2
+    for (c, n, h) in ((c1, n1, hessians[0]), (c2, n2, hessians[1])):
+        h = np.asarray(h).reshape(3 * len(n), 3 * len(n))
+        v = rng.normal(size=(len(n), 3)).astype(np.float32)
+        hv = calc.hessian_vector_product(
+            {"coord": c, "numbers": n, "charge": 0.0}, v
+        )
+        np.testing.assert_allclose(
+            np.asarray(hv).reshape(-1),
+            h @ v.reshape(-1),
+            atol=5e-4,
+        )
