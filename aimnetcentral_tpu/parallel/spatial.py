@@ -225,6 +225,7 @@ def make_spatial_energy_fn(
     mesh: Mesh,
     ewald_kpts: np.ndarray | None = None,
     ens_axis: str | None = None,
+    observables: bool = False,
 ):
     """Build ``fn(params, coord, numbers, charge, cell) -> total energy``.
 
@@ -245,12 +246,23 @@ def make_spatial_energy_fn(
     ``(n_ens,)``, each member's box sharded over its own sp ring (the sp
     collectives stay inside one ens slice of the mesh).  Geometry arrays
     remain replicated across ``ens``.
+
+    ``observables=True`` (single-axis mesh only) returns a DICT instead of
+    the scalar energy: ``energy`` plus ``charges`` (global slot order,
+    gathered from the shards) and — when the config carries the heads —
+    ``dipole``/``quadrupole`` (``spin_charges`` for NSE), each assembled
+    with the same psum pattern as the molecular energy sums.  This closes
+    the round-3 gap where multipole observables of rxn-family configs came
+    only from single-device eval.
     """
     from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
 
     cfg = auto_switch_simple_to_dsf(cfg)
     npass = len(cfg.hidden)
     c = cfg.num_charge_channels
+    assert not (observables and ens_axis is not None), (
+        "observables mode composes with a single sp mesh axis"
+    )
     for name, head in cfg.outputs:
         assert isinstance(
             head,
@@ -348,6 +360,7 @@ def make_spatial_energy_fn(
                 a_core = a_core + delta_a.reshape(a_core.shape)
 
         # --- heads (energy surface)
+        obs: dict = {}
         e_atom = jnp.zeros((n_core,), coord_l.dtype)
         e_mol = jnp.zeros((1,), coord_l.dtype)
         # channel collapse: total charge = sum over spin channels (== the
@@ -384,15 +397,48 @@ def make_spatial_energy_fn(
                     head, sys_ext, q_ext, mol_idx_core, core,
                 )
             elif isinstance(head, (DipoleHead, QuadrupoleHead)):
-                # observable-only heads: no energy contribution — allowed so
-                # rxn-family configs run spatially (the spatial surface is
-                # energy/forces; dipole/quadrupole observables come from the
-                # calculator's single-device eval, heads.py:250-269)
-                pass
+                # observable-only heads: no energy contribution.  With
+                # observables=True they are assembled below from the core
+                # charges with the same psum pattern as the energy sums
+                # (twin of heads.py:250-269).
+                if observables:
+                    r = coord_l
+                    if head.center_coord:
+                        m_at = jnp.where(
+                            numbers_ext[core] > 0,
+                            p["mass"][numbers_ext[core]],
+                            0.0,
+                        )
+                        msum = jax.lax.psum(m_at.sum(), "sp")
+                        mr = jax.lax.psum(
+                            (m_at[:, None] * coord_l).sum(0), "sp"
+                        )
+                        r = coord_l - mr / jnp.maximum(msum, 1e-9)
+                    qc = jnp.where(numbers_ext[core] > 0, q_total_core, 0.0)
+                    if isinstance(head, DipoleHead):
+                        obs["dipole"] = jax.lax.psum(
+                            (qc[:, None] * r).sum(0), "sp"
+                        )
+                    else:
+                        x = jnp.concatenate(
+                            [r**2, r * jnp.roll(r, -1, axis=-1)], axis=-1
+                        )
+                        quad = jax.lax.psum((qc[:, None] * x).sum(0), "sp")
+                        x1, x2 = quad[:3], quad[3:]
+                        x1 = x1 - x1.mean()
+                        obs["quadrupole"] = jnp.concatenate([x1, x2])
             elif isinstance(head, DFTD3Head):
                 e_mol = e_mol + _dftd3_spatial(
                     head, spec, sys_ext, p, mol_idx_core, core,
                 )
+        if observables:
+            obs["energy"] = e_mol
+            obs["charges"] = q_total_core
+            if c == 2:
+                obs["spin_charges"] = (
+                    charges_core[..., 0] - charges_core[..., 1]
+                )
+            return obs
         return e_mol
 
     @functools.partial(
@@ -404,6 +450,23 @@ def make_spatial_energy_fn(
         if mult is None:
             mult = jnp.ones_like(charge)  # closed shell default
         if ens_axis is None:
+            if observables:
+                out_specs = {"energy": P(), "charges": P("sp")}
+                if c == 2:
+                    out_specs["spin_charges"] = P("sp")
+                for _n, h in cfg.outputs:
+                    if isinstance(h, DipoleHead):
+                        out_specs["dipole"] = P()
+                    elif isinstance(h, QuadrupoleHead):
+                        out_specs["quadrupole"] = P()
+                f = shard_map(
+                    local_energy,
+                    mesh=mesh,
+                    in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+                return f(params, coord, numbers, charge, mult, cell)
             f = shard_map(
                 local_energy,
                 mesh=mesh,

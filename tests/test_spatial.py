@@ -425,3 +425,57 @@ def test_spatial_pme_matches_single_device():
     d = np.abs(np.asarray(g_sp) - np.asarray(g_ref))[mask]
     scale = max(float(np.abs(np.asarray(g_ref)).max()), 1e-9)
     assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
+
+
+@pytest.mark.slow
+def test_spatial_observables_match_single_device(case):
+    """observables=True (round 4): charges, dipole, and quadrupole assembled
+    on the ring == single-device binned eval (the rxn-family observable
+    surface, previously single-device-only)."""
+    import dataclasses
+
+    from aimnetcentral_tpu.models.heads import DipoleHead, QuadrupoleHead, head_init
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    cfg, params, sysb = case
+    cfg_obs = dataclasses.replace(
+        cfg,
+        outputs=cfg.outputs
+        + (("dipole", DipoleHead()), ("quadrupole", QuadrupoleHead())),
+    )
+    params = dict(params)
+    params["outputs"] = {
+        **params["outputs"],
+        "dipole": head_init(jax.random.key(0), DipoleHead()),
+        "quadrupole": head_init(jax.random.key(0), QuadrupoleHead()),
+    }
+
+    ref = aimnet2_apply(params, cfg_obs, sysb, sae_external=True)
+
+    spec = plan_spatial(sysb, cfg_obs, n_sp=2)
+    mesh = make_spatial_mesh(2)
+    fn = make_spatial_energy_fn(cfg_obs, spec, mesh, observables=True)
+    out = fn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+
+    np.testing.assert_allclose(
+        float(out["energy"][0]), float(np.asarray(ref["energy"]).sum()),
+        rtol=2e-6, atol=2e-5,
+    )
+    real = np.asarray(sysb.numbers) > 0
+    np.testing.assert_allclose(
+        np.asarray(out["charges"])[real], np.asarray(ref["charges"])[real],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["dipole"]), np.asarray(ref["dipole"])[0], atol=1e-4
+    )
+    # r^2 moments reach ~1e2 at this box size: scale-aware tolerance (f32
+    # reassociation across the psum vs the segment sum)
+    np.testing.assert_allclose(
+        np.asarray(out["quadrupole"]), np.asarray(ref["quadrupole"])[0],
+        rtol=2e-5, atol=1e-3,
+    )
