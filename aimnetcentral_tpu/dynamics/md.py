@@ -298,7 +298,7 @@ class MDDriver:
         goes through ``run()``, which primes through the chunk executable
         without this extra compile)."""
         if not self._primed:
-            forces0, epot0 = jax.jit(self._force_fn)(
+            forces0, epot0, _estd = jax.jit(self._force_fn)(
                 self.params, self._state.system
             )
             self._state = dataclasses.replace(
@@ -353,7 +353,12 @@ class MDDriver:
 
     # -- energy/forces ------------------------------------------------------
 
-    def _energy(self, params: Any, system: System) -> Array:
+    def _energy_members(self, params: Any, system: System) -> Array:
+        """Per-member energies (E, num_mol) for ensembles, (num_mol,) for a
+        single model.  The fused path shares geometry/basis across members
+        (models/ensemble_fused.py); per-member energies come out free —
+        the MD observables include on-device uncertainty (``epot_std``)."""
+
         def e_single(p):
             return aimnet2_apply(p, self.cfg, system, sae_external=True)["energy"]
 
@@ -365,17 +370,29 @@ class MDDriver:
 
                 return aimnet2_apply_ensemble(
                     params, self.cfg, system, sae_external=True
-                )["energy"].mean(axis=0)
-            return jax.vmap(e_single)(params).mean(axis=0)
+                )["energy"]
+            return jax.vmap(e_single)(params)
         return e_single(params)
 
-    def _force_fn(self, params: Any, system: System) -> tuple[Array, Array]:
-        def etot(coord):
-            e = self._energy(params, system.replace(coord=coord))
-            return e.sum(), e
+    def _energy(self, params: Any, system: System) -> Array:
+        e = self._energy_members(params, system)
+        return e.mean(axis=0) if self.ensemble else e
 
-        (_, e), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
-        return -g, e
+    def _force_fn(
+        self, params: Any, system: System
+    ) -> tuple[Array, Array, Array | None]:
+        """Forces of the (ensemble-mean) energy; returns the per-molecule
+        potential and, for ensembles, the member spread (UQ observable)."""
+
+        def etot(coord):
+            e_m = self._energy_members(params, system.replace(coord=coord))
+            e = e_m.mean(axis=0) if self.ensemble else e_m
+            return e.sum(), e_m
+
+        (_, e_m), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
+        if self.ensemble:
+            return -g, e_m.mean(axis=0), e_m.std(axis=0)
+        return -g, e_m, None
 
     def _force_virial_fn(
         self, params: Any, system: System
@@ -508,8 +525,9 @@ class MDDriver:
         real = (system.numbers > 0)[:, None]
         if md.barostat == "berendsen":
             forces2, epot, tr_w = self._force_virial_fn(params, system)
+            epot_std = None
         else:
-            forces2, epot = self._force_fn(params, system)
+            forces2, epot, epot_std = self._force_fn(params, system)
         acc2 = jnp.where(real, forces2 / m, 0.0)
         veloc = v_half2 + 0.5 * dt * acc2
 
@@ -535,6 +553,10 @@ class MDDriver:
             "epot": epot.sum(),
             "temperature": kinetic_temperature(veloc, masses, system.numbers),
         }
+        if epot_std is not None:
+            # on-device ensemble UQ: member spread of the potential — free
+            # with the fused forward (per-member energies are its output)
+            obs["epot_std"] = epot_std.sum()
         if md.barostat == "berendsen":
             # instantaneous pressure P = (2 KE - tr(dE/dS)) / (3 V), then the
             # Berendsen volume rescale mu^3 = 1 - beta (dt/tau) (P0 - P);

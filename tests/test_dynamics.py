@@ -94,7 +94,7 @@ def test_md_neighbor_rebuild_consistency(model, rng):
         cutoff=6.0 + drv.md.skin,
         lr_cutoff=16.0 + drv.md.lr_skin,
     )
-    f_fresh, e_fresh = jax.jit(drv._force_fn)(params, fresh)
+    f_fresh, e_fresh, _estd = jax.jit(drv._force_fn)(params, fresh)
     e_md = float(np.asarray(drv.state.epot).sum())
     assert e_md == pytest.approx(float(np.asarray(e_fresh).sum()), abs=2e-3)
 

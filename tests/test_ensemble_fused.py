@@ -246,3 +246,23 @@ def test_md_driver_fused_vs_vmap_trajectory(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(drv_f.state.coord), np.asarray(drv_v.state.coord), atol=1e-4
     )
+    # on-device UQ observable: member spread of the potential rides the
+    # fused forward for free (and the vmap path computes it identically)
+    assert "epot_std" in obs_f and "epot_std" in obs_v
+    assert np.isfinite(obs_f["epot_std"]).all()
+    assert (obs_f["epot_std"] > 0).all()  # independently-initialized members
+    np.testing.assert_allclose(obs_f["epot_std"], obs_v["epot_std"], atol=5e-4)
+
+    # cross-check the last chunk's spread against a direct per-member eval
+    e_members = np.stack([
+        np.asarray(
+            aimnet2_apply(
+                jax.tree.map(lambda x, e=e: x[e], params), drv_f.cfg,
+                drv_f.state.system, sae_external=True,
+            )["energy"]
+        )
+        for e in range(3)
+    ])
+    assert float(obs_f["epot_std"][-1]) == pytest.approx(
+        float(e_members.std(axis=0).sum()), abs=5e-4
+    )
