@@ -277,11 +277,15 @@ def export(checkpoint: str, model_yaml: str, output: str, sae_path, species) -> 
 
 @cli.command()
 @click.argument("jpt")
-@click.option("--model-yaml", required=True)
+@click.option(
+    "--model-yaml",
+    default=None,
+    help="Architecture YAML; omit to infer it by TorchScript introspection.",
+)
 @click.option("--output", required=True)
 @click.option("--species", default=None)
 @click.option("--family", default=None)
-def convert(jpt: str, model_yaml: str, output: str, species, family) -> None:
+def convert(jpt: str, model_yaml: str | None, output: str, species, family) -> None:
     """Convert a legacy TorchScript .jpt artifact to the v2 .pt format."""
     from aimnetcentral_tpu.models.convert_v1 import convert_v1_model
 

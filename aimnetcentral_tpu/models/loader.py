@@ -295,14 +295,81 @@ def load_hf_repo(
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
+def load_jpt_model(path: str, registry_family: str | None = None) -> LoadedModel:
+    """Directly load a trusted legacy ``.jpt`` TorchScript model.
+
+    TorchScript is format-specific but is not a sandbox — only load ``.jpt``
+    files from sources whose code and provenance you trust (same trust
+    contract as the reference, aimnet/models/base.py:92-113).  The reference
+    executes the archive as TorchScript; this framework re-executes it as
+    JAX, reconstructing the architecture by introspecting the scripted
+    module (``infer_model_yaml_from_scripted``) and mapping its state_dict
+    onto the functional param tree.  The embedded long-range heads stay
+    embedded (``coulomb_mode="full_embedded"``), exactly like the
+    reference's legacy route; convert to v2 (``aimnet-tpu convert``) to get
+    the externalized-LR artifact instead.
+    """
+    import torch
+
+    from aimnetcentral_tpu.models.convert_v1 import (
+        extract_species_from_afv,
+        infer_model_yaml_from_scripted,
+    )
+
+    jit_model = torch.jit.load(path, map_location="cpu")
+    tree = infer_model_yaml_from_scripted(jit_model)
+    # defense in depth: the inferred tree names only closed-set v1 classes by
+    # construction, but run it through the legacy allowlist anyway (the
+    # reference applies NO policy to .jpt — see LEGACY_JPT_IMPORT_POLICY)
+    from aimnetcentral_tpu.models.validation import LEGACY_JPT_IMPORT_POLICY
+
+    _validate_model_yaml(tree, LEGACY_JPT_IMPORT_POLICY)
+    cfg = config_from_yaml(tree)
+    sd = {k: v.detach().cpu().numpy() for k, v in jit_model.state_dict().items()}
+    params, aux = convert_state_dict(sd, cfg)
+
+    # reference load_legacy_jit metadata (aimnet/models/base.py:98-108):
+    # D3 params are externalizable only from tabulated DFTD3, never D3TS
+    d3_params = None
+    for name, head in cfg.outputs:
+        if head.kind == "dftd3":
+            d3_params = {"s8": head.s8, "a1": head.a1, "a2": head.a2, "s6": head.s6}
+            break
+    has_lr = any(h.kind == "lrcoulomb" for _, h in cfg.outputs)
+    metadata = apply_family_defaults(
+        {
+            "format_version": 1,
+            "cutoff": float(jit_model.cutoff),
+            "needs_coulomb": False,
+            "needs_dispersion": False,
+            "coulomb_mode": "full_embedded" if has_lr else "none",
+            "coulomb_sr_rc": None,
+            "coulomb_sr_envelope": None,
+            "d3_params": d3_params,
+            "has_embedded_lr": has_lr,
+            "has_embedded_d3ts": any(h.kind == "d3ts" for _, h in cfg.outputs),
+            "implemented_species": extract_species_from_afv(
+                np.asarray(sd["afv.weight"])
+            ),
+            "family": None,
+            "supports_charged_systems": None,
+        },
+        registry_family,
+    )
+    aux["metadata"] = metadata
+    return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
+
+
 def load_model(
     path: str,
     registry_family: str | None = None,
     model_import_paths: tuple[str, ...] | None = None,
     model_import_mode: Literal["extend", "replace", "unsafe"] = "extend",
 ) -> LoadedModel:
-    """Dispatch on artifact kind (v2 .pt / HF dir / live HF repo id).  Legacy
-    ``.jpt`` TorchScript requires conversion first (``aimnet-tpu convert``)."""
+    """Dispatch on artifact kind (v2 .pt / HF dir / live HF repo id / trusted
+    legacy ``.jpt``).  ``.jpt`` files load via TorchScript introspection and
+    therefore must come from a trusted source (reference
+    aimnet/models/base.py:123-160); import settings don't apply to them."""
     if os.path.isdir(path):
         return load_hf_repo(path, registry_family=registry_family)
     if not os.path.exists(path) and "/" in path and not path.endswith(".pt"):
@@ -313,11 +380,10 @@ def load_model(
             return load_hf_repo(local, registry_family=registry_family)
         return load_v2_artifact(local, registry_family=registry_family)
     if path.lower().endswith(".jpt"):
-        raise ValueError(
-            "legacy TorchScript .jpt artifacts must be converted to v2 .pt "
-            "first (see the reference's `aimnet convert`); direct TorchScript "
-            "execution is torch-specific"
-        )
+        if model_import_paths is not None or model_import_mode != "extend":
+            # reference base.py:159-160, verbatim contract
+            raise ValueError("Import settings are not supported for .jpt sources.")
+        return load_jpt_model(path, registry_family=registry_family)
     return load_v2_artifact(
         path,
         registry_family=registry_family,

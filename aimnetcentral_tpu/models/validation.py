@@ -72,6 +72,27 @@ REGISTRY_IMPORT_POLICY = ModelImportPolicy(
     activation_paths=DEFAULT_ACTIVATION_IMPORT_PATHS,
 )
 
+# Legacy v1 archives embed their long-range modules (full LRCoulomb, tabulated
+# DFTD3, SRRep) — classes the v2 allowlist deliberately omits because v2
+# artifacts externalize them.  The reference applies NO import policy to
+# ``.jpt`` at all (TorchScript is trusted-source, aimnet/models/base.py:92-97);
+# validating the introspection-reconstructed tree under this closed superset
+# is defense in depth beyond the reference's contract.
+LEGACY_JPT_CLASS_IMPORT_PATHS = DEFAULT_CLASS_IMPORT_PATHS | frozenset(
+    {
+        "aimnet.modules.LRCoulomb",
+        "aimnet.modules.lr.LRCoulomb",
+        "aimnet.modules.DFTD3",
+        "aimnet.modules.lr.DFTD3",
+        "aimnet.modules.SRRep",
+        "aimnet.modules.DispParam",
+    }
+)
+LEGACY_JPT_IMPORT_POLICY = ModelImportPolicy(
+    class_paths=LEGACY_JPT_CLASS_IMPORT_PATHS,
+    activation_paths=DEFAULT_ACTIVATION_IMPORT_PATHS,
+)
+
 
 def _matches_pattern(path: str, pattern: str) -> bool:
     if pattern.endswith(".*"):

@@ -1,0 +1,300 @@
+"""Direct trusted legacy ``.jpt`` loading (no architecture YAML).
+
+The reference loads ``.jpt`` as an executable TorchScript module (reference
+aimnet/models/base.py:92-113, calculator.py:359-371); this framework instead
+reconstructs the architecture by introspecting the scripted module
+(``infer_model_yaml_from_scripted``) and re-executes it as JAX.
+
+The current reference code is no longer TorchScript-scriptable (its real
+.jpt artifacts predate it), so we fabricate archives that carry exactly what
+a genuine v1 archive carries: the reference state_dict layout, the root
+``cutoff`` attribute, and output-head submodules with the original class
+names and constructor attributes TorchScript preserves.
+"""
+
+import numpy as np
+import pytest
+import yaml as _yaml
+
+from conftest import REFERENCE_ROOT, random_molecule
+
+import os
+
+
+class _Skeleton:
+    """Placeholder; rebound to a torch.nn.Module subclass lazily (torch import
+    must stay inside tests for collection without torch)."""
+
+
+def _skeleton_classes():
+    import torch
+
+    class Skeleton(torch.nn.Module):
+        def __init__(self, **attrs):
+            super().__init__()
+            for k, v in attrs.items():
+                setattr(self, k, v)
+
+        def forward(self) -> int:
+            return 0
+
+    class AIMNet2(Skeleton):
+        pass
+
+    class Output(Skeleton):
+        pass
+
+    class AtomicShift(Skeleton):
+        pass
+
+    class AtomicSum(Skeleton):
+        pass
+
+    class LRCoulomb(Skeleton):
+        pass
+
+    class SRCoulomb(Skeleton):
+        pass
+
+    class Dipole(Skeleton):
+        pass
+
+    class Quadrupole(Skeleton):
+        pass
+
+    class SRRep(Skeleton):
+        pass
+
+    class DispParam(Skeleton):
+        pass
+
+    class D3TS(Skeleton):
+        pass
+
+    class DFTD3(Skeleton):
+        pass
+
+    class Weird(Skeleton):
+        pass
+
+    return {c.__name__: c for c in (
+        Skeleton, AIMNet2, Output, AtomicShift, AtomicSum, LRCoulomb,
+        SRCoulomb, Dipole, Quadrupole, SRRep, DispParam, D3TS, DFTD3, Weird,
+    )}
+
+
+def _place_buffer(root, key, val, skeleton_cls):
+    parts = key.split(".")
+    mod = root
+    for p in parts[:-1]:
+        if not hasattr(mod, p) or not hasattr(getattr(mod, p), "add_module"):
+            mod.add_module(p, skeleton_cls())
+        mod = getattr(mod, p)
+    mod.register_buffer(parts[-1], val.detach().clone())
+
+
+def make_introspectable_jpt(sd, yaml_cfg, cutoff, path, head_class_override=None):
+    """Fabricate a TorchScript archive shaped like a genuine v1 ``.jpt``:
+    reference state_dict layout + root cutoff + introspectable heads."""
+    import torch
+
+    cls = _skeleton_classes()
+    kw = yaml_cfg["kwargs"]
+    root = cls["AIMNet2"](
+        cutoff=float(cutoff),
+        nfeature=int(kw["nfeature"]),
+        d2features=bool(kw.get("d2features", False)),
+        num_charge_channels=int(kw.get("num_charge_channels", 1)),
+    )
+    for key, val in sd.items():
+        if not key.startswith("outputs."):
+            _place_buffer(root, key, val, cls["Skeleton"])
+
+    outs = cls["Skeleton"]()
+    for name, hcfg in kw["outputs"].items():
+        head_cls_name = hcfg["class"].rsplit(".", 1)[-1]
+        if head_class_override:
+            head_cls_name = head_class_override.get(name, head_cls_name)
+        hkw = dict(hcfg.get("kwargs", {}))
+        hkw.pop("mlp", None)
+        # rc / num_types live as buffers / shapes, not attrs, in real archives
+        attrs = {
+            k: v
+            for k, v in hkw.items()
+            if isinstance(v, (bool, int, float, str)) and k not in ("rc", "n_in", "n_out", "num_types")
+        }
+        head = cls[head_cls_name](**attrs)
+        if "mlp" in hcfg.get("kwargs", {}):
+            head.add_module(
+                "mlp",
+                cls["Skeleton"](
+                    last_linear=bool(hcfg["kwargs"]["mlp"].get("last_linear", True))
+                ),
+            )
+        prefix = f"outputs.{name}."
+        for key, val in sd.items():
+            if key.startswith(prefix):
+                _place_buffer(head, key[len(prefix):], val, cls["Skeleton"])
+        outs.add_module(name, head)
+    root.add_module("outputs", outs)
+    torch.jit.script(root).save(path)
+
+
+def _reference_yaml(yaml_name):
+    with open(os.path.join(REFERENCE_ROOT, "aimnet", "models", yaml_name)) as f:
+        return _yaml.safe_load(f)
+
+
+@pytest.mark.parametrize(
+    "yaml_name", ["aimnet2.yaml", "aimnet2_rxn.yaml", "aimnet2_dftd3_wb97m.yaml"]
+)
+def test_inferred_config_matches_yaml(reference_aimnet2, tmp_path, yaml_name):
+    """Introspection reconstructs the EXACT AIMNet2Config the YAML builds."""
+    import torch
+
+    from aimnetcentral_tpu.models.convert import config_from_yaml
+    from aimnetcentral_tpu.models.convert_v1 import infer_model_yaml_from_scripted
+
+    model, cfg_yaml = reference_aimnet2(yaml_name)
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    jit_model = torch.jit.load(jpt)
+    tree = infer_model_yaml_from_scripted(jit_model)
+
+    # real archives store `rc` as an f32 buffer; normalize the YAML the same
+    # way so the comparison is exact
+    import copy
+
+    expect = copy.deepcopy(cfg_yaml)
+    for hcfg in expect["kwargs"]["outputs"].values():
+        if "rc" in hcfg.get("kwargs", {}):
+            hcfg["kwargs"]["rc"] = float(np.float32(hcfg["kwargs"]["rc"]))
+    assert config_from_yaml(tree) == config_from_yaml(expect)
+
+
+def test_load_model_jpt_direct_energy_parity(reference_aimnet2, rng, tmp_path):
+    """load_model('x.jpt') with no YAML reproduces the reference's embedded-LR
+    model energies, and carries the reference's legacy metadata contract
+    (format_version 1, full_embedded, species from afv)."""
+    import torch
+
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.models.loader import load_model
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    loaded = load_model(jpt)
+    md = loaded.metadata
+    assert md["format_version"] == 1
+    assert md["cutoff"] == 5.0
+    assert md["coulomb_mode"] == "full_embedded"
+    assert md["has_embedded_lr"] is True
+    assert not md["needs_coulomb"] and not md["needs_dispersion"]
+    assert set(md["implemented_species"]) >= {1, 6, 7, 8}
+
+    calc = AIMNet2Calculator(loaded.as_calculator_model())
+    coord, numbers = random_molecule(rng, 9)
+    out = calc({"coord": coord, "numbers": numbers}, forces=True)
+
+    data = {
+        "coord": torch.tensor(coord, requires_grad=True).unsqueeze(0),
+        "numbers": torch.tensor(numbers).unsqueeze(0),
+        "charge": torch.zeros(1),
+    }
+    ref = model(data)
+    ref_f = -torch.autograd.grad(ref["energy"].sum(), data["coord"])[0]
+    np.testing.assert_allclose(
+        out["energy"], ref["energy"].detach().numpy().reshape(-1), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        out["forces"], ref_f.numpy().reshape(-1, 3), atol=5e-3
+    )
+
+
+def test_jpt_dftd3_family_d3_params_metadata(reference_aimnet2, tmp_path):
+    """Embedded tabulated DFTD3 is externalizable: its damping params surface
+    in metadata (reference base.py:106 extract_d3_params), while D3TS would
+    not."""
+    import torch  # noqa: F401
+
+    from aimnetcentral_tpu.models.loader import load_model
+
+    model, cfg_yaml = reference_aimnet2("aimnet2_dftd3_wb97m.yaml")
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    loaded = load_model(jpt)
+    d3 = loaded.metadata["d3_params"]
+    want = cfg_yaml["kwargs"]["outputs"]["dftd3"]["kwargs"]
+    assert d3 is not None
+    assert d3["s8"] == pytest.approx(want["s8"])
+    assert d3["a1"] == pytest.approx(want["a1"])
+    assert d3["a2"] == pytest.approx(want["a2"])
+
+
+def test_jpt_rejects_import_settings(reference_aimnet2, tmp_path):
+    """Reference contract verbatim (base.py:159-160): .jpt sources accept no
+    import-policy settings."""
+    from aimnetcentral_tpu.models.loader import load_model
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    with pytest.raises(ValueError, match="Import settings are not supported"):
+        load_model(jpt, model_import_mode="unsafe")
+    with pytest.raises(ValueError, match="Import settings are not supported"):
+        load_model(jpt, model_import_paths=("my_pkg.heads.*",))
+
+
+def test_jpt_unknown_head_class_errors(reference_aimnet2, tmp_path):
+    """An archive outside the closed v1 module set fails loudly, pointing at
+    the explicit-YAML conversion path."""
+    from aimnetcentral_tpu.models.loader import load_model
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    jpt = str(tmp_path / "weird.jpt")
+    make_introspectable_jpt(
+        model.state_dict(), cfg_yaml, 5.0, jpt,
+        head_class_override={"lrcoulomb": "Weird"},
+    )
+    with pytest.raises(ValueError, match="unrecognized class"):
+        load_model(jpt)
+
+
+def test_convert_v1_without_yaml(reference_aimnet2, rng, tmp_path):
+    """`aimnet-tpu convert` with no --model-yaml infers the architecture and
+    still produces a v2 artifact with externalized LR + energy parity."""
+    import torch
+
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.models.convert_v1 import convert_v1_model
+    from aimnetcentral_tpu.models.loader import load_model
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    out_pt = str(tmp_path / "converted.pt")
+    loaded, artifact = convert_v1_model(jpt, None, output_path=out_pt)
+    assert artifact["needs_coulomb"]
+    assert artifact["coulomb_mode"] == "sr_embedded"
+
+    reloaded = load_model(out_pt)
+    calc = AIMNet2Calculator(reloaded.as_calculator_model())
+    coord, numbers = random_molecule(rng, 9)
+    out = calc({"coord": coord, "numbers": numbers})
+
+    data = {
+        "coord": torch.tensor(coord).unsqueeze(0),
+        "numbers": torch.tensor(numbers).unsqueeze(0),
+        "charge": torch.zeros(1),
+    }
+    with torch.no_grad():
+        ref = model(data)
+    np.testing.assert_allclose(
+        out["energy"], ref["energy"].numpy().reshape(-1), atol=5e-4
+    )
