@@ -102,6 +102,16 @@ class LRCoulombHead:
     envelope: str = "exp"
     kind: str = dataclasses.field(default="lrcoulomb", init=False)
 
+    def __post_init__(self):
+        # constructor-time rejection, like the reference (lr.py:304-311) —
+        # an unknown envelope must not silently select the cosine branch
+        if self.envelope not in ("exp", "cosine"):
+            raise ValueError(
+                f"Unknown envelope {self.envelope!r}, must be 'exp' or 'cosine'"
+            )
+        if self.method not in ("simple", "dsf", "ewald", "pme"):
+            raise ValueError(f"Unknown method {self.method!r}")
+
 
 @dataclasses.dataclass(frozen=True)
 class SRCoulombHead:
@@ -113,6 +123,12 @@ class SRCoulombHead:
     key_out: str = "energy"
     envelope: str = "exp"
     kind: str = dataclasses.field(default="srcoulomb", init=False)
+
+    def __post_init__(self):
+        if self.envelope not in ("exp", "cosine"):
+            raise ValueError(
+                f"Unknown envelope {self.envelope!r}, must be 'exp' or 'cosine'"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -252,15 +252,28 @@ def export_model(
         require_cross_field_consistency=True,
     )
 
-    # atomic save (reference aimnet/train/export_model.py:83-109)
+    # atomic save (reference aimnet/train/export_model.py:83-109): a failure
+    # never replaces an existing destination; re-export preserves the
+    # destination's permissions; brand-new files stay private (mkstemp 0600)
+    import stat as _stat
+
     d = os.path.dirname(os.path.abspath(output)) or "."
     os.makedirs(d, exist_ok=True)
+    dest_mode = (
+        _stat.S_IMODE(os.stat(output).st_mode) if os.path.exists(output) else None
+    )
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".pt.tmp")
-    os.close(fd)
     try:
-        torch.save(artifact, tmp)
+        if dest_mode is not None:
+            os.fchmod(fd, dest_mode)
+        with os.fdopen(fd, "wb") as stream:
+            fd = None
+            torch.save(artifact, stream)
         os.replace(tmp, output)
-    finally:
+    except BaseException:
+        if fd is not None:
+            os.close(fd)
         if os.path.exists(tmp):
             os.remove(tmp)
+        raise
     return artifact

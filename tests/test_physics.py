@@ -214,3 +214,133 @@ def test_d3_coordinate_gradient_matches_fd(rng):
         em = float(e_of(cp))
         fd = (ep - em) / (2 * eps)
         np.testing.assert_allclose(g[atom, ax], fd, rtol=5e-3, atol=1e-6)
+
+
+# --- reference tests/test_lr.py behavioral cases (lr.py:212-311 contract) ---
+
+
+def _lr_energy(head_kwargs, sys, q, data_extra=None):
+    from aimnetcentral_tpu.models.heads import LRCoulombHead
+
+    head = LRCoulombHead(**head_kwargs)
+    params = head_init(jax.random.key(0), head)
+    data = {"_sae_external": True, "charges": jnp.asarray(q)}
+    if data_extra:
+        data.update(data_extra)
+    return head_apply(head, params, data, sys)
+
+
+def test_simple_dsf_close_for_small_molecules(rng):
+    """For small gas-phase molecules DSF tracks simple in sign and magnitude
+    (reference tests/test_lr.py:334 asserts only finiteness — DSF's erfc
+    damping at alpha=0.2 genuinely shifts molecular-range pair energies by
+    ~10%, so closeness is bounded, not tight)."""
+    coord, numbers = __import__("conftest").random_molecule(rng, 6, spread=1.5)
+    sys = system_from_molecules([{"coord": coord, "numbers": numbers}], lr_cutoff=20.0)
+    q = rng.normal(size=7).astype(np.float32) * 0.3  # 6 atoms + 1 pad row
+    q[-1] = 0.0
+    e_simple = float(np.asarray(_lr_energy({"method": "simple"}, sys, q)["energy"])[0])
+    e_dsf = float(
+        np.asarray(
+            _lr_energy({"method": "dsf", "dsf_rc": 15.0}, sys, q)["energy"]
+        )[0]
+    )
+    assert np.isfinite(e_simple) and np.isfinite(e_dsf)
+    assert e_simple != 0.0
+    assert np.sign(e_dsf) == np.sign(e_simple)
+    assert e_dsf == pytest.approx(e_simple, rel=0.25)
+
+
+def test_subtract_sr_changes_energy(rng):
+    """subtract_sr removes the short-range part the embedded network already
+    accounts for (reference tests/test_lr.py:955)."""
+    sys = _pair_system(2.0, 8, 1)
+    q = [0.4, -0.4, 0.0]
+    e_with = float(np.asarray(_lr_energy({"subtract_sr": True}, sys, q)["energy"])[0])
+    e_without = float(
+        np.asarray(_lr_energy({"subtract_sr": False}, sys, q)["energy"])[0]
+    )
+    assert e_with != pytest.approx(e_without, abs=1e-6)
+
+
+def test_envelopes_differ_and_validate(rng):
+    """exp vs cosine SR envelopes give different energies; unknown envelope /
+    method are rejected at CONSTRUCTION (reference lr.py:304-311)."""
+    from aimnetcentral_tpu.models.heads import LRCoulombHead, SRCoulombHead
+
+    sys = _pair_system(2.0, 8, 1)
+    q = [0.4, -0.4, 0.0]
+    e_exp = float(np.asarray(_lr_energy({"envelope": "exp"}, sys, q)["energy"])[0])
+    e_cos = float(np.asarray(_lr_energy({"envelope": "cosine"}, sys, q)["energy"])[0])
+    assert e_exp != pytest.approx(e_cos, abs=1e-6)
+
+    with pytest.raises(ValueError, match="envelope"):
+        LRCoulombHead(envelope="gauss")
+    with pytest.raises(ValueError, match="method"):
+        LRCoulombHead(method="fmm")
+    with pytest.raises(ValueError, match="envelope"):
+        SRCoulombHead(envelope="gauss")
+
+
+def test_charge_non_neutral_finite(rng):
+    """Net-charged systems stay finite for the gas-phase methods
+    (reference tests/test_lr.py:972)."""
+    coord, numbers = __import__("conftest").random_molecule(rng, 5, spread=1.5)
+    sys = system_from_molecules(
+        [{"coord": coord, "numbers": numbers, "charge": 1.0}], lr_cutoff=20.0
+    )
+    q = np.full(6, 0.2, np.float32)
+    q[-1] = 0.0
+    for method in ("simple", "dsf"):
+        e = np.asarray(_lr_energy({"method": method}, sys, q)["energy"])
+        assert np.isfinite(e).all()
+
+
+def test_last_real_atom_charge_affects_energy_padding_inert(rng):
+    """The last REAL atom before the padding boundary still contributes, and
+    charges placed on padding rows are inert (reference tests/test_lr.py:936
+    — the off-by-one masking guard)."""
+    m1 = {"coord": [[0, 0, 0], [1.5, 0, 0], [0, 1.5, 0], [0, 0, 1.5]],
+          "numbers": [6, 1, 1, 1]}
+    m2 = {"coord": [[0, 0, 0], [1.2, 0, 0]], "numbers": [8, 1]}
+    sys = system_from_molecules([m1, m2], lr_cutoff=20.0)
+    n_rows = int(sys.numbers.shape[0])
+    q = np.zeros(n_rows, np.float32)
+    # molecule 2 occupies rows 4..5 (flat packing); its LAST real atom is 5
+    q[4], q[5] = 0.3, -0.3
+    e0 = np.asarray(_lr_energy({"method": "dsf"}, sys, q)["energy"])
+    q2 = q.copy()
+    q2[5] = 0.0
+    e1 = np.asarray(_lr_energy({"method": "dsf"}, sys, q2)["energy"])
+    assert e0[1] != pytest.approx(e1[1], abs=1e-9)
+    # padding rows: charge there must not change any molecule's energy
+    q3 = q.copy()
+    pad_rows = np.where(np.asarray(sys.numbers) == 0)[0]
+    assert pad_rows.size > 0
+    q3[pad_rows] = 7.7
+    e2 = np.asarray(_lr_energy({"method": "dsf"}, sys, q3)["energy"])
+    np.testing.assert_allclose(e2, e0, atol=1e-6)
+
+
+def test_lr_energy_addition(rng):
+    """The LR head ACCUMULATES into an existing energy key instead of
+    overwriting (reference tests/test_lr.py:392 energy_addition)."""
+    sys = _pair_system(2.0, 8, 1)
+    q = [0.4, -0.4, 0.0]
+    base = jnp.asarray(np.array([1.25], np.float32))
+    e_plain = np.asarray(_lr_energy({}, sys, q)["energy"])
+    e_accum = np.asarray(_lr_energy({}, sys, q, {"energy": base})["energy"])
+    np.testing.assert_allclose(e_accum, e_plain + 1.25, rtol=1e-6)
+
+
+def test_d3_custom_s6_and_key_out():
+    """s6 scales the r^-6 term; key_out routes the energy (reference
+    tests/test_dftd3.py:151-160)."""
+    sys = _pair_system(8.0)  # far: r^-6 dominates over r^-8
+    e1 = _d3_energy(sys)
+    head2 = DFTD3Head(s8=0.3908, a1=0.566, a2=3.128, s6=2.0, key_out="e_disp")
+    params = head_init(jax.random.key(0), head2)
+    d2 = head_apply(head2, params, {"_sae_external": True}, sys)
+    assert "e_disp" in d2 and "energy" not in d2
+    e2 = float(np.asarray(d2["e_disp"])[0])
+    assert e2 == pytest.approx(2.0 * e1, rel=0.05)

@@ -324,3 +324,43 @@ def test_full_checkpoint_resume_restores_optimizer_and_scheduler(rng, tmp_path):
         np.asarray(jax.tree.leaves(restored2.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+
+
+def test_export_atomic_save_preserves_destination_and_permissions(
+    rng, tmp_path, monkeypatch
+):
+    """Reference tests/test_train_utils.py:206-253 behaviors: a failing save
+    never replaces an existing artifact; re-export preserves the
+    destination's permissions; brand-new artifacts are private (0600)."""
+    import os
+    import stat
+
+    import jax
+    import torch
+
+    from aimnetcentral_tpu.train.export import export_model
+
+    cfg = _tiny_cfg()
+    params = aimnet2_init(jax.random.key(1), cfg)
+    path = str(tmp_path / "exported.pt")
+
+    # new file: private permissions
+    export_model(params, cfg, path, sae=None, implemented_species=[1, 6, 8])
+    assert stat.S_IMODE(os.stat(path).st_mode) == 0o600
+
+    # re-export over a chmod'd destination: mode preserved
+    os.chmod(path, 0o644)
+    export_model(params, cfg, path, sae=None, implemented_species=[1, 6, 8])
+    assert stat.S_IMODE(os.stat(path).st_mode) == 0o644
+
+    # failing save: destination untouched, no temp litter
+    before = open(path, "rb").read()
+
+    def boom(*a, **k):
+        raise RuntimeError("disk on fire")
+
+    monkeypatch.setattr(torch, "save", boom)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        export_model(params, cfg, path, sae=None, implemented_species=[1, 6, 8])
+    assert open(path, "rb").read() == before
+    assert [p for p in os.listdir(tmp_path) if p.endswith(".tmp")] == []
