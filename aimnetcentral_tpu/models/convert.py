@@ -276,7 +276,13 @@ def convert_state_dict(
         else:
             outputs[name] = {}
     params["outputs"] = outputs
-    _IGNORED = ("aev.rc_v", "aev.eta_v", "aev.shifts_v")  # inert dual-basis
+    _IGNORED = (
+        "aev.rc_v", "aev.eta_v", "aev.shifts_v",  # inert dual-basis
+        # older artifacts carry persistent mass buffers from dipole/quadrupole
+        # heads the config no longer declares (reference aimnet/models/
+        # base.py:330-333, tests/test_model.py:27-42) — expected leftovers
+        "outputs.dipole.mass", "outputs.quadrupole.mass",
+    )
     unexpected = sorted(
         k
         for k in raw

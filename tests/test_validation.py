@@ -283,3 +283,23 @@ def test_convert_state_dict_unexpected_parameter_warns(reference_aimnet2):
     with _w.catch_warnings():
         _w.simplefilter("error")
         convert_state_dict(sd, cfg)
+
+
+def test_convert_state_dict_ignores_legacy_dipole_mass_buffers(reference_aimnet2):
+    """Old artifacts can carry dipole/quadrupole mass buffers without those
+    heads (reference aimnet/models/base.py:330-333, tests/test_model.py:27):
+    expected leftovers, loaded silently."""
+    import warnings as _w
+
+    import numpy as np
+
+    from aimnetcentral_tpu.models.convert import config_from_yaml, convert_state_dict
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    cfg = config_from_yaml(cfg_yaml)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd["outputs.dipole.mass"] = np.zeros(87, np.float32)
+    sd["outputs.quadrupole.mass"] = np.zeros(87, np.float32)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        convert_state_dict(sd, cfg)
