@@ -31,16 +31,34 @@ class EnsembleCalculator(AIMNet2Calculator):
     Outputs are ensemble MEANS; per-member spreads are exposed as
     ``energy_std`` / ``forces_std`` (uncertainty quantification).
     Construct via ``from_members([...(params, cfg, aux)...])``.
+
+    ``fused=True`` routes energy/forces evals through the fused ensemble
+    forward (models/ensemble_fused.py): geometry, radial basis, and the
+    conv pair sweep are computed ONCE and shared across members (~1.9x
+    single-model cost for 4 members instead of ~4x — the same engine as
+    ensemble MD).  The mean force comes from ONE backward pass of the
+    member-mean energy, so the fused path emits ``energy_std`` and
+    ``charges_std`` but NOT ``forces_std`` (per-member force jacobians
+    inherently cost one backward per member); stress/Hessian requests fall
+    back to the exact per-member path automatically.
     """
 
+    def __init__(self, model, *args, fused: bool = False, **kwargs):
+        super().__init__(model, *args, **kwargs)
+        self._fused = fused
+
     @classmethod
-    def from_members(cls, members: list[tuple]) -> "EnsembleCalculator":
+    def from_members(
+        cls, members: list[tuple], fused: bool = False
+    ) -> "EnsembleCalculator":
         params = stack_params([m[0] for m in members])
         cfg = members[0][1]
         aux = members[0][2] if len(members[0]) > 2 else {"sae": {}}
-        return cls((params, cfg, aux))
+        return cls((params, cfg, aux), fused=fused)
 
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
+        if self._fused and not (stress or hessian):
+            return self._get_fused_fn(cfg, forces)
         key = ("ens", forces, stress, hessian, cfg)
         if key not in self._fn_cache:
             single = make_eval_fn(
@@ -73,6 +91,56 @@ class EnsembleCalculator(AIMNet2Calculator):
                 return res
 
             self._fn_cache[key] = jax.jit(ens_fn)
+        return self._fn_cache[key]
+
+    def _get_fused_fn(self, cfg, forces: bool):
+        key = ("ens-fused", forces, cfg, self.precision)
+        if key not in self._fn_cache:
+            from aimnetcentral_tpu.models.ensemble_fused import (
+                aimnet2_apply_ensemble,
+            )
+
+            prec = "highest" if self.precision == "exact" else "default"
+            keep = ("charges", "spin_charges", "dipole", "quadrupole")
+
+            def collect(data):
+                out = {
+                    "energy": data["energy"].mean(axis=0),
+                    "energy_std": data["energy"].std(axis=0),
+                }
+                for k in keep:
+                    if data.get(k) is not None:
+                        out[k] = data[k].mean(axis=0)
+                out["charges_std"] = data["charges"].std(axis=0)
+                if "mol_element_counts" in data:
+                    out["mol_element_counts"] = data["mol_element_counts"]
+                return out
+
+            def fused_fn(params, system):
+                with jax.default_matmul_precision(prec):
+                    if not forces:
+                        return collect(
+                            aimnet2_apply_ensemble(
+                                params, cfg, system, sae_external=True
+                            )
+                        )
+
+                    def etot(coord):
+                        data = aimnet2_apply_ensemble(
+                            params, cfg, system.replace(coord=coord),
+                            sae_external=True,
+                        )
+                        return data["energy"].mean(axis=0).sum(), collect(data)
+
+                    (_, out), g = jax.value_and_grad(etot, has_aux=True)(
+                        system.coord
+                    )
+                    out["forces"] = jnp.where(
+                        (system.numbers > 0)[:, None], -g, 0.0
+                    )
+                    return out
+
+            self._fn_cache[key] = jax.jit(fused_fn)
         return self._fn_cache[key]
 
     def _postprocess(self, out, system):

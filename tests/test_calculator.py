@@ -292,3 +292,47 @@ def test_ensemble_std_caller_order_on_binned_layout(reference_aimnet2, rng):
     np.testing.assert_allclose(
         out["forces_std"], f_members.std(axis=0), atol=2e-4
     )
+
+
+@pytest.mark.slow
+def test_ensemble_calculator_fused_matches_map_path(reference_aimnet2, rng):
+    """fused=True (shared geometry/basis, models/ensemble_fused.py) must
+    reproduce the per-member lax.map path: mean energy/forces/charges and
+    energy_std/charges_std; forces_std is intentionally absent (documented
+    — per-member force jacobians cost one backward per member)."""
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    import torch
+
+    members = []
+    for seed in (0, 1, 2):
+        torch.manual_seed(seed)
+        model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+        cfg = config_from_yaml(cfg_yaml)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, aux = convert_state_dict(sd, cfg)
+        members.append((params, cfg, aux))
+
+    coord, numbers = random_molecule(rng, 8)
+    data = {"coord": coord, "numbers": numbers}
+    ref = EnsembleCalculator.from_members(members)(data, forces=True)
+    out = EnsembleCalculator.from_members(members, fused=True)(data, forces=True)
+
+    np.testing.assert_allclose(out["energy"], ref["energy"], atol=1e-4)
+    np.testing.assert_allclose(out["energy_std"], ref["energy_std"], atol=1e-4)
+    np.testing.assert_allclose(out["forces"], ref["forces"], atol=2e-4)
+    np.testing.assert_allclose(out["charges"], ref["charges"], atol=1e-4)
+    np.testing.assert_allclose(out["charges_std"], ref["charges_std"], atol=1e-4)
+    assert "forces_std" not in out
+
+    # stress requests transparently fall back to the exact per-member path
+    a = 10.0
+    coord_p = rng.uniform(0.5, a - 0.5, size=(20, 3)).astype(np.float32)
+    numbers_p = rng.choice([1, 6, 8], size=20)
+    pdata = {"coord": coord_p, "numbers": numbers_p,
+             "cell": np.eye(3, dtype=np.float32) * a}
+    fused = EnsembleCalculator.from_members(members, fused=True)
+    s_out = fused(pdata, stress=True)
+    s_ref = EnsembleCalculator.from_members(members)(pdata, stress=True)
+    np.testing.assert_allclose(s_out["stress"], s_ref["stress"], atol=2e-4)
+    assert "forces_std" in s_out or "energy_std" in s_out
