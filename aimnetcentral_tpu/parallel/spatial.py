@@ -33,6 +33,15 @@ energy surface of the flagship head chain (Output/AtomicShift/AtomicSum +
 LRCoulomb in SR/DSF mode), 1- or 2-channel (NSE open-shell) charge models.
 D3 and Ewald/PME ARE routed spatially (round 3): the D3 CN sweep refreshes halo coordination numbers from their owner shards, and the Ewald k-space structure factor is a psum of shard-local contributions (no halo needed in k-space).  Dipole/quadrupole heads are accepted (observable-only: zero energy, so rxn-family configs run spatially; the observables themselves come from the calculator's single-device eval).  Validated for bitwise-level equality against the single-device
 forward on a virtual CPU mesh (tests/test_spatial.py).
+
+Round 4 generalizes the ring to a 2-D (x, y) TORUS (``n_spy > 1``): each
+shard owns an (nx_local, ny_local) tile of xy bin columns; halos travel in
+two ppermute steps (x ring, then the y ring over the x-extended tile —
+which carries the corner halos for free), and every global reduction psums
+over both mesh axes.  The shard-count ceiling goes from the ring's
+nx/halo to (nx/halo) * (ny/halo) — the scaling headroom the 100k+ boxes
+need.  Energy, forces, Ewald+D3, and MD stepping are parity-tested on
+(2, 2) tiles (tests/test_spatial.py::test_spatial2d_*).
 """
 
 from __future__ import annotations
@@ -73,19 +82,35 @@ from aimnetcentral_tpu.system import System
 Array = jax.Array
 
 
-def make_spatial_mesh(n_sp: int, devices: list | None = None) -> Mesh:
+def make_spatial_mesh(
+    n_sp: int, n_spy: int = 1, devices: list | None = None
+) -> Mesh:
+    """1-D ring over x-slabs, or (``n_spy > 1``) a 2-D torus over
+    (x, y) column tiles — axis names ``("sp",)`` / ``("sp", "spy")``."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= n_sp, "not enough devices for the sp axis"
-    return Mesh(np.array(devices[:n_sp]), axis_names=("sp",))
+    assert len(devices) >= n_sp * n_spy, "not enough devices for the sp mesh"
+    if n_spy == 1:
+        return Mesh(np.array(devices[:n_sp]), axis_names=("sp",))
+    return Mesh(
+        np.array(devices[: n_sp * n_spy]).reshape(n_sp, n_spy),
+        axis_names=("sp", "spy"),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
 class SpatialSpec:
-    """Static decomposition geometry (hashable; jit-key material)."""
+    """Static decomposition geometry (hashable; jit-key material).
+
+    ``n_spy == 1``: the original 1-D x-slab ring (bit-exact code path).
+    ``n_spy > 1``: 2-D (x, y) torus — each shard owns an
+    (nx_local, ny_local) tile of xy bin columns; halos are exchanged in two
+    ppermute steps (x ring first, then the y ring OVER the x-extended tile,
+    which carries the corner halos for free).  The y global periodicity
+    moves from the in-grid stencil wrap onto the y ring, exactly as x."""
 
     grid: B.BinGrid  # the GLOBAL grid (x-major slot layout)
     n_sp: int
-    halo: int  # halo depth in x-planes (covers every model cutoff)
+    halo: int  # halo depth in bin planes (covers every model cutoff)
     # species present (static; D3 factorization tables are built from it)
     species: tuple | None = None
     # Ewald parameters frozen at plan time (single molecule => scalars);
@@ -95,10 +120,25 @@ class SpatialSpec:
     ewald_r_static: float | None = None
     # static FFT mesh dims when PME is requested (attach_ewald(pme=True))
     pme_mesh: tuple[int, int, int] | None = None
+    n_spy: int = 1
 
     @property
     def nx_local(self) -> int:
         return self.grid.nbins[0] // self.n_sp
+
+    @property
+    def ny_local(self) -> int:
+        return self.grid.nbins[1] // self.n_spy
+
+    @property
+    def hy(self) -> int:
+        """y halo depth: 0 on the 1-D ring (y periodicity stays in-grid)."""
+        return self.halo if self.n_spy > 1 else 0
+
+    @property
+    def col_slots(self) -> int:
+        """Slots per (x, y) bin column."""
+        return self.grid.nbins[2] * self.grid.capacity
 
     @property
     def plane_slots(self) -> int:
@@ -106,22 +146,66 @@ class SpatialSpec:
         return ny * nz * self.grid.capacity
 
     @property
+    def axes(self) -> tuple[str, ...]:
+        return ("sp",) if self.n_spy == 1 else ("sp", "spy")
+
+    @property
+    def nx_ext(self) -> int:
+        return self.nx_local + 2 * self.halo
+
+    @property
+    def ny_ext(self) -> int:
+        return self.ny_local + 2 * self.hy
+
+    @property
     def ext_grid(self) -> B.BinGrid:
         nx, ny, nz = self.grid.nbins
         return dataclasses.replace(
             self.grid,
-            nbins=(self.nx_local + 2 * self.halo, ny, nz),
-            periodic_axes=(False, True, True),
+            nbins=(self.nx_ext, self.ny_ext, nz),
+            periodic_axes=(False, self.n_spy == 1, True),
         )
 
     @property
     def core_slice(self) -> slice:
+        assert self.n_spy == 1, "2-D tiles have no contiguous core slice"
         s = self.halo * self.plane_slots
         return slice(s, s + self.nx_local * self.plane_slots)
 
+    def take_core(self, arr: Array) -> Array:
+        """Extract the core slots of an extended-grid flat slot array
+        ((ext_slots, ...) -> (core_slots, ...)).  On the 1-D ring this is
+        the contiguous ``core_slice``; on a 2-D tile it crops both axes."""
+        if self.n_spy == 1:
+            return arr[self.core_slice]
+        t = arr.reshape(
+            (self.nx_ext, self.ny_ext, self.col_slots) + arr.shape[1:]
+        )
+        t = t[
+            self.halo : self.halo + self.nx_local,
+            self.hy : self.hy + self.ny_local,
+        ]
+        return t.reshape((-1,) + arr.shape[1:])
 
-def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
-    """Choose the halo depth from the model's largest cutoff."""
+    def core_mask(self) -> Array:
+        """Boolean (ext_slots,) mask of core slots."""
+        xi = jnp.arange(self.nx_ext)
+        yi = jnp.arange(self.ny_ext)
+        cx = (xi >= self.halo) & (xi < self.halo + self.nx_local)
+        cy = (yi >= self.hy) & (yi < self.hy + self.ny_local)
+        m = cx[:, None, None] & cy[None, :, None] & jnp.ones(
+            (1, 1, self.col_slots), bool
+        )
+        return m.reshape(-1)
+
+
+def plan_spatial(
+    system: System, cfg: AIMNet2Config, n_sp: int, n_spy: int = 1
+) -> SpatialSpec:
+    """Choose the halo depth from the model's largest cutoff.
+
+    ``n_spy > 1`` plans the 2-D (x, y) torus: the shard count scales as
+    (nx/halo) * (ny/halo) instead of the 1-D ring's nx/halo cap."""
     from aimnetcentral_tpu.models.heads import auto_switch_simple_to_dsf
 
     cfg = auto_switch_simple_to_dsf(cfg)
@@ -131,6 +215,9 @@ def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
     assert grid.nbins[0] % n_sp == 0, (
         f"nx={grid.nbins[0]} must divide by n_sp={n_sp} (plan_bins the box "
         "with a compatible grid)"
+    )
+    assert grid.nbins[1] % n_spy == 0, (
+        f"ny={grid.nbins[1]} must divide by n_spy={n_spy}"
     )
     cutoffs = [cfg.aev.rc_s]
     ewald_eta = ewald_k_cutoff = ewald_r_static = None
@@ -159,10 +246,13 @@ def plan_spatial(system: System, cfg: AIMNet2Config, n_sp: int) -> SpatialSpec:
     assert halo <= grid.nbins[0] // n_sp, (
         f"halo {halo} planes exceeds the local slab; use fewer shards"
     )
+    assert n_spy == 1 or halo <= grid.nbins[1] // n_spy, (
+        f"halo {halo} planes exceeds the local y tile; use fewer y shards"
+    )
     return SpatialSpec(
         grid=grid, n_sp=n_sp, halo=halo, species=system.species,
         ewald_eta=ewald_eta, ewald_k_cutoff=ewald_k_cutoff,
-        ewald_r_static=ewald_r_static, pme_mesh=pme_mesh,
+        ewald_r_static=ewald_r_static, pme_mesh=pme_mesh, n_spy=n_spy,
     )
 
 
@@ -172,47 +262,68 @@ def _ring_perms(n: int):
     return fwd, bwd
 
 
-def _exchange(spec: SpatialSpec, x: Array, axis_name: str = "sp") -> Array:
+def _exchange(spec: SpatialSpec, x: Array) -> Array:
     """(local_slots, ...) -> (ext_slots, ...): prepend/append halo planes
-    fetched from the ring neighbors."""
+    fetched from the ring neighbors.  On a 2-D torus the y halos are
+    exchanged over the x-EXTENDED tile, carrying the corner halos too."""
     nxl, h = spec.nx_local, spec.halo
-    planes = x.reshape((nxl, spec.plane_slots) + x.shape[1:])
+    t = x.reshape((nxl, spec.ny_local, spec.col_slots) + x.shape[1:])
     fwd, bwd = _ring_perms(spec.n_sp)
-    left_halo = jax.lax.ppermute(planes[nxl - h :], axis_name, fwd)
-    right_halo = jax.lax.ppermute(planes[:h], axis_name, bwd)
-    ext = jnp.concatenate([left_halo, planes, right_halo], axis=0)
-    return ext.reshape((-1,) + x.shape[1:])
+    left_halo = jax.lax.ppermute(t[nxl - h :], "sp", fwd)
+    right_halo = jax.lax.ppermute(t[:h], "sp", bwd)
+    t = jnp.concatenate([left_halo, t, right_halo], axis=0)
+    if spec.n_spy > 1:
+        hy = spec.hy
+        fy, by = _ring_perms(spec.n_spy)
+        low_halo = jax.lax.ppermute(t[:, spec.ny_local - hy :], "spy", fy)
+        high_halo = jax.lax.ppermute(t[:, :hy], "spy", by)
+        t = jnp.concatenate([low_halo, t, high_halo], axis=1)
+    return t.reshape((-1,) + x.shape[1:])
 
 
-def _exchange_coord(spec: SpatialSpec, coord: Array, cell: Array, axis_name: str = "sp") -> Array:
-    """Coordinate halo exchange with the global x-wrap applied at the
-    boundary shards (the ring crossing IS the periodic image)."""
+def _exchange_coord(spec: SpatialSpec, coord: Array, cell: Array) -> Array:
+    """Coordinate halo exchange with the global wraps applied at the
+    boundary shards (each ring crossing IS the periodic image along its
+    axis; a 2-D corner crossing composes both wraps via the two steps)."""
     nxl, h = spec.nx_local, spec.halo
-    planes = coord.reshape(nxl, spec.plane_slots, 3)
+    t = coord.reshape(nxl, spec.ny_local, spec.col_slots, 3)
     fwd, bwd = _ring_perms(spec.n_sp)
-    idx = jax.lax.axis_index(axis_name)
-    left_halo = jax.lax.ppermute(planes[nxl - h :], axis_name, fwd)
-    right_halo = jax.lax.ppermute(planes[:h], axis_name, bwd)
+    idx = jax.lax.axis_index("sp")
+    left_halo = jax.lax.ppermute(t[nxl - h :], "sp", fwd)
+    right_halo = jax.lax.ppermute(t[:h], "sp", bwd)
     ax = cell[0]  # global cell x row
     left_halo = left_halo - jnp.where(idx == 0, 1.0, 0.0) * ax
     right_halo = right_halo + jnp.where(idx == spec.n_sp - 1, 1.0, 0.0) * ax
-    return jnp.concatenate([left_halo, planes, right_halo], axis=0).reshape(-1, 3)
+    t = jnp.concatenate([left_halo, t, right_halo], axis=0)
+    if spec.n_spy > 1:
+        hy = spec.hy
+        fy, by = _ring_perms(spec.n_spy)
+        idy = jax.lax.axis_index("spy")
+        low_halo = jax.lax.ppermute(t[:, spec.ny_local - hy :], "spy", fy)
+        high_halo = jax.lax.ppermute(t[:, :hy], "spy", by)
+        ay = cell[1]  # global cell y row
+        low_halo = low_halo - jnp.where(idy == 0, 1.0, 0.0) * ay
+        high_halo = high_halo + jnp.where(idy == spec.n_spy - 1, 1.0, 0.0) * ay
+        t = jnp.concatenate([low_halo, t, high_halo], axis=1)
+    return t.reshape(-1, 3)
 
 
-def _mol_sum_sp(x: Array, mol_idx: Array, num_mol: int, axis_name: str = "sp") -> Array:
-    """Global molecular sum: core-local segment sum + ring psum."""
+def _mol_sum_sp(
+    x: Array, mol_idx: Array, num_mol: int, axes: tuple[str, ...] | str = "sp"
+) -> Array:
+    """Global molecular sum: core-local segment sum + mesh psum."""
     from aimnetcentral_tpu.ops import nb as nbops
 
-    return jax.lax.psum(nbops.mol_sum(x, mol_idx, num_mol), axis_name)
+    return jax.lax.psum(nbops.mol_sum(x, mol_idx, num_mol), axes)
 
 
-def _nse_sp(Q, q_u, f_u, mol_idx, num_mol, axis_name="sp", epsilon=1e-6):
+def _nse_sp(Q, q_u, f_u, mol_idx, num_mol, axes=("sp",), epsilon=1e-6):
     """Spatial twin of ops.math.nse: the charge-conservation sums span the
     whole molecule across shards."""
     from aimnetcentral_tpu.ops.math import expand_mol
 
-    F_u = _mol_sum_sp(f_u, mol_idx, num_mol, axis_name) + epsilon
-    Q_u = _mol_sum_sp(q_u, mol_idx, num_mol, axis_name)
+    F_u = _mol_sum_sp(f_u, mol_idx, num_mol, axes) + epsilon
+    Q_u = _mol_sum_sp(q_u, mol_idx, num_mol, axes)
     dQ = Q - Q_u
     f = f_u / expand_mol(F_u, mol_idx).clip(min=epsilon * 0.5)
     q = q_u + f * expand_mol(dQ, mol_idx)
@@ -263,6 +374,9 @@ def make_spatial_energy_fn(
     assert not (observables and ens_axis is not None), (
         "observables mode composes with a single sp mesh axis"
     )
+    assert spec.n_spy == 1 or (ens_axis is None and not observables), (
+        "the 2-D torus composes with neither ens_axis nor observables yet"
+    )
     for name, head in cfg.outputs:
         assert isinstance(
             head,
@@ -279,24 +393,21 @@ def make_spatial_energy_fn(
     kpts_const = None if ewald_kpts is None else np.asarray(ewald_kpts)
 
     def local_energy(params, coord_l, numbers_l, charge, mult, cell):
-        nxl, h = spec.nx_local, spec.halo
-        core = spec.core_slice
+        nxl = spec.nx_local
         ext_grid = spec.ext_grid
-        l_ext = ext_grid.num_slots
+        axes = spec.axes
+        # 2-D tiles arrive as (nxl, nyl, col, ...) blocks; flatten to the
+        # ext-grid slot order (x-major) the binned engines expect
+        coord_l = coord_l.reshape(-1, 3)
+        numbers_l = numbers_l.reshape(-1)
 
         numbers_ext = _exchange(spec, numbers_l)
         coord_ext = _exchange_coord(spec, coord_l, cell)
         # halo atoms: real pair candidates, excluded from every molecular
         # accumulation (mol_idx = num_mol = the trash segment)
-        plane_is_core = jnp.concatenate(
-            [
-                jnp.zeros(h * spec.plane_slots, bool),
-                jnp.ones(nxl * spec.plane_slots, bool),
-                jnp.zeros(h * spec.plane_slots, bool),
-            ]
-        )
+        plane_is_core = spec.core_mask()
         mol_idx_ext = jnp.where((numbers_ext > 0) & plane_is_core, 0, 1)
-        mol_idx_core = mol_idx_ext[core]
+        mol_idx_core = spec.take_core(mol_idx_ext)
 
         sys_ext = System(
             coord=coord_ext,
@@ -307,8 +418,9 @@ def make_spatial_energy_fn(
             bins=ext_grid,
         )
 
-        n_core = nxl * spec.plane_slots
-        a_core = params["afv"]["weight"][numbers_ext[core]]
+        n_core = nxl * spec.ny_local * spec.col_slots
+        numbers_core = spec.take_core(numbers_ext)
+        a_core = params["afv"]["weight"][numbers_core]
         if cfg.d2features:
             a_core = a_core.reshape(n_core, cfg.nfeature, cfg.nshifts)
         if c == 2:
@@ -339,13 +451,19 @@ def make_spatial_energy_fn(
             )
             a_flat = a_core.reshape(n_core, -1)
             if ipass == 0:
-                x = jnp.concatenate([a_flat, conv_a[core]], axis=-1)
+                x = jnp.concatenate([a_flat, spec.take_core(conv_a)], axis=-1)
             else:
                 x = jnp.concatenate(
-                    [a_flat, conv_a[core], charges_core, conv_q[core]], axis=-1
+                    [
+                        a_flat,
+                        spec.take_core(conv_a),
+                        charges_core,
+                        spec.take_core(conv_q),
+                    ],
+                    axis=-1,
                 )
             out = mlp_apply(params["mlps"][ipass], x, mlp_spec_for_pass(cfg, ipass))
-            out = jnp.where((numbers_ext[core] > 0)[:, None], out, 0.0)
+            out = jnp.where((numbers_core > 0)[:, None], out, 0.0)
             if ipass == npass - 1:
                 aim_core = out
             else:
@@ -355,7 +473,7 @@ def make_spatial_energy_fn(
                     out[..., 2 * c :],
                 )
                 q = _q if ipass == 0 else charges_core + _q
-                q, _dq = _nse_sp(big_q, q, _f * _f, mol_idx_core, 1)
+                q, _dq = _nse_sp(big_q, q, _f * _f, mol_idx_core, 1, axes)
                 charges_core = q
                 a_core = a_core + delta_a.reshape(a_core.shape)
 
@@ -375,7 +493,7 @@ def make_spatial_energy_fn(
             if isinstance(head, OutputHead):
                 val = mlp_apply(p["mlp"], data_core[head.key_in], head.mlp)
                 e_atom = e_atom + jnp.where(
-                    numbers_ext[core] > 0, val[..., 0], 0.0
+                    numbers_core > 0, val[..., 0], 0.0
                 )
             elif isinstance(head, AtomicShiftHead):
                 # SAE-external semantics (matching the MD/force surface):
@@ -383,18 +501,18 @@ def make_spatial_energy_fn(
                 # the host — force-irrelevant and excluded here
                 pass
             elif isinstance(head, AtomicSumHead):
-                e_mol = e_mol + _mol_sum_sp(e_atom, mol_idx_core, 1)
+                e_mol = e_mol + _mol_sum_sp(e_atom, mol_idx_core, 1, axes)
                 e_atom = jnp.zeros_like(e_atom)
             elif isinstance(head, LRCoulombHead) and head.method in (
                 "ewald", "pme",
             ):
                 e_mol = e_mol + _ewald_spatial(
-                    head, spec, sys_ext, q_ext, mol_idx_core, core,
+                    head, spec, sys_ext, q_ext, mol_idx_core,
                     kpts_const, cell,
                 )
             elif isinstance(head, LRCoulombHead):
                 e_mol = e_mol + _coulomb_spatial(
-                    head, sys_ext, q_ext, mol_idx_core, core,
+                    head, spec, sys_ext, q_ext, mol_idx_core,
                 )
             elif isinstance(head, (DipoleHead, QuadrupoleHead)):
                 # observable-only heads: no energy contribution.  With
@@ -405,8 +523,8 @@ def make_spatial_energy_fn(
                     r = coord_l
                     if head.center_coord:
                         m_at = jnp.where(
-                            numbers_ext[core] > 0,
-                            p["mass"][numbers_ext[core]],
+                            numbers_core > 0,
+                            p["mass"][numbers_core],
                             0.0,
                         )
                         msum = jax.lax.psum(m_at.sum(), "sp")
@@ -414,7 +532,7 @@ def make_spatial_energy_fn(
                             (m_at[:, None] * coord_l).sum(0), "sp"
                         )
                         r = coord_l - mr / jnp.maximum(msum, 1e-9)
-                    qc = jnp.where(numbers_ext[core] > 0, q_total_core, 0.0)
+                    qc = jnp.where(numbers_core > 0, q_total_core, 0.0)
                     if isinstance(head, DipoleHead):
                         obs["dipole"] = jax.lax.psum(
                             (qc[:, None] * r).sum(0), "sp"
@@ -429,7 +547,7 @@ def make_spatial_energy_fn(
                         obs["quadrupole"] = jnp.concatenate([x1, x2])
             elif isinstance(head, DFTD3Head):
                 e_mol = e_mol + _dftd3_spatial(
-                    head, spec, sys_ext, p, mol_idx_core, core,
+                    head, spec, sys_ext, p, mol_idx_core,
                 )
         if observables:
             obs["energy"] = e_mol
@@ -449,6 +567,22 @@ def make_spatial_energy_fn(
 
         if mult is None:
             mult = jnp.ones_like(charge)  # closed shell default
+        if spec.n_spy > 1:
+            # 2-D torus: shard (nx, ny, col, ...) tiles over both mesh axes.
+            # The global flat slot arrays are reshaped at the jit boundary —
+            # grads w.r.t. the flat coord flow back through the reshape.
+            nx, ny, _nz = spec.grid.nbins
+            col = spec.col_slots
+            coord_t = coord.reshape(nx, ny, col, 3)
+            numbers_t = numbers.reshape(nx, ny, col)
+            f = shard_map(
+                local_energy,
+                mesh=mesh,
+                in_specs=(P(), P("sp", "spy"), P("sp", "spy"), P(), P(), P()),
+                out_specs=P(),
+                check_rep=False,
+            )
+            return f(params, coord_t, numbers_t, charge, mult, cell)[0]
         if ens_axis is None:
             if observables:
                 out_specs = {"energy": P(), "charges": P("sp")}
@@ -497,8 +631,8 @@ def make_spatial_energy_fn(
     return efn
 
 
-def _coulomb_spatial(head: LRCoulombHead, sys_ext: System, q_ext: Array,
-                     mol_idx_core: Array, core: slice) -> Array:
+def _coulomb_spatial(head: LRCoulombHead, spec: SpatialSpec, sys_ext: System,
+                     q_ext: Array, mol_idx_core: Array) -> Array:
     """SR/DSF Coulomb on the extended grid; core-receiver per-atom sums
     reduced globally.  Mirrors engine_binned.coulomb_sr_binned /
     coulomb_dsf_binned with the molecular sums spatialized."""
@@ -534,12 +668,12 @@ def _coulomb_spatial(head: LRCoulombHead, sys_ext: System, q_ext: Array,
         return qq * e_pair
 
     e_i = pair_energy_binned(sys_ext, dsf_rc, e_fn, {"q": q_ext})
-    e = FACTOR * _mol_sum_sp(e_i[core], mol_idx_core, 1)
+    e = FACTOR * _mol_sum_sp(spec.take_core(e_i), mol_idx_core, 1, spec.axes)
     self_coeff = -(shift_val / 2.0 + alpha / math.sqrt(math.pi))
-    q_core = q_ext[core]
-    q_real = jnp.where(sys_ext.numbers[core] > 0, q_core, 0.0)
+    q_core = spec.take_core(q_ext)
+    q_real = jnp.where(spec.take_core(sys_ext.numbers) > 0, q_core, 0.0)
     return e + 2.0 * FACTOR * _mol_sum_sp(
-        self_coeff * q_real * q_real, mol_idx_core, 1
+        self_coeff * q_real * q_real, mol_idx_core, 1, spec.axes
     )
 
 
@@ -549,10 +683,8 @@ def _ewald_spatial(
     sys_ext: System,
     q_ext: Array,
     mol_idx_core: Array,
-    core: slice,
     k_pts: np.ndarray,
     cell: Array,
-    axis_name: str = "sp",
 ) -> Array:
     """Full Ewald on the spatial decomposition (VERDICT r2 item 5).
 
@@ -568,6 +700,7 @@ def _ewald_spatial(
     from aimnetcentral_tpu.models.ewald import HI, KE
 
     eta = spec.ewald_eta
+    axes = spec.axes
     q_ext_m = jnp.where(sys_ext.numbers > 0, q_ext, 0.0)
 
     def e_fn(d, valid, self_b, cand_b):
@@ -577,10 +710,10 @@ def _ewald_spatial(
     e_i = pair_energy_binned(
         sys_ext, float(spec.ewald_r_static), e_fn, {"q": q_ext_m}
     )
-    e_real = 0.5 * _mol_sum_sp(e_i[core], mol_idx_core, 1)
+    e_real = 0.5 * _mol_sum_sp(spec.take_core(e_i), mol_idx_core, 1, axes)
 
-    coord_core = sys_ext.coord[core]
-    q_core = q_ext_m[core]
+    coord_core = spec.take_core(sys_ext.coord)
+    q_core = spec.take_core(q_ext_m)
     volume = jnp.abs(jnp.linalg.det(cell))
     if head.method == "pme" and spec.pme_mesh is not None:
         # PME reciprocal space on the ring: the spread mesh is ADDITIVE over
@@ -601,7 +734,7 @@ def _ewald_spatial(
             coord_core, q_core, inv_at,
             jnp.zeros(coord_core.shape[0], jnp.int32), 1, spec.pme_mesh,
         )
-        rho = jax.lax.psum(rho_local, axis_name)
+        rho = jax.lax.psum(rho_local, axes)
         e_recip = pme_reciprocal_from_rho(
             rho, cell[None], jnp.asarray([eta], cell.dtype), spec.pme_mesh
         )[0]
@@ -612,10 +745,10 @@ def _ewald_spatial(
         kmask = (k2 > 1e-12) & (k2 < spec.ewald_k_cutoff**2)
         phase = jnp.einsum("kh,nh->nk", kvec, coord_core, precision=HI)
         s_re = jax.lax.psum(
-            jnp.sum(q_core[:, None] * jnp.cos(phase), axis=0), axis_name
+            jnp.sum(q_core[:, None] * jnp.cos(phase), axis=0), axes
         )
         s_im = jax.lax.psum(
-            jnp.sum(q_core[:, None] * jnp.sin(phase), axis=0), axis_name
+            jnp.sum(q_core[:, None] * jnp.sin(phase), axis=0), axes
         )
         w = jnp.where(
             kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0
@@ -623,10 +756,10 @@ def _ewald_spatial(
         e_recip = (2.0 * jnp.pi / volume) * jnp.sum(
             w * (s_re * s_re + s_im * s_im)
         )
-    e_self = -jax.lax.psum(jnp.sum(q_core * q_core), axis_name) / (
+    e_self = -jax.lax.psum(jnp.sum(q_core * q_core), axes) / (
         jnp.sqrt(2.0 * jnp.pi) * eta
     )
-    q_tot = jax.lax.psum(jnp.sum(q_core), axis_name)
+    q_tot = jax.lax.psum(jnp.sum(q_core), axes)
     e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
     e = KE * (e_real + e_recip + e_self + e_bg)
 
@@ -648,7 +781,7 @@ def _ewald_spatial(
         e_sr_i = pair_energy_binned(sys_ext, rc, sr_fn, {"q": q_ext_m})
         from aimnetcentral_tpu.models.lr import FACTOR
 
-        e = e - FACTOR * _mol_sum_sp(e_sr_i[core], mol_idx_core, 1)
+        e = e - FACTOR * _mol_sum_sp(spec.take_core(e_sr_i), mol_idx_core, 1, axes)
     return e
 
 
@@ -658,7 +791,6 @@ def _dftd3_spatial(
     sys_ext: System,
     tables: dict[str, Array],
     mol_idx_core: Array,
-    core: slice,
 ) -> Array:
     """DFT-D3(BJ) on the spatial decomposition (VERDICT r2 item 5).
 
@@ -683,14 +815,16 @@ def _dftd3_spatial(
     cn_raw = pair_energy_binned(
         sys_ext, smoothing_off, d3_cn_fn(), {"rcov": rcov_ext}
     )
-    cn_ext = _exchange(spec, cn_raw[core])  # owner-authoritative halo CN
+    cn_ext = _exchange(spec, spec.take_core(cn_raw))  # owner-authoritative halo CN
     extras = d3_pair_extras(spec.species, sys_ext.numbers, cn_ext, tables)
     e_i = pair_energy_binned(
         sys_ext, smoothing_off,
         d3_e_fn(head.a1, head.a2, head.s8, head.s6, smoothing_on, smoothing_off),
         extras,
     )
-    return constants.half_Hartree * _mol_sum_sp(e_i[core], mol_idx_core, 1)
+    return constants.half_Hartree * _mol_sum_sp(
+        spec.take_core(e_i), mol_idx_core, 1, spec.axes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +844,7 @@ class SpatialMDDriver:
 
     def __init__(
         self, params, cfg: AIMNet2Config, system: System, md, n_sp: int,
-        seed: int = 0,
+        seed: int = 0, n_spy: int = 1,
     ):
         from aimnetcentral_tpu import constants
         from aimnetcentral_tpu.dynamics.md import maxwell_boltzmann_velocities
@@ -718,8 +852,8 @@ class SpatialMDDriver:
         assert system.bins is not None and system.cell is not None
         self.params = params
         self.md = md
-        self.spec = plan_spatial(system, cfg, n_sp)
-        self.mesh = make_spatial_mesh(n_sp)
+        self.spec = plan_spatial(system, cfg, n_sp, n_spy)
+        self.mesh = make_spatial_mesh(n_sp, n_spy)
         self.efn = make_spatial_energy_fn(
             cfg, self.spec, self.mesh,
             ewald_kpts=None if system.ewald_kpts is None

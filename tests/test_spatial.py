@@ -479,3 +479,103 @@ def test_spatial_observables_match_single_device(case):
         np.asarray(out["quadrupole"]), np.asarray(ref["quadrupole"])[0],
         rtol=2e-5, atol=1e-3,
     )
+
+
+# --- 2-D (x, y) torus decomposition -----------------------------------------
+
+
+def test_spatial2d_energy_forces_match_single_device(case):
+    """2x2 torus: two-step halo exchange (x ring, then y ring with corners)
+    must reproduce the single-device energy AND forces."""
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    e_ref, _ = _single_device_energy(cfg, params, sysb)
+    spec = plan_spatial(sysb, cfg, n_sp=2, n_spy=2)
+    assert spec.axes == ("sp", "spy") and spec.hy == spec.halo
+    mesh = make_spatial_mesh(2, 2)
+    efn = make_spatial_energy_fn(cfg, spec, mesh)
+    e_sp, g_sp = jax.value_and_grad(
+        lambda c: efn(params, c, sysb.numbers, sysb.charge, sysb.cell[0])
+    )(sysb.coord)
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda c: _single_device_energy(cfg, params, sysb, coord=c)[0]
+    )(sysb.coord)
+    mask = np.asarray(sysb.numbers > 0)
+    d = np.abs(np.asarray(g_sp) - np.asarray(g_ref))[mask]
+    scale = max(float(np.abs(np.asarray(g_ref)).max()), 1e-9)
+    assert d.max() < 3e-5 * scale + 3e-6, (d.max(), scale)
+
+
+def test_spatial2d_ewald_d3_matches_single_device(case_full):
+    """(2, 2) torus tile with the full Ewald + D3 surface: the k-space psum
+    spans both mesh axes; D3's CN halo refresh crosses corners."""
+    cfg, params, sysb = case_full
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    e_ref, _ = _single_device_energy(cfg, params, sysb)
+    spec = plan_spatial(sysb, cfg, n_sp=2, n_spy=2)
+    assert spec.nx_local == 3 and spec.ny_local == 3
+    mesh = make_spatial_mesh(2, 2)
+    efn = make_spatial_energy_fn(
+        cfg, spec, mesh, ewald_kpts=np.asarray(sysb.ewald_kpts)
+    )
+    e_sp = efn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-6, atol=2e-5)
+
+
+def test_spatial2d_md_matches_single_device_nve(case):
+    """Spatial MD stepping on the 2x2 torus == single-device velocity-Verlet
+    (epot trace)."""
+    cfg, params, sysb = case
+    from aimnetcentral_tpu import constants
+    from aimnetcentral_tpu.dynamics import MDConfig
+    from aimnetcentral_tpu.parallel.spatial import SpatialMDDriver
+
+    md = MDConfig(dt_fs=0.2, temperature_K=1e-6, thermostat="nve", skin=1.0)
+    drv = SpatialMDDriver(params, cfg, sysb, md, n_sp=2, n_spy=2)
+
+    coord = sysb.coord
+    veloc = drv.veloc
+    masses = drv.masses
+
+    def force(c):
+        e, g = jax.value_and_grad(
+            lambda cc: aimnet2_apply(
+                params, cfg, sysb.replace(coord=cc), sae_external=True
+            )["energy"].sum()
+        )(c)
+        return -g, e
+
+    forces, _ = force(coord)
+    dt = md.dt_fs * constants.fs
+    real = (sysb.numbers > 0)[:, None]
+    ref_epots = []
+    for _ in range(4):
+        acc = jnp.where(real, forces / masses[:, None], 0.0)
+        v_half = veloc + 0.5 * dt * acc
+        coord = coord + dt * v_half
+        forces, epot = force(coord)
+        veloc = v_half + 0.5 * dt * jnp.where(real, forces / masses[:, None], 0.0)
+        ref_epots.append(float(epot))
+
+    out = drv.run(4, chunk=2)
+    np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
+
+
+def test_spatial2d_refuses_oversplit_y(case):
+    cfg, params, sysb = case
+    from aimnetcentral_tpu.parallel.spatial import plan_spatial
+
+    with pytest.raises(AssertionError, match="halo"):
+        plan_spatial(sysb, cfg, n_sp=2, n_spy=4)
