@@ -56,6 +56,46 @@ class EnsembleCalculator(AIMNet2Calculator):
         aux = members[0][2] if len(members[0]) > 2 else {"sae": {}}
         return cls((params, cfg, aux), fused=fused)
 
+    @classmethod
+    def from_registry(cls, name: str, fused: bool = False) -> "EnsembleCalculator":
+        """Load EVERY ensemble member of a registry family in one call
+        (e.g. ``EnsembleCalculator.from_registry("aimnet2")`` loads the
+        four ``aimnet2-wb97m-d3_{0..3}`` artifacts).
+
+        Members must share one architecture.  Per-member float64 SAE tables
+        are averaged for the host-side shift — exact for the ensemble MEAN
+        energy (the mean is linear); ``energy_std`` covers the network
+        spread (the tiny compositional SAE spread between members of one
+        family is not included)."""
+        from aimnetcentral_tpu.calculators.registry import (
+            ensemble_members,
+            registry_family,
+            resolve_model,
+        )
+        from aimnetcentral_tpu.models.loader import load_model
+
+        names = ensemble_members(name)
+        loaded = [
+            load_model(resolve_model(n), registry_family=registry_family(n))
+            for n in names
+        ]
+        cfg = loaded[0].cfg
+        for ld, n in zip(loaded[1:], names[1:]):
+            if ld.cfg != cfg:
+                raise ValueError(
+                    f"ensemble member {n!r} has a different architecture than "
+                    f"{names[0]!r}; load members individually instead"
+                )
+        params = stack_params([ld.params for ld in loaded])
+        aux = dict(loaded[0].aux)
+        tables = [ld.aux.get("sae", {}) for ld in loaded]
+        if any(tables):
+            aux["sae"] = {
+                k: np.mean([t[k] for t in tables], axis=0)
+                for k in tables[0]
+            }
+        return cls((params, cfg, aux), fused=fused)
+
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
         if self._fused and not (stress or hessian):
             return self._get_fused_fn(cfg, forces)

@@ -61,6 +61,24 @@ def resolve_name(name: str) -> tuple[str, dict]:
     return canonical, reg["models"][canonical]
 
 
+def ensemble_members(name: str) -> list[str]:
+    """All registry member names of the ensemble family ``name`` belongs to.
+
+    Resolves aliases and the family shorthand first, then enumerates the
+    ``{base}_{i}`` members (the registry's naming scheme for the 4-member
+    families, reference aimnet/calculators/model_registry.yaml)."""
+    canonical, _ = resolve_name(name)
+    stem, _, tail = canonical.rpartition("_")
+    base = stem if tail.isdigit() else canonical
+    reg = _load_registry()
+    members = []
+    i = 0
+    while f"{base}_{i}" in reg["models"]:
+        members.append(f"{base}_{i}")
+        i += 1
+    return members or [canonical]
+
+
 def get_family_policy(family: str | None) -> FamilyPolicy:
     if family is None:
         return FamilyPolicy()

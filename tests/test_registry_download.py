@@ -88,3 +88,84 @@ def test_force_redownloads(fake_registry):
     registry.download_model("demo")
     registry.download_model("demo", force=True)
     assert len(calls) == 2
+
+
+def test_ensemble_calculator_from_registry(tmp_path, monkeypatch):
+    """EnsembleCalculator.from_registry loads EVERY {base}_{i} member of a
+    family, stacks params, and averages the per-member float64 SAE tables
+    (exact for the ensemble mean)."""
+    import jax
+    import numpy as np
+
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+    from aimnetcentral_tpu.models import (
+        AEVConfig,
+        AIMNet2Config,
+        aimnet2_init,
+    )
+    from aimnetcentral_tpu.models.heads import (
+        AtomicShiftHead,
+        AtomicSumHead,
+        OutputHead,
+    )
+    from aimnetcentral_tpu.models.modules import MLPSpec
+    from aimnetcentral_tpu.train.export import export_model
+
+    cfg = AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((16,), (16,), (16,)),
+        aim_size=16,
+        outputs=(
+            ("energy_mlp", OutputHead(n_in=16, n_out=1, key_in="aim",
+                                      key_out="energy",
+                                      mlp=MLPSpec(hidden=(8,), last_linear=True))),
+            ("atomic_shift", AtomicShiftHead(key_in="energy", key_out="energy")),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+    files = {}
+    for i in range(2):
+        params = aimnet2_init(jax.random.key(i), cfg)
+        path = str(tmp_path / f"demo_{i}.pt")
+        # per-member SAE differs: the averaged table must be used
+        export_model(params, cfg, path, sae={1: -13.0 - i, 8: -2000.0 + i},
+                     implemented_species=[1, 8])
+        files[f"demo_{i}"] = path
+
+    reg = {
+        "models": {
+            n: {"file": os.path.basename(p), "url": f"https://x.invalid/{n}",
+                "sha256": "0" * 64}
+            for n, p in files.items()
+        },
+        "aliases": {"demo-alias": "demo"},
+        "families": {},
+    }
+    monkeypatch.setattr(registry, "_load_registry", lambda: reg)
+    monkeypatch.setattr(
+        registry, "download_model", lambda name, force=False: files[name]
+    )
+
+    assert registry.ensemble_members("demo") == ["demo_0", "demo_1"]
+    assert registry.ensemble_members("demo-alias") == ["demo_0", "demo_1"]
+    assert registry.ensemble_members("demo_1") == ["demo_0", "demo_1"]
+
+    ens = EnsembleCalculator.from_registry("demo")
+    data = {"coord": [[0, 0, 0.119], [0, 0.763, -0.477], [0, -0.763, -0.477]],
+            "numbers": [8, 1, 1]}
+    out = ens(data)
+
+    from aimnetcentral_tpu.models.loader import load_model
+
+    singles = [
+        AIMNet2Calculator(load_model(p).as_calculator_model())(data)["energy"][0]
+        for p in files.values()
+    ]
+    assert out["energy"][0] == pytest.approx(np.mean(singles), abs=1e-4)
+    # the averaged SAE table really is the member mean
+    sae = next(iter(ens.aux["sae"].values()))
+    assert sae[1] == pytest.approx(-13.5) and sae[8] == pytest.approx(-1999.5)
