@@ -33,6 +33,20 @@ def _load_calc(model: str):
     return AIMNet2Calculator(loaded.as_calculator_model()), loaded
 
 
+def _load_ens_calc(model: str, fused: bool = True):
+    """Ensemble calculator from a registry family name (all members) or a
+    comma-separated list of artifact paths."""
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+    from aimnetcentral_tpu.models.loader import load_model
+
+    if "," in model:
+        loaded = [load_model(p.strip()) for p in model.split(",")]
+        return EnsembleCalculator.from_members(
+            [ld.as_calculator_model() for ld in loaded], fused=fused
+        )
+    return EnsembleCalculator.from_registry(model, fused=fused)
+
+
 def _read_structure(path: str):
     """Read XYZ or CIF: returns (coord, numbers, cell-or-None)."""
     from aimnetcentral_tpu.io import read_cif, read_xyz
@@ -55,15 +69,30 @@ def _read_xyz(path: str):
 @click.argument("xyz")
 @click.option("--charge", default=0.0)
 @click.option("--forces/--no-forces", default=True)
-def sp(model: str, xyz: str, charge: float, forces: bool) -> None:
+@click.option(
+    "--ensemble/--no-ensemble",
+    default=False,
+    help="load every member of a registry family (or MODEL as a "
+    "comma-separated member list) and report mean +/- member spread",
+)
+def sp(model: str, xyz: str, charge: float, forces: bool, ensemble: bool) -> None:
     """Single-point energy (and forces) for an XYZ or CIF file."""
-    calc, _ = _load_calc(model)
+    if ensemble:
+        calc = _load_ens_calc(model)
+    else:
+        calc, _ = _load_calc(model)
     coord, numbers, cell = _read_structure(xyz)
     data = {"coord": coord, "numbers": numbers, "charge": charge}
     if cell is not None:
         data["cell"] = cell
     out = calc(data, forces=forces, stress=cell is not None)
-    click.echo(f"energy (eV): {out['energy'][0]:.6f}")
+    if "energy_std" in out:
+        click.echo(
+            f"energy (eV): {out['energy'][0]:.6f} "
+            f"+/- {out['energy_std'][0]:.6f} (ensemble spread)"
+        )
+    else:
+        click.echo(f"energy (eV): {out['energy'][0]:.6f}")
     click.echo(f"charges: {np.round(out['charges'], 4).tolist()}")
     if forces:
         click.echo(f"max |force| (eV/A): {np.abs(out['forces']).max():.6f}")
@@ -101,24 +130,36 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
 @click.option("--chunk", default=50, help="steps per compiled chunk (= trajectory stride)")
 @click.option("--save-ckpt", default=None, help="write a resume checkpoint here at the end")
 @click.option("--restore-ckpt", default=None, help="resume from a checkpoint written by --save-ckpt")
+@click.option(
+    "--ensemble/--no-ensemble",
+    default=False,
+    help="run mean-force MD over every member of a registry family (or a "
+    "comma-separated member list); logs the on-device epot spread",
+)
 def md(
     model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
-    traj, chunk, save_ckpt, restore_ckpt,
+    traj, chunk, save_ckpt, restore_ckpt, ensemble,
 ) -> None:
     """On-device NVT MD (Langevin)."""
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver, TrajectoryWriter
 
-    calc, loaded = _load_calc(model)
+    if ensemble:
+        calc = _load_ens_calc(model)
+        params = calc.params
+    else:
+        calc, loaded = _load_calc(model)
+        params = loaded.params
     coord, numbers = _read_xyz(xyz)
     data = {"coord": coord, "numbers": numbers}
     if cell is not None:
         data["cell"] = np.eye(3, dtype=np.float32) * float(cell)
     system = calc.prepare_system(data)
     drv = MDDriver(
-        loaded.params,
+        params,
         calc.cfg,
         system,
         MDConfig(dt_fs=dt_fs, temperature_K=temperature),
+        ensemble=ensemble,
     )
     if restore_ckpt:
         drv.restore_checkpoint(restore_ckpt)
@@ -135,6 +176,8 @@ def md(
         "final_epot_eV": float(obs["epot"][-1]),
         "mean_T_K": float(obs["temperature"][steps // 2 :].mean()),
     }
+    if "epot_std" in obs:
+        result["final_epot_std_eV"] = float(obs["epot_std"][-1])
     if writer is not None:
         result["traj_frames"] = writer.frames_written
     if save_ckpt:

@@ -1,0 +1,129 @@
+"""CLI user journeys (reference: the `aimnet` console scripts + this repo's
+sp/md/relax/freq extras), driven through click's test runner with tiny
+artifacts — the full path from an exported .pt on disk to printed numbers.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from click.testing import CliRunner
+
+from aimnetcentral_tpu.models import AEVConfig, AIMNet2Config, aimnet2_init
+from aimnetcentral_tpu.models.heads import (
+    AtomicShiftHead,
+    AtomicSumHead,
+    OutputHead,
+)
+from aimnetcentral_tpu.models.modules import MLPSpec
+
+
+def _tiny_cfg():
+    return AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((16,), (16,), (16,)),
+        aim_size=16,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=16, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(8,), last_linear=True)),
+            ),
+            ("atomic_shift", AtomicShiftHead(key_in="energy", key_out="energy")),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Two tiny exported artifacts + a water xyz, shared across CLI tests."""
+    import jax
+
+    from aimnetcentral_tpu.train.export import export_model
+
+    d = tmp_path_factory.mktemp("cli")
+    cfg = _tiny_cfg()
+    paths = []
+    for i in range(2):
+        p = str(d / f"m{i}.pt")
+        export_model(
+            aimnet2_init(jax.random.key(i), cfg), cfg, p,
+            sae={1: -13.6, 8: -2042.6}, implemented_species=[1, 8],
+        )
+        paths.append(p)
+    xyz = str(d / "water.xyz")
+    with open(xyz, "w") as f:
+        f.write("3\n\nO 0 0 0.119\nH 0 0.763 -0.477\nH 0 -0.763 -0.477\n")
+    return d, paths, xyz
+
+
+def _run(args):
+    from aimnetcentral_tpu.cli import cli
+
+    r = CliRunner().invoke(cli, args)
+    assert r.exit_code == 0, (args, r.output, r.exception)
+    return r.output
+
+
+def test_cli_sp(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["sp", paths[0], xyz])
+    assert "energy (eV):" in out and "charges:" in out and "force" in out
+    e = float(out.split("energy (eV):")[1].split()[0])
+    assert np.isfinite(e)
+
+
+def test_cli_sp_ensemble_member_list(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["sp", ",".join(paths), xyz, "--ensemble"])
+    assert "ensemble spread" in out
+    e, std = out.split("energy (eV):")[1].split("+/-")
+    assert np.isfinite(float(e))
+    assert float(std.split()[0]) > 0  # independently-initialized members
+
+    # the ensemble mean equals the mean of the two single-model energies
+    singles = [
+        float(_run(["sp", p, xyz]).split("energy (eV):")[1].split()[0])
+        for p in paths
+    ]
+    assert float(e) == pytest.approx(np.mean(singles), abs=1e-4)
+
+
+def test_cli_md_ensemble_and_checkpoint(workspace, tmp_path):
+    _d, paths, xyz = workspace
+    ck = str(tmp_path / "md.ckpt")
+    out = _run([
+        "md", ",".join(paths), xyz, "--steps", "10", "--chunk", "5",
+        "--ensemble", "--save-ckpt", ck,
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["steps"] == 10
+    assert np.isfinite(res["final_epot_eV"])
+    assert res["final_epot_std_eV"] > 0  # on-device UQ observable
+    assert os.path.exists(ck)
+
+    out2 = _run([
+        "md", ",".join(paths), xyz, "--steps", "5", "--chunk", "5",
+        "--ensemble", "--restore-ckpt", ck,
+    ])
+    res2 = json.loads(out2.strip().splitlines()[-1])
+    assert np.isfinite(res2["final_epot_eV"])
+
+
+def test_cli_relax(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["relax", paths[0], xyz, "--max-steps", "20", "--fmax", "0.5"])
+    info = json.loads(out.strip().splitlines()[-1])
+    assert "fmax" in info or "converged" in info or info  # structured output
+
+
+def test_cli_info(workspace):
+    out = _run(["info"])
+    assert "aimnetcentral_tpu" in out and "devices:" in out
+    assert "model cache:" in out
