@@ -127,3 +127,21 @@ def test_cli_info(workspace):
     out = _run(["info"])
     assert "aimnetcentral_tpu" in out and "devices:" in out
     assert "model cache:" in out
+
+
+def test_cli_freq(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["freq", paths[0], xyz, "--n-modes", "6"])
+    # six frequencies printed, finite (random weights: values arbitrary,
+    # imaginary modes print negative)
+    nums = [float(t) for t in out.replace(",", " ").split() if _is_float(t)]
+    assert len(nums) >= 3  # water: 3 vibrational modes after null projection
+    assert all(np.isfinite(v) for v in nums)
+
+
+def _is_float(t):
+    try:
+        float(t)
+        return True
+    except ValueError:
+        return False
