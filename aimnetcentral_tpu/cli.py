@@ -216,19 +216,70 @@ def freq(model: str, xyz: str, charge: float, n_modes: int) -> None:
     )
 
 
+def _deep_merge(base: dict, extra: dict) -> dict:
+    """Recursive dict merge, ``extra`` winning (the reference's
+    OmegaConf.merge of multiple --config files, train/train.py:57-59)."""
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _apply_dotted_overrides(cfg: dict, args: tuple[str, ...]) -> dict:
+    """Apply ``a.b.c=value`` positional overrides (values YAML-parsed),
+    matching the reference train CLI's ARGS (train/train.py:33-38,61-64)."""
+    import yaml as _yaml
+
+    for arg in args:
+        if "=" not in arg:
+            raise click.UsageError(
+                f"override {arg!r} must be KEY.PATH=VALUE (e.g. data.train=x.h5)"
+            )
+        key, _, raw = arg.partition("=")
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = _yaml.safe_load(raw)
+    return cfg
+
+
 @cli.command()
-@click.option("--config", "config_path", required=True, help="training yaml")
+@click.option(
+    "--config",
+    "config_paths",
+    required=True,
+    multiple=True,
+    help="training yaml (repeatable; later files override earlier ones)",
+)
 @click.option("--load", "load_path", default=None, help="checkpoint to resume from")
 @click.option(
     "--hyperpar",
     default=None,
     help="YAML file of Jinja2 hyperparameters rendered into the config",
 )
-def train(config_path: str, load_path: str | None, hyperpar: str | None) -> None:
-    """Train a model from a YAML config (see docs/training.md).
+@click.argument("overrides", nargs=-1)
+def train(
+    config_paths: tuple[str, ...],
+    load_path: str | None,
+    hyperpar: str | None,
+    overrides: tuple[str, ...],
+) -> None:
+    """Train a model from YAML config(s) (see docs/training.md).
 
-    The config supports Jinja2 ``{{ name }}`` hyperparameter templating and
-    nested .yaml file references (reference aimnet/config.py:83-152)."""
+    Configs support Jinja2 ``{{ name }}`` hyperparameter templating and
+    nested .yaml file references (reference aimnet/config.py:83-152).
+    Multiple ``--config`` files merge in order, and trailing OVERRIDES are
+    dot-separated assignments applied last — e.g.
+    ``aimnet-tpu train --config base.yaml trainer.epochs=5 data.train=x.h5``
+    (reference aimnet/train/train.py:33-64)."""
     import jax
 
     from aimnetcentral_tpu.data.sgdataset import SizeGroupedDataset
@@ -239,7 +290,10 @@ def train(config_path: str, load_path: str | None, hyperpar: str | None) -> None
 
     from aimnetcentral_tpu.config import load_yaml
 
-    cfg_dict = load_yaml(config_path, hyperpar)
+    cfg_dict: dict = {}
+    for cp in config_paths:
+        cfg_dict = _deep_merge(cfg_dict, load_yaml(cp, hyperpar))
+    cfg_dict = _apply_dotted_overrides(cfg_dict, overrides)
 
     model_cfg = config_from_yaml(cfg_dict["model"])
     params = aimnet2_init(jax.random.key(cfg_dict.get("seed", 0)), model_cfg)

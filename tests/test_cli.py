@@ -145,3 +145,61 @@ def _is_float(t):
         return True
     except ValueError:
         return False
+
+
+def test_cli_train_multi_config_and_dotted_overrides(tmp_path):
+    """Reference train-CLI ergonomics (aimnet/train/train.py:33-64): multiple
+    --config files merge in order; trailing dotted KEY.PATH=VALUE overrides
+    apply last.  Runs a real 2-epoch training on a tiny npz-dir dataset."""
+    import yaml as _yaml
+
+    rng = np.random.default_rng(0)
+    size, n = 6, 16
+    coord = rng.uniform(-2.5, 2.5, size=(n, size, 3)).astype(np.float32)
+    numbers = rng.choice([1, 8], size=(n, size))
+    energy = coord.sum((1, 2)).astype(np.float32) * 0.01
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    np.savez(ddir / f"{size:03d}.npz", coord=coord, numbers=numbers,
+             energy=energy, charge=np.zeros(n, np.float32))
+
+    model_tree = {
+        "class": "aimnet.models.AIMNet2",
+        "kwargs": {
+            "nfeature": 4, "d2features": True, "ncomb_v": 4,
+            "hidden": [[16], [16], [16]], "aim_size": 16,
+            "aev": {"rc_s": 5.0, "nshifts_s": 8},
+            "outputs": {
+                "energy_mlp": {"class": "aimnet.modules.Output",
+                               "kwargs": {"n_in": 16, "n_out": 1,
+                                          "key_in": "aim", "key_out": "energy",
+                                          "mlp": {"hidden": [8],
+                                                  "last_linear": True}}},
+                "atomic_shift": {"class": "aimnet.modules.AtomicShift",
+                                 "kwargs": {"key_in": "energy",
+                                            "key_out": "energy"}},
+                "atomic_sum": {"class": "aimnet.modules.AtomicSum",
+                               "kwargs": {"key_in": "energy",
+                                          "key_out": "energy"}},
+            },
+        },
+    }
+    base = {
+        "model": model_tree,
+        "data": {"train": "WRONG-overridden-below", "sae": False},
+        "trainer": {"max_epochs": 99, "batch_size": 8, "with_forces": False},
+        "loss": {"terms": [{"kind": "energy", "key_pred": "energy",
+                            "key_true": "energy", "weight": 1.0}]},
+    }
+    extra = {"trainer": {"max_epochs": 2}}  # merged OVER base
+    p_base, p_extra = tmp_path / "base.yaml", tmp_path / "extra.yaml"
+    p_base.write_text(_yaml.safe_dump(base, sort_keys=False))
+    p_extra.write_text(_yaml.safe_dump(extra, sort_keys=False))
+
+    out = _run([
+        "train", "--config", str(p_base), "--config", str(p_extra),
+        f"data.train={ddir}",
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["epochs"] == 2  # extra.yaml's max_epochs won
+    assert np.isfinite(res["best_val"])
