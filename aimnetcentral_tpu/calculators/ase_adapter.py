@@ -40,12 +40,25 @@ class AIMNet2ASE(Calculator):
         self.base_calc = base_calc
         self.charge = charge
         self.mult = mult
+        if getattr(base_calc, "is_nse", False):
+            # per-INSTANCE extension, the class list stays closed-shell
+            # (reference aimnet/calculators/aimnet2ase.py:62-63)
+            self.__dict__["implemented_properties"] = [
+                *self.__class__.implemented_properties,
+                "spin_charges",
+            ]
+
+    @property
+    def is_nse(self) -> bool:
+        return bool(getattr(self.base_calc, "is_nse", False))
 
     def _charge_mult(self, atoms):
-        """atoms.info takes precedence over constructor values
-        (reference aimnet/calculators/aimnet2ase.py:114-135)."""
+        """atoms.info takes precedence over constructor values; both
+        ``mult`` (AIMNet2 style) and ``spin`` (MACE style) name the
+        multiplicity 2S+1 (reference aimnet/calculators/
+        aimnet2ase.py:114-135)."""
         charge = atoms.info.get("charge", self.charge)
-        mult = atoms.info.get("mult", self.mult)
+        mult = atoms.info.get("mult", atoms.info.get("spin", self.mult))
         return charge, mult
 
     def _data(self, atoms):
@@ -90,10 +103,22 @@ class AIMNet2ASE(Calculator):
                 [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
             )
 
+    def get_spin_charges(self, atoms=None):
+        """Per-atom spin populations; NSE models only (reference
+        aimnet/calculators/aimnet2ase.py:158-161)."""
+        if "spin_charges" not in self.results:
+            raise RuntimeError(
+                "spin_charges is not available. Use an NSE model "
+                "(e.g. 'aimnet2nse')."
+            )
+        return self.results["spin_charges"]
+
     def get_hessian(self, atoms=None):
         """(3N, 3N) Hessian for Sella (reference aimnet/calculators/
         aimnet2ase.py:163-226)."""
-        atoms = atoms or self.atoms
+        atoms = atoms if atoms is not None else self.atoms
+        if atoms is None:
+            raise ValueError("get_hessian requires atoms (none attached)")
         out = self.base_calc(self._data(atoms), hessian=True)
         n = len(atoms)
         return np.asarray(out["hessian"], dtype=np.float64).reshape(3 * n, 3 * n)

@@ -87,6 +87,54 @@ def _as_molecules(data: Mapping[str, Any]) -> list[dict]:
     return mols
 
 
+def _apply_external_lr_flags(
+    params: dict,
+    cfg: AIMNet2Config,
+    metadata: Mapping[str, Any],
+    needs_coulomb: bool,
+    needs_dispersion: bool,
+) -> tuple[dict, AIMNet2Config]:
+    """Strip / attach external LR heads so the model matches the calculator's
+    RESOLVED flags (reference aimnet/calculators/calculator.py:195-247 —
+    explicit ctor overrides beat artifact metadata; the artifact itself is
+    never mutated)."""
+    from aimnetcentral_tpu.models.heads import head_init
+    from aimnetcentral_tpu.models.loader import attach_external_lr
+
+    outputs = [
+        (n, h)
+        for n, h in cfg.outputs
+        if not (n == "external_coulomb" and not needs_coulomb)
+        and not (n == "external_dftd3" and not needs_dispersion)
+    ]
+    cfg = dataclasses.replace(cfg, outputs=tuple(outputs))
+    names = {n for n, _ in outputs}
+    attach_c = needs_coulomb and "external_coulomb" not in names
+    attach_d = needs_dispersion and "external_dftd3" not in names
+    if attach_c or attach_d:
+        cfg = attach_external_lr(
+            cfg,
+            {
+                **metadata,
+                "needs_coulomb": attach_c,
+                "needs_dispersion": attach_d,
+            },
+        )
+    new_names = {n for n, _ in cfg.outputs}
+    if new_names != set(params.get("outputs", {})):
+        params = dict(params)
+        head_params = {
+            n: p for n, p in params.get("outputs", {}).items() if n in new_names
+        }
+        for n, h in cfg.outputs:
+            if n not in head_params:
+                # external heads carry only constant tables, never learned
+                # weights — init is deterministic
+                head_params[n] = head_init(jax.random.key(0), h)
+        params["outputs"] = head_params
+    return params, cfg
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -121,6 +169,8 @@ class AIMNet2Calculator:
         binned_threshold: int = 1024,
         reuse_skin: float = 0.6,
         precision: str = "exact",
+        needs_coulomb: bool | None = None,
+        needs_dispersion: bool | None = None,
     ):
         """``precision``: ``"exact"`` (default) pins every matmul to exact
         f32 ("highest"), matching the <1e-4 eV/A parity gate — the TPU
@@ -130,7 +180,13 @@ class AIMNet2Calculator:
         (~2x matmul throughput, ~4e-3 eV/A force noise — the MD driver's
         default regime; docs/performance.md "Matmul precision").  Use for
         screening workloads where single-point throughput matters more than
-        the last digits (VERDICT r3 next #8)."""
+        the last digits (VERDICT r3 next #8).
+
+        ``needs_coulomb`` / ``needs_dispersion``: explicit overrides for the
+        external long-range attachment; ``None`` (default) follows the
+        artifact metadata (reference aimnet/calculators/calculator.py:151-152,
+        195-247 — explicit beats metadata, source metadata is never
+        mutated)."""
         if precision not in ("exact", "fast"):
             raise ValueError(f"precision must be 'exact' or 'fast', got {precision!r}")
         self.precision = precision
@@ -158,19 +214,44 @@ class AIMNet2Calculator:
         # artifact metadata (implemented_species, family charge policy, ...)
         # rides along in aux so the 3-tuple calculator-model contract is kept
         self.metadata: dict = dict(aux.get("metadata") or {})
-        if self.metadata:
-            # runtime metadata validation against the resolved external-LR
-            # attachment (reference aimnet/models/artifact_validation.py:503)
+        # resolve the EFFECTIVE external-LR flags: explicit ctor override >
+        # artifact metadata > heads already present on the config
+        # (reference aimnet/calculators/calculator.py:195-205)
+        head_names = {n for n, _ in cfg.outputs}
+        art_coulomb = bool(
+            self.metadata.get("needs_coulomb", "external_coulomb" in head_names)
+        )
+        art_dispersion = bool(
+            self.metadata.get("needs_dispersion", "external_dftd3" in head_names)
+        )
+        eff_coulomb = art_coulomb if needs_coulomb is None else bool(needs_coulomb)
+        eff_dispersion = (
+            art_dispersion if needs_dispersion is None else bool(needs_dispersion)
+        )
+        if self.metadata or needs_coulomb is not None or needs_dispersion is not None:
+            # runtime metadata validation against the RESOLVED flags
+            # (reference aimnet/models/artifact_validation.py:503) — catches
+            # full_embedded + external Coulomb, embedded D3TS + external D3,
+            # and enabled-but-incomplete d3_params even when the heads were
+            # never attached by the loader
             from aimnetcentral_tpu.models.validation import (
                 validate_runtime_model_metadata,
             )
 
-            head_names = {n for n, _ in cfg.outputs}
             validate_runtime_model_metadata(
                 self.metadata,
-                needs_coulomb="external_coulomb" in head_names,
-                needs_dispersion="external_dftd3" in head_names,
+                needs_coulomb=eff_coulomb,
+                needs_dispersion=eff_dispersion,
             )
+        if (eff_coulomb, eff_dispersion) != (
+            "external_coulomb" in head_names,
+            "external_dftd3" in head_names,
+        ):
+            params, cfg = _apply_external_lr_flags(
+                params, cfg, self.metadata, eff_coulomb, eff_dispersion
+            )
+            self.params = params
+            self.cfg = cfg
         self.atom_bucket = atom_bucket
         self.nb_safety = nb_safety
         # periodic systems larger than this route through the binned stencil
@@ -207,6 +288,12 @@ class AIMNet2Calculator:
     @property
     def cutoff(self) -> float:
         return self.cfg.aev.rc_s
+
+    @property
+    def is_nse(self) -> bool:
+        """True for 2-channel (spin-resolved NSE) models
+        (reference aimnet/calculators/calculator.py `is_nse`)."""
+        return self.cfg.num_charge_channels == 2
 
     def _lr_head(self) -> LRCoulombHead | None:
         for _name, h in self.cfg.outputs:

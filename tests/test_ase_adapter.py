@@ -262,3 +262,89 @@ def test_pysis_coordinate_keyed_cache():
     assert len(base.calls) == 1
     p.get_forces(elem, c1 + 0.1)  # moved: re-evaluates
     assert len(base.calls) == 2
+
+
+# -- NSE surface (reference tests/test_ase.py:245-335) ------------------------
+
+
+@pytest.fixture(scope="module")
+def nse_calc():
+    cfg = AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((32,), (32,), (32,)),
+        aim_size=32,
+        num_charge_channels=2,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=32, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(16,), last_linear=True)),
+            ),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+    params = aimnet2_init(jax.random.key(1), cfg)
+    return AIMNet2Calculator((params, cfg, {"sae": {}}))
+
+
+def test_is_nse_flags(ase_adapter_module, calc, nse_calc):
+    assert not ase_adapter_module.AIMNet2ASE(calc).is_nse
+    assert ase_adapter_module.AIMNet2ASE(nse_calc).is_nse
+
+
+def test_spin_charges_in_implemented_properties_only_for_nse(
+    ase_adapter_module, calc, nse_calc
+):
+    # class-level list stays closed-shell; NSE instances extend their OWN copy
+    # (reference aimnet/calculators/aimnet2ase.py:62-63)
+    assert "spin_charges" not in ase_adapter_module.AIMNet2ASE.implemented_properties
+    std = ase_adapter_module.AIMNet2ASE(calc)
+    assert "spin_charges" not in std.implemented_properties
+    nse = ase_adapter_module.AIMNet2ASE(nse_calc, mult=2.0)
+    assert "spin_charges" in nse.implemented_properties
+    # and the class list was not mutated by constructing the NSE instance
+    assert "spin_charges" not in ase_adapter_module.AIMNet2ASE.implemented_properties
+
+
+def test_get_spin_charges_raises_for_standard_model(ase_adapter_module, calc):
+    std = ase_adapter_module.AIMNet2ASE(calc)
+    std.calculate(_water(), properties=("energy",))
+    with pytest.raises(RuntimeError, match="NSE"):
+        std.get_spin_charges()
+
+
+def test_spin_charges_shape_and_sum_rule(ase_adapter_module, nse_calc):
+    nse = ase_adapter_module.AIMNet2ASE(nse_calc, charge=1.0, mult=2.0)
+    atoms = _water()
+    nse.calculate(atoms, properties=("energy",))
+    sc = nse.get_spin_charges()
+    assert sc.shape == (3,)
+    # NSE normalization: total spin charge == number of unpaired electrons
+    # == mult - 1 (reference tests/test_ase.py:315-334)
+    np.testing.assert_allclose(np.asarray(sc).sum(), 1.0, atol=1e-4)
+
+
+def test_spin_info_alias_maps_to_mult(ase_adapter_module, nse_calc):
+    # MACE-style atoms.info["spin"] names the multiplicity too
+    # (reference aimnet/calculators/aimnet2ase.py:129-135)
+    spy = RecordingCalc(nse_calc)
+    ase_calc = ase_adapter_module.AIMNet2ASE(spy, charge=1.0, mult=2.0)
+    ase_calc.calculate(_water(info={"spin": 4.0, "charge": 1.0}), properties=("energy",))
+    data, _ = spy.calls[-1]
+    assert data["mult"] == 4.0
+
+
+def test_get_hessian_without_atoms_raises(ase_adapter_module, calc):
+    with pytest.raises(ValueError, match="atoms"):
+        ase_adapter_module.AIMNet2ASE(calc).get_hessian()
+
+
+def test_forces_sum_nearly_zero(ase_adapter_module, calc):
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    ase_calc.calculate(_water(), properties=("energy", "forces"))
+    np.testing.assert_allclose(
+        ase_calc.results["forces"].sum(0), np.zeros(3), atol=1e-5
+    )

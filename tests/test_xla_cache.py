@@ -12,8 +12,12 @@ import jax
 
 
 def test_enable_persistent_cache_idempotent(tmp_path, monkeypatch):
+    import aimnetcentral_tpu.xla_cache as xc
     from aimnetcentral_tpu.xla_cache import enable_persistent_cache
 
+    # earlier tests (CLI journeys) may have enabled the process-wide cache
+    # already — reset the latch so this test owns its directory
+    monkeypatch.setattr(xc, "_ENABLED", False)
     monkeypatch.setenv("AIMNET_XLA_CACHE", str(tmp_path / "xc"))
     p = enable_persistent_cache()
     assert p == str(tmp_path / "xc")
