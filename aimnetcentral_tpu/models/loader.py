@@ -198,6 +198,24 @@ def load_v2_artifact(
     return LoadedModel(params=params, cfg=cfg, aux=aux, metadata=metadata)
 
 
+def _check_member(member: int | str) -> int:
+    """Reject invalid ensemble members BEFORE any repo/file access
+    (reference aimnet/calculators/hf_hub.py:181-239)."""
+    if not isinstance(member, (int, str)) or isinstance(member, bool):
+        raise ValueError(
+            f"ensemble member must be a non-negative integer, got {member!r}"
+        )
+    try:
+        idx = int(member)
+    except ValueError:
+        raise ValueError(
+            f"ensemble member must be a non-negative integer, got {member!r}"
+        ) from None
+    if idx < 0:
+        raise ValueError(f"ensemble member must be >= 0, got {idx}")
+    return idx
+
+
 def fetch_hf_snapshot(
     repo_id: str,
     member: int | str = 0,
@@ -219,6 +237,8 @@ def fetch_hf_snapshot(
     returned path is then the registry ``.pt`` artifact instead.
     """
     import json
+
+    member = _check_member(member)
 
     from huggingface_hub import hf_hub_download
 
@@ -271,6 +291,8 @@ def load_hf_repo(
     ``repo_dir`` is a local snapshot directory; for live repo IDs use
     ``fetch_hf_snapshot`` first (``load_model`` dispatches both)."""
     import json
+
+    member = _check_member(member)
 
     from safetensors.numpy import load_file
 

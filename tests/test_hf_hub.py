@@ -179,3 +179,121 @@ def test_fetch_incomplete_family_config_is_rejected(tmp_path, monkeypatch):
     monkeypatch.setattr(huggingface_hub, "hf_hub_download", rec)
     with pytest.raises(ValueError, match="member_names"):
         fetch_hf_snapshot("acme/incomplete")
+
+
+def test_fetch_rejects_non_mapping_config_root(tmp_path, monkeypatch):
+    # config.json whose root is a list must fail cleanly, before weights
+    # (reference tests/test_hf_hub.py:639-645)
+    import huggingface_hub
+
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(["not", "a", "mapping"], f)
+    rec = _RecordingHub(str(tmp_path))
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", rec)
+    with pytest.raises(TypeError, match="mapping"):
+        fetch_hf_snapshot("acme/broken")
+    assert [c[1] for c in rec.calls] == ["config.json"]
+
+
+def test_fetch_rejects_invalid_format_version(hf_repo_dir, tmp_path, monkeypatch):
+    # (reference tests/test_hf_hub.py:121-141)
+    import huggingface_hub
+
+    _, config = hf_repo_dir
+    bad = dict(config, format_version=99)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(bad, f)
+    rec = _RecordingHub(str(tmp_path))
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", rec)
+    with pytest.raises(ValueError, match="format_version"):
+        fetch_hf_snapshot("acme/badver")
+    assert [c[1] for c in rec.calls] == ["config.json"]
+
+
+@pytest.mark.parametrize("member", [-1, "x", 2.5, None])
+def test_fetch_rejects_invalid_member_before_any_repo_access(
+    monkeypatch, member
+):
+    # invalid ensemble member fails BEFORE config.json is even requested
+    # (reference tests/test_hf_hub.py:181-239)
+    import huggingface_hub
+
+    def explode(*a, **k):  # no repo access allowed
+        raise AssertionError("hub was contacted")
+
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", explode)
+    with pytest.raises(ValueError, match="member"):
+        fetch_hf_snapshot("acme/any", member=member)
+
+
+def test_registry_fallback_accepts_registry_names_only(tmp_path, monkeypatch):
+    """A malicious family config cannot point the fallback at arbitrary
+    artifacts — member_names resolve through the pinned registry or fail
+    (reference tests/test_hf_hub.py:86-103)."""
+    import huggingface_hub
+
+    config = {
+        "format_version": 2,
+        "cutoff": 5.0,
+        "needs_coulomb": False,
+        "needs_dispersion": False,
+        "coulomb_mode": "none",
+        "d3_params": None,
+        "has_embedded_lr": False,
+        "has_embedded_d3ts": False,
+        "implemented_species": [1],
+        "member_names": ["https://evil.example/trojan.pt"],
+    }
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(config, f)
+    rec = _RecordingHub(str(tmp_path))
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", rec)
+    with pytest.raises(KeyError, match="not in registry"):
+        fetch_hf_snapshot("acme/trojan")
+
+
+def test_hf_load_preserves_float64_sae(hf_repo_dir):
+    """Atomic-shift SAE tables survive the HF round trip in exact float64
+    (reference tests/test_hf_hub.py:796-828; our SAE is applied host-side,
+    see AtomicShiftHead docs)."""
+    repo, _ = hf_repo_dir
+    loaded = load_model(repo)
+    sae = loaded.aux["sae"]
+    assert sae, "expected at least one atomic-shift SAE table"
+    for table in sae.values():
+        assert np.asarray(table).dtype == np.float64
+
+
+def test_hf_missing_weight_key_raises_by_name(hf_repo_dir, tmp_path):
+    """A safetensors file missing a required parameter fails with the
+    parameter's name (reference tests/test_hf_hub.py:850-868)."""
+    import shutil
+
+    from safetensors.numpy import load_file, save_file
+
+    repo, _ = hf_repo_dir
+    broken = tmp_path / "repo"
+    broken.mkdir()
+    shutil.copy(os.path.join(repo, "config.json"), broken / "config.json")
+    sd = load_file(os.path.join(repo, "ensemble_0.safetensors"))
+    dropped = next(k for k in sd if "weight" in k)
+    sd.pop(dropped)
+    save_file(sd, str(broken / "ensemble_0.safetensors"))
+    with pytest.raises(ValueError, match="missing"):
+        load_model(str(broken))
+
+
+def test_hf_unexpected_weight_key_warns(hf_repo_dir, tmp_path):
+    import shutil
+
+    from safetensors.numpy import load_file, save_file
+
+    repo, _ = hf_repo_dir
+    extra = tmp_path / "repo"
+    extra.mkdir()
+    shutil.copy(os.path.join(repo, "config.json"), extra / "config.json")
+    sd = load_file(os.path.join(repo, "ensemble_0.safetensors"))
+    sd["outputs.mystery.weight"] = np.zeros(3, np.float32)
+    save_file(sd, str(extra / "ensemble_0.safetensors"))
+    with pytest.warns(UserWarning, match="mystery|unconsumed|unexpected"):
+        load_model(str(extra))
