@@ -69,6 +69,36 @@ class DataGroup:
     def sample(self, idx) -> dict[str, np.ndarray]:
         return {k: v[idx] for k, v in self._data.items()}
 
+    def random_split(self, *fractions: float, seed=None) -> list["DataGroup"]:
+        """Shuffled partition into ``len(fractions)+1`` groups; the last
+        group holds the remainder when fractions sum to < 1
+        (reference aimnet/data/sgdataset.py:105-114)."""
+        if not (0 < sum(fractions) <= 1) or any(f <= 0 for f in fractions):
+            raise ValueError(
+                "fractions must be positive and sum to at most 1"
+            )
+        idx = np.random.default_rng(seed).permutation(len(self))
+        cuts = np.round(np.cumsum(fractions) * len(self)).astype(np.int64)
+        return [
+            DataGroup(self.sample(part)) for part in np.array_split(idx, cuts)
+        ]
+
+    def cv_split(self, cv: int = 5, seed=None) -> list[tuple["DataGroup", "DataGroup"]]:
+        """``cv`` (train, val) folds over a shuffled partition
+        (reference aimnet/data/sgdataset.py:116-128)."""
+        parts = self.random_split(*([1.0 / cv] * cv), seed=seed)[:cv]
+        folds = []
+        for i in range(cv):
+            rest = [p for j, p in enumerate(parts) if j != i and len(p)]
+            train = DataGroup(
+                {
+                    k: np.concatenate([p[k] for p in rest], axis=0)
+                    for k in self.keys()
+                }
+            )
+            folds.append((train, parts[i]))
+        return folds
+
 
 class SizeGroupedDataset:
     """Groups keyed by molecule size (reference aimnet/data/sgdataset.py:166-435)."""
@@ -112,6 +142,34 @@ class SizeGroupedDataset:
                 grp = f.create_group(f"{k:03d}")
                 for key, v in g.items():
                     grp.create_dataset(key, data=v)
+
+    # -- splitting ------------------------------------------------------------
+
+    def random_split(self, *fractions: float, seed=None) -> list["SizeGroupedDataset"]:
+        """Per-size-group shuffled partition (reference
+        aimnet/data/sgdataset.py:265-274); empty splits drop the group."""
+        split_groups = {k: g.random_split(*fractions, seed=seed) for k, g in self.items()}
+        n_parts = len(next(iter(split_groups.values()))) if split_groups else 0
+        return [
+            SizeGroupedDataset(
+                {k: parts[i] for k, parts in split_groups.items() if len(parts[i])}
+            )
+            for i in range(n_parts)
+        ]
+
+    def cv_split(self, cv: int = 5, seed=None) -> list[tuple["SizeGroupedDataset", "SizeGroupedDataset"]]:
+        """(train, val) cross-validation folds (reference sgdataset.py:276-285)."""
+        folds_by_group = {k: g.cv_split(cv, seed=seed) for k, g in self.items()}
+        out = []
+        for i in range(cv):
+            train = SizeGroupedDataset(
+                {k: f[i][0] for k, f in folds_by_group.items() if len(f[i][0])}
+            )
+            val = SizeGroupedDataset(
+                {k: f[i][1] for k, f in folds_by_group.items() if len(f[i][1])}
+            )
+            out.append((train, val))
+        return out
 
     # -- mapping protocol ---------------------------------------------------
 

@@ -364,3 +364,64 @@ def test_export_atomic_save_preserves_destination_and_permissions(
         export_model(params, cfg, path, sae=None, implemented_species=[1, 6, 8])
     assert open(path, "rb").read() == before
     assert [p for p in os.listdir(tmp_path) if p.endswith(".tmp")] == []
+
+
+def test_random_split_partitions_and_fractions():
+    # (reference tests/test_dataset.py:39-52,175-184)
+    rng = np.random.default_rng(0)
+    groups = {
+        4: {"coord": rng.normal(size=(40, 4, 3)).astype(np.float32),
+            "numbers": np.full((40, 4), 6), "energy": rng.normal(size=40)},
+        6: {"coord": rng.normal(size=(20, 6, 3)).astype(np.float32),
+            "numbers": np.full((20, 6), 6), "energy": rng.normal(size=20)},
+    }
+    ds = SizeGroupedDataset(groups)
+    train, val, rest = ds.random_split(0.5, 0.25, seed=1)
+    for size, total in ((4, 40), (6, 20)):
+        n = (len(train[size]) if size in train.keys() else 0,
+             len(val[size]), len(rest[size]))
+        assert sum(n) == total
+        assert n[0] == round(total * 0.5)
+    # deterministic under the same seed
+    t2, v2, r2 = ds.random_split(0.5, 0.25, seed=1)
+    np.testing.assert_array_equal(train[4]["energy"], t2[4]["energy"])
+    # invalid fractions rejected
+    with pytest.raises(ValueError):
+        ds.random_split(0.9, 0.3)
+    with pytest.raises(ValueError):
+        ds.random_split(-0.1, 0.5)
+
+
+def test_cv_split_folds_partition_each_group():
+    rng = np.random.default_rng(1)
+    ds = SizeGroupedDataset(
+        {5: {"coord": rng.normal(size=(25, 5, 3)).astype(np.float32),
+             "numbers": np.full((25, 5), 1), "energy": rng.normal(size=25)}}
+    )
+    folds = ds.cv_split(cv=5, seed=2)
+    assert len(folds) == 5
+    all_val = []
+    for train, val in folds:
+        assert len(train[5]) + len(val[5]) == 25
+        all_val.append(val[5]["energy"])
+    # validation folds cover the whole dataset exactly once
+    covered = np.sort(np.concatenate(all_val))
+    np.testing.assert_allclose(covered, np.sort(ds[5]["energy"]))
+
+
+def test_save_h5_roundtrip(tmp_path):
+    # (reference tests/test_dataset.py:201-208)
+    rng = np.random.default_rng(2)
+    ds = SizeGroupedDataset(
+        {3: {"coord": rng.normal(size=(7, 3, 3)).astype(np.float32),
+             "numbers": np.full((7, 3), 8), "energy": rng.normal(size=7)}}
+    )
+    path = str(tmp_path / "ds.h5")
+    ds.save_h5(path)
+    back = SizeGroupedDataset(path)
+    assert back.keys() == [3]
+    np.testing.assert_allclose(back[3]["energy"], ds[3]["energy"])
+    np.testing.assert_allclose(back[3]["coord"], ds[3]["coord"])
+    # key subsetting on load
+    subset = SizeGroupedDataset(path, keys=["energy", "numbers"])
+    assert subset.datakeys() == {"energy", "numbers"}
