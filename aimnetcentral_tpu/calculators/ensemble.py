@@ -46,18 +46,50 @@ class EnsembleCalculator(AIMNet2Calculator):
     def __init__(self, model, *args, fused: bool = False, **kwargs):
         super().__init__(model, *args, **kwargs)
         self._fused = fused
+        self._stack_attached_heads()
+
+    def _stack_attached_heads(self) -> None:
+        """Ctor LR overrides (needs_coulomb/needs_dispersion) may have
+        ATTACHED a head whose constant tables were initialized unstacked —
+        broadcast them onto the ensemble axis so the member scan sees one
+        uniform leading dim."""
+        afv = self.params["afv"]["weight"]
+        if afv.ndim != 3:  # not ensemble-stacked params
+            return
+        n = afv.shape[0]
+        from aimnetcentral_tpu.models.heads import head_init
+
+        outs = dict(self.params["outputs"])
+        changed = False
+        for name, head in self.cfg.outputs:
+            template = head_init(jax.random.key(0), head)
+            if not template:
+                continue
+            p = outs[name]
+            t_leaves = jax.tree.leaves(template)
+            p_leaves = jax.tree.leaves(p)
+            # stacking adds exactly one leading dim to every leaf
+            if p_leaves and t_leaves and p_leaves[0].ndim == t_leaves[0].ndim:
+                outs[name] = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n,) + x.shape), p
+                )
+                changed = True
+        if changed:
+            self.params = {**self.params, "outputs": outs}
 
     @classmethod
     def from_members(
-        cls, members: list[tuple], fused: bool = False
+        cls, members: list[tuple], fused: bool = False, **calc_kwargs
     ) -> "EnsembleCalculator":
         params = stack_params([m[0] for m in members])
         cfg = members[0][1]
         aux = members[0][2] if len(members[0]) > 2 else {"sae": {}}
-        return cls((params, cfg, aux), fused=fused)
+        return cls((params, cfg, aux), fused=fused, **calc_kwargs)
 
     @classmethod
-    def from_registry(cls, name: str, fused: bool = False) -> "EnsembleCalculator":
+    def from_registry(
+        cls, name: str, fused: bool = False, **calc_kwargs
+    ) -> "EnsembleCalculator":
         """Load EVERY ensemble member of a registry family in one call
         (e.g. ``EnsembleCalculator.from_registry("aimnet2")`` loads the
         four ``aimnet2-wb97m-d3_{0..3}`` artifacts).
@@ -94,7 +126,7 @@ class EnsembleCalculator(AIMNet2Calculator):
                 k: np.mean([t[k] for t in tables], axis=0)
                 for k in tables[0]
             }
-        return cls((params, cfg, aux), fused=fused)
+        return cls((params, cfg, aux), fused=fused, **calc_kwargs)
 
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
         if self._fused and not (stress or hessian):

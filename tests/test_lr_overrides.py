@@ -258,3 +258,53 @@ def test_overrides_are_noops_when_matching_metadata(rng):
         _calc(metadata, external_d3=True, needs_dispersion=True).eval(mol)["energy"]
     )
     assert e_default == e_explicit
+
+
+# -- ensemble interaction ---------------------------------------------------
+
+
+def test_ensemble_override_attaches_stacked_head(rng):
+    """Ctor overrides work through EnsembleCalculator: an attached D3 head's
+    constant tables are broadcast onto the ensemble axis so the member scan
+    sees a uniform leading dim."""
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    metadata = {
+        "needs_dispersion": False,
+        "coulomb_mode": "none",
+        "d3_params": dict(D3_WB97M),
+    }
+    members = []
+    for seed in (0, 1):
+        params, cfg = _model()
+        params = jax.tree.map(lambda x: x, params)  # fresh pytree per member
+        members.append((params, cfg, {"sae": {}, "metadata": metadata}))
+    ens_on = EnsembleCalculator.from_members(members, needs_dispersion=True)
+    assert "external_dftd3" in {n for n, _ in ens_on.cfg.outputs}
+    mol = _mol(rng, 8)
+    out = ens_on.eval(mol, forces=True)
+    assert np.isfinite(out["energy"]).all() and np.isfinite(out["forces"]).all()
+    assert "energy_std" in out
+    # energy shifts vs the ensemble without dispersion
+    ens_off = EnsembleCalculator.from_members(members)
+    e_on = float(out["energy"][0])
+    e_off = float(ens_off.eval(mol)["energy"][0])
+    assert abs(e_on - e_off) > 1e-8
+
+
+def test_ensemble_override_strips_head(rng):
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    metadata = {
+        "needs_dispersion": True,
+        "coulomb_mode": "none",
+        "d3_params": dict(D3_WB97M),
+    }
+    members = []
+    for seed in (0, 1):
+        params, cfg = _model(external_d3=True)
+        members.append((params, cfg, {"sae": {}, "metadata": metadata}))
+    ens = EnsembleCalculator.from_members(members, needs_dispersion=False)
+    assert "external_dftd3" not in {n for n, _ in ens.cfg.outputs}
+    out = ens.eval(_mol(rng, 6))
+    assert np.isfinite(out["energy"]).all()
