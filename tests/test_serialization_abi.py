@@ -87,3 +87,65 @@ def test_register_head_builder_extends_and_rejects_collisions():
         from aimnetcentral_tpu.models.convert import _HEAD_BUILDERS
 
         _HEAD_BUILDERS.pop("MyCustomHead", None)
+
+
+def test_default_allowlists_are_frozen_and_shared():
+    """The default import allowlists are immutable frozensets and the
+    registry policy aliases them (no copy that could drift) — reference
+    tests/test_serialization_abi.py:195-250."""
+    from aimnetcentral_tpu.models import validation as v
+
+    assert isinstance(v.DEFAULT_CLASS_IMPORT_PATHS, frozenset)
+    assert isinstance(v.DEFAULT_ACTIVATION_IMPORT_PATHS, frozenset)
+    assert isinstance(v.FORBIDDEN_CONSTRUCTOR_KEYS, frozenset)
+    assert v.REGISTRY_IMPORT_POLICY.class_paths == v.DEFAULT_CLASS_IMPORT_PATHS
+    assert not v.REGISTRY_IMPORT_POLICY.unsafe
+
+
+def test_frozen_allowlist_covers_shipped_reference_yamls():
+    """Every class path in the reference's SHIPPED model yamls must be
+    loadable under the frozen default policy (reference
+    tests/test_serialization_abi.py:185-193) — otherwise released
+    artifacts built from those yamls would fail validation."""
+    import glob
+
+    import yaml as _yaml
+
+    from aimnetcentral_tpu.models import validation as v
+
+    yamls = glob.glob("/root/reference/aimnet/models/*.yaml")
+    if not yamls:
+        import pytest
+
+        pytest.skip("reference checkout absent")
+    paths = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, val in node.items():
+                if k == "class" and isinstance(val, str):
+                    paths.add(val)
+                walk(val)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    for f in yamls:
+        with open(f) as fh:
+            walk(_yaml.safe_load(fh))
+    assert paths, "expected class paths in the shipped yamls"
+    allowed = v.DEFAULT_CLASS_IMPORT_PATHS | v.DEFAULT_ACTIVATION_IMPORT_PATHS
+    # embedded-LR heads are stripped at export — allow those too
+    allowed = allowed | v.LEGACY_JPT_CLASS_IMPORT_PATHS
+    missing = {p for p in paths if p not in allowed}
+    assert not missing, f"shipped yaml classes missing from allowlist: {missing}"
+
+
+def test_registry_policy_rejects_mutation_attempts():
+    from aimnetcentral_tpu.models import validation as v
+
+    import dataclasses
+    import pytest
+
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        v.REGISTRY_IMPORT_POLICY.unsafe = True
