@@ -62,3 +62,50 @@ def test_cli_check_exit_code():
         capture_output=True, text=True, env=env, timeout=560,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+# -- comparer unit behavior (reference tests/test_compare_observables.py) -----
+
+
+def _fake_dump(e_shift=0.0, f_shift=0.0, drop=None):
+    from aimnetcentral_tpu.validation.observables import reference_systems
+
+    dump = {"backend": "cpu", "jax_version": "x"}
+    for i, name in enumerate(reference_systems()):
+        if name == drop:
+            continue
+        dump[name] = {
+            "energy": [1.0 + i + e_shift],
+            "forces": [[0.1 + f_shift, 0.0, 0.0]] * 3,
+        }
+    return dump
+
+
+def test_comparer_passes_within_tolerance():
+    from aimnetcentral_tpu.validation import compare_observables
+
+    ok, report = compare_observables(_fake_dump(), _fake_dump(e_shift=5e-5))
+    assert ok and "OK" in report and "FAIL" not in report
+
+
+def test_comparer_flags_energy_drift():
+    from aimnetcentral_tpu.validation import compare_observables
+
+    ok, report = compare_observables(_fake_dump(), _fake_dump(e_shift=5e-3))
+    assert not ok and "FAIL" in report
+
+
+def test_comparer_flags_force_drift():
+    from aimnetcentral_tpu.validation import compare_observables
+
+    ok, report = compare_observables(_fake_dump(), _fake_dump(f_shift=5e-3))
+    assert not ok
+
+
+def test_comparer_flags_missing_system():
+    from aimnetcentral_tpu.validation import compare_observables
+    from aimnetcentral_tpu.validation.observables import reference_systems
+
+    victim = next(iter(reference_systems()))
+    ok, report = compare_observables(_fake_dump(), _fake_dump(drop=victim))
+    assert not ok and f"{victim}: MISSING" in report
