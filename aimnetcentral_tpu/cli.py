@@ -190,30 +190,67 @@ def md(
 @click.argument("xyz")
 @click.option("--charge", default=0.0)
 @click.option("--n-modes", default=12, help="print the N lowest frequencies")
-def freq(model: str, xyz: str, charge: float, n_modes: int) -> None:
+@click.option("--ir", is_flag=True, help="double-harmonic IR intensities (km/mol)")
+@click.option(
+    "--thermo",
+    is_flag=True,
+    help="ideal-gas RRHO thermochemistry (ZPE/H/S/G) at --temperature",
+)
+@click.option("--temperature", default=298.15)
+@click.option("--pressure", default=101325.0)
+@click.option("--symmetry-number", default=1)
+def freq(
+    model: str,
+    xyz: str,
+    charge: float,
+    n_modes: int,
+    ir: bool,
+    thermo: bool,
+    temperature: float,
+    pressure: float,
+    symmetry_number: int,
+) -> None:
     """Harmonic vibrational frequencies (cm^-1) from the dense Hessian.
 
     Imaginary modes print as negative numbers — one significant imaginary
     frequency at a saddle point is the transition-state signature the
     reference's Sella workflow checks via get_hessian
-    (reference aimnet/calculators/aimnet2ase.py:163)."""
+    (reference aimnet/calculators/aimnet2ase.py:163).  ``--ir`` adds
+    double-harmonic intensities; ``--thermo`` adds ideal-gas RRHO
+    thermochemistry (the workflow the reference delegates to
+    ase.thermochemistry)."""
     from aimnetcentral_tpu.dynamics import frequencies_from_calculator
 
     calc, _loaded = _load_calc(model)
     coord, numbers = _read_xyz(xyz)
-    freqs, _modes = frequencies_from_calculator(
-        calc, {"coord": coord, "numbers": numbers, "charge": charge}
-    )
+    data = {"coord": coord, "numbers": numbers, "charge": charge}
+    freqs, modes = frequencies_from_calculator(calc, data)
     n_imag = int((freqs < -10.0).sum())  # ignore numerical near-zeros
-    click.echo(
-        json.dumps(
-            {
-                "n_imaginary": n_imag,
-                "lowest_cm1": [round(float(f), 2) for f in freqs[:n_modes]],
-                "highest_cm1": round(float(freqs[-1]), 2),
-            }
-        )
-    )
+    result = {
+        "n_imaginary": n_imag,
+        "lowest_cm1": [round(float(f), 2) for f in freqs[:n_modes]],
+        "highest_cm1": round(float(freqs[-1]), 2),
+    }
+    if ir:
+        from aimnetcentral_tpu.dynamics.vibrations import ir_intensities
+
+        intens = ir_intensities(calc, data, modes)
+        result["ir_km_mol"] = [round(float(x), 3) for x in intens[:n_modes]]
+    if thermo:
+        from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
+
+        result["thermo"] = {
+            k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in rrho_thermochemistry(
+                freqs,
+                numbers,
+                coord,
+                temperature=temperature,
+                pressure=pressure,
+                symmetry_number=symmetry_number,
+            ).items()
+        }
+    click.echo(json.dumps(result))
 
 
 def _deep_merge(base: dict, extra: dict) -> dict:

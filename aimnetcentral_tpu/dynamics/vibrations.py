@@ -82,3 +82,167 @@ def frequencies_from_calculator(
     numbers = np.asarray(data["numbers"]).reshape(-1)
     masses = np.asarray(constants.get_masses(), dtype=np.float64)[numbers]
     return harmonic_frequencies(h, masses, project_translations)
+
+
+# -- IR intensities ------------------------------------------------------------
+
+# |d mu/dQ|^2 conversion: 1 (D/A)^2/amu = 42.2561 km/mol (the standard
+# double-harmonic absolute-intensity factor N_A*pi/(3c^2)), and
+# 1 e = 4.80320 D/A, so 1 e^2/amu -> 4.80320^2 * 42.2561 km/mol.
+KM_MOL_PER_E2_AMU = 4.80320**2 * 42.2561  # = 974.86
+
+
+def ir_intensities(
+    calc,
+    data: dict,
+    modes: np.ndarray,
+    delta: float = 0.01,
+) -> np.ndarray:
+    """Double-harmonic IR intensities (km/mol) for the given normal modes.
+
+    Dipole derivatives are central finite differences of the model dipole
+    along each Cartesian mode (the same displaced-geometry scheme as
+    ase.vibrations.Infrared); ALL displaced geometries evaluate in ONE
+    batched calculator call.  The dipole is the model's own ``dipole``
+    observable when the architecture has a dipole head, else the
+    charges-based sum q_i * r_i — either way the charge response dq/dr is
+    included because the charges themselves are re-predicted at each
+    displaced geometry.
+
+    Parameters
+    ----------
+    calc : AIMNet2Calculator
+    data : single-molecule input dict (gas phase)
+    modes : (K, N, 3) Cartesian normal modes from ``harmonic_frequencies``
+    delta : FD displacement amplitude along each (unit-norm) mode, in A
+    """
+    coord0 = np.asarray(data["coord"], dtype=np.float64).reshape(-1, 3)
+    numbers = np.asarray(data["numbers"]).reshape(-1)
+    n = numbers.shape[0]
+    modes = np.asarray(modes, dtype=np.float64).reshape(-1, n, 3)
+    k = modes.shape[0]
+    masses = np.asarray(constants.get_masses(), dtype=np.float64)[numbers]
+
+    displaced = []
+    for sign in (+1.0, -1.0):
+        for d in modes:
+            mol = dict(data)
+            mol["coord"] = (coord0 + sign * delta * d).astype(np.float32)
+            displaced.append(mol)
+    out = calc(displaced)
+
+    if "dipole" in out:
+        mu = np.asarray(out["dipole"], dtype=np.float64).reshape(2 * k, 3)
+    else:
+        q = np.asarray(out["charges"], dtype=np.float64).reshape(2 * k, n)
+        coords = np.stack([np.asarray(m["coord"], dtype=np.float64) for m in displaced])
+        mu = (q[:, :, None] * coords).sum(axis=1)
+
+    dmu_ds = (mu[:k] - mu[k:]) / (2.0 * delta)  # e, per unit Cartesian mode
+    # convert to the mass-weighted normal coordinate Q_k: the MW-normalized
+    # eigenvector is v = c * modes * sqrt(m) with c = 1/||modes*sqrt(m)||,
+    # and dmu/dQ = c * dmu/ds
+    c = 1.0 / np.linalg.norm(modes * np.sqrt(masses)[None, :, None], axis=(1, 2))
+    dmu_dq = dmu_ds * c[:, None]  # e / sqrt(amu)
+    return KM_MOL_PER_E2_AMU * (dmu_dq**2).sum(axis=1)
+
+
+# -- ideal-gas RRHO thermochemistry --------------------------------------------
+
+# SI values for the translational/rotational partition functions
+_H_SI = 6.62607015e-34  # J s
+_KB_SI = 1.380649e-23  # J / K
+_AMU_SI = 1.66053906892e-27  # kg
+_EV_SI = 1.602176634e-19  # J
+_HC_EV_CM = 1.239841984e-4  # h*c in eV * cm
+
+
+def rrho_thermochemistry(
+    freqs_cm1: np.ndarray,
+    numbers: np.ndarray,
+    coord: np.ndarray,
+    temperature: float = 298.15,
+    pressure: float = 101325.0,
+    symmetry_number: int = 1,
+    mult: float = 1.0,
+    freq_cutoff_cm1: float = 10.0,
+) -> dict:
+    """Ideal-gas rigid-rotor harmonic-oscillator thermochemistry.
+
+    The standard gas-phase partition-function treatment (the workflow the
+    reference delegates to ase.thermochemistry.IdealGasThermo): vibrational
+    terms from the harmonic frequencies (imaginary and sub-cutoff modes are
+    EXCLUDED and reported in ``n_skipped_modes``), translational
+    Sackur-Tetrode, classical rigid rotor from the inertia tensor (linear /
+    nonlinear / monatomic handled), electronic spin degeneracy.
+
+    Returns a dict of energies in eV and entropies in eV/K:
+    ``zpe``, ``u_vib`` (incl. ZPE), ``u_trans``, ``u_rot``, ``h`` (thermal
+    enthalpy correction, ex electronic energy), ``s_trans/s_rot/s_vib/s_el``,
+    ``s``, ``g`` (= h - T*s).
+    """
+    T = float(temperature)
+    kT = constants.kB * T  # eV
+    numbers = np.asarray(numbers).reshape(-1)
+    coord = np.asarray(coord, dtype=np.float64).reshape(-1, 3)
+    masses = np.asarray(constants.get_masses(), dtype=np.float64)[numbers]
+
+    # vibrational
+    freqs = np.asarray(freqs_cm1, dtype=np.float64).reshape(-1)
+    vib = freqs[freqs > freq_cutoff_cm1]
+    n_skipped = int(freqs.shape[0] - vib.shape[0])
+    e_modes = vib * _HC_EV_CM  # eV
+    zpe = 0.5 * e_modes.sum()
+    x = e_modes / kT
+    u_vib = zpe + (e_modes / np.expm1(x)).sum()
+    s_vib = constants.kB * (x / np.expm1(x) - np.log1p(-np.exp(-x))).sum()
+
+    # translational (Sackur-Tetrode, V = kB T / p)
+    m_kg = masses.sum() * _AMU_SI
+    lam = _H_SI / np.sqrt(2.0 * np.pi * m_kg * _KB_SI * T)  # m
+    v_m3 = _KB_SI * T / float(pressure)
+    q_trans = v_m3 / lam**3
+    s_trans = constants.kB * (np.log(q_trans) + 2.5)
+    u_trans = 1.5 * kT
+
+    # rotational (classical RR from the principal moments)
+    com = (masses[:, None] * coord).sum(0) / masses.sum()
+    r = coord - com
+    inertia = np.einsum("i,ij,ik->jk", masses, r, r)
+    inertia = np.diag(np.full(3, np.trace(inertia))) - inertia  # amu A^2
+    moments = np.clip(np.linalg.eigvalsh(inertia), 0.0, None)
+    moments_si = moments * _AMU_SI * 1e-20  # kg m^2
+    sigma = max(int(symmetry_number), 1)
+    tol = 1e-3 * max(moments.max(), 1.0)
+    if numbers.shape[0] == 1 or moments.max() < 1e-12:
+        q_rot = 1.0
+        u_rot = 0.0
+    elif moments[0] < tol:  # linear: one vanishing principal moment
+        q_rot = 8.0 * np.pi**2 * moments_si[2] * _KB_SI * T / (sigma * _H_SI**2)
+        u_rot = kT
+    else:
+        b = 8.0 * np.pi**2 * _KB_SI * T / _H_SI**2
+        q_rot = (np.sqrt(np.pi) / sigma) * np.sqrt(b**3 * np.prod(moments_si))
+        u_rot = 1.5 * kT
+    s_rot = constants.kB * (np.log(max(q_rot, 1.0e-300)) + (u_rot / kT if kT else 0.0))
+
+    s_el = constants.kB * np.log(max(float(mult), 1.0))
+
+    h = u_trans + u_rot + u_vib + kT  # + pV term
+    s = s_trans + s_rot + s_vib + s_el
+    return {
+        "zpe": float(zpe),
+        "u_vib": float(u_vib),
+        "u_trans": float(u_trans),
+        "u_rot": float(u_rot),
+        "h": float(h),
+        "s_trans": float(s_trans),
+        "s_rot": float(s_rot),
+        "s_vib": float(s_vib),
+        "s_el": float(s_el),
+        "s": float(s),
+        "g": float(h - T * s),
+        "n_skipped_modes": n_skipped,
+        "temperature": T,
+        "pressure": float(pressure),
+    }

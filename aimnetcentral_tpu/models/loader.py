@@ -169,7 +169,12 @@ def load_v2_artifact(
     boundary (reference aimnet/models/artifact_validation.py:129-241): which
     class paths the artifact yaml may name.  Registry artifacts are always
     validated under the frozen default policy regardless of these arguments
-    (pass them only for explicit local/third-party paths)."""
+    (pass them only for explicit local/third-party paths).
+
+    ``attach_lr=False`` returns the BARE network; note the calculator honors
+    the artifact metadata and re-attaches external heads unless constructed
+    with explicit ``needs_coulomb=False`` / ``needs_dispersion=False``
+    overrides."""
     import torch
 
     policy = resolve_model_import_policy(model_import_paths, model_import_mode)

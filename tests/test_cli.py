@@ -203,3 +203,19 @@ def test_cli_train_multi_config_and_dotted_overrides(tmp_path):
     res = json.loads(out.strip().splitlines()[-1])
     assert res["epochs"] == 2  # extra.yaml's max_epochs won
     assert np.isfinite(res["best_val"])
+
+
+def test_cli_freq_ir_thermo(workspace):
+    _d, paths, xyz = workspace
+    out = _run(
+        ["freq", paths[0], xyz, "--ir", "--thermo", "--symmetry-number", "2"]
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert "ir_km_mol" in res and len(res["ir_km_mol"]) >= 3
+    assert all(np.isfinite(v) and v >= 0 for v in res["ir_km_mol"])
+    th = res["thermo"]
+    # water ZPE from a random-weights model is arbitrary but positive and
+    # finite; the bookkeeping identity g = h - T*s holds up to the CLI's
+    # 1e-6 per-field rounding (amplified ~300x through T*s)
+    assert th["zpe"] >= 0.0
+    assert abs(th["g"] - (th["h"] - th["temperature"] * th["s"])) < 1e-3

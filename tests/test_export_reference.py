@@ -102,9 +102,11 @@ def test_reference_eval_matches_jax(exported, rng):
     ref_q = ref_out["charges"].detach().numpy().reshape(-1)
 
     # our loader reads the exported artifact back; compare the bare model
-    # (no external Coulomb) against the reference's bare eval
+    # (no external Coulomb) against the reference's bare eval — the explicit
+    # needs_coulomb=False override keeps the calculator from re-attaching
+    # what the metadata asks for
     loaded = load_v2_artifact(path, attach_lr=False)
-    calc = AIMNet2Calculator(loaded.as_calculator_model())
+    calc = AIMNet2Calculator(loaded.as_calculator_model(), needs_coulomb=False)
     out = calc({"coord": coord, "numbers": numbers}, forces=True, validate_species=True)
 
     # energy: |E| here is a few kilo-eV (the f64 SAE bake dominates), so the
@@ -119,7 +121,7 @@ def test_reference_eval_matches_jax(exported, rng):
 def test_export_metadata_validates_species(exported, rng):
     path, _params, _cfg = exported
     loaded = load_v2_artifact(path, attach_lr=False)
-    calc = AIMNet2Calculator(loaded.as_calculator_model())
+    calc = AIMNet2Calculator(loaded.as_calculator_model(), needs_coulomb=False)
     coord, numbers = random_molecule(rng, 6)
     bad = numbers.copy()
     bad[0] = 35  # Br not in implemented_species

@@ -9,6 +9,36 @@ from aimnetcentral_tpu.dynamics import harmonic_frequencies
 from conftest import random_molecule
 
 
+@pytest.fixture(scope="module")
+def calc_small():
+    import jax
+
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+    from aimnetcentral_tpu.models import aimnet2_init
+    from aimnetcentral_tpu.models.aimnet2 import AEVConfig, AIMNet2Config
+    from aimnetcentral_tpu.models.heads import AtomicSumHead, OutputHead
+    from aimnetcentral_tpu.models.modules import MLPSpec
+
+    cfg = AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((32,), (32,), (32,)),
+        aim_size=32,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=32, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(16,), last_linear=True)),
+            ),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+    params = aimnet2_init(jax.random.key(3), cfg)
+    return AIMNet2Calculator((params, cfg, {"sae": {}}))
+
+
 def _diatomic_hessian(k, u):
     """Analytic Hessian of a harmonic bond along unit vector u: blocks
     +/- k * (u u^T)."""
@@ -82,3 +112,88 @@ def test_model_hessian_has_exact_translation_nulls(reference_aimnet2, rng):
     # 3 projected translations ~0 (|f| < 2 cm^-1 covers f32 Hessian noise)
     assert np.sort(np.abs(freqs))[:3].max() < 2.0
     assert np.isfinite(freqs).all()
+
+
+# -- IR intensities + RRHO thermochemistry -------------------------------------
+
+
+def test_rrho_water_textbook_values():
+    """Experimental water frequencies against standard reference values:
+    ZPE = 0.558 eV, S_trans(298.15 K, 1 atm) = 144.8 J/mol/K."""
+    from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
+
+    freqs = np.array([1594.8, 3657.1, 3755.9])
+    coord = np.array([[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]])
+    th = rrho_thermochemistry(freqs, [8, 1, 1], coord, symmetry_number=2)
+    assert abs(th["zpe"] - 0.5584) < 2e-3
+    J_MOL_K = 96485.33212  # eV/K -> J/mol/K
+    assert abs(th["s_trans"] * J_MOL_K - 144.8) < 1.5
+    # water rotational entropy (sigma=2): ~43.8 J/mol/K
+    assert abs(th["s_rot"] * J_MOL_K - 43.8) < 1.0
+    assert abs(th["g"] - (th["h"] - 298.15 * th["s"])) < 1e-12
+    assert th["n_skipped_modes"] == 0
+
+
+def test_rrho_linear_and_monatomic():
+    from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
+    from aimnetcentral_tpu import constants
+
+    kT = constants.kB * 298.15
+    co2 = rrho_thermochemistry(
+        np.array([667.0, 667.0, 1333.0, 2349.0]),
+        [8, 6, 8],
+        np.array([[0, 0, -1.16], [0, 0, 0.0], [0, 0, 1.16]]),
+        symmetry_number=2,
+    )
+    assert abs(co2["u_rot"] - kT) < 1e-12  # linear rotor: kT, not 3/2 kT
+    atom = rrho_thermochemistry(np.array([]), [18], np.zeros((1, 3)))
+    assert atom["u_rot"] == 0.0 and abs(atom["s_rot"]) < 1e-15
+    assert atom["zpe"] == 0.0
+
+
+def test_rrho_skips_imaginary_and_low_modes():
+    from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
+
+    th = rrho_thermochemistry(
+        np.array([-350.0, 4.0, 1500.0]),
+        [8, 1, 1],
+        np.array([[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]]),
+    )
+    assert th["n_skipped_modes"] == 2
+    assert abs(th["zpe"] - 0.5 * 1500.0 * 1.239842e-4) < 1e-6
+
+
+def test_ir_translation_mode_is_dark_for_neutral(calc_small):
+    """A rigid translation leaves a NEUTRAL molecule's dipole unchanged —
+    its double-harmonic IR intensity must vanish (the dipole-derivative
+    analogue of force translation invariance)."""
+    from aimnetcentral_tpu.dynamics.vibrations import ir_intensities
+
+    coord = np.array(
+        [[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]],
+        dtype=np.float32,
+    )
+    data = {"coord": coord, "numbers": np.array([8, 1, 1]), "charge": 0.0}
+    trans = np.zeros((1, 3, 3))
+    trans[0, :, 0] = 1.0 / np.sqrt(3.0)
+    intens = ir_intensities(calc_small, data, trans)
+    assert intens.shape == (1,)
+    assert intens[0] < 1e-3  # km/mol — numerically dark
+
+
+def test_ir_intensities_finite_for_real_modes(calc_small):
+    from aimnetcentral_tpu.dynamics import frequencies_from_calculator
+    from aimnetcentral_tpu.dynamics.vibrations import ir_intensities
+
+    coord = np.array(
+        [[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]],
+        dtype=np.float32,
+    )
+    data = {"coord": coord, "numbers": np.array([8, 1, 1]), "charge": 0.0}
+    freqs, modes = frequencies_from_calculator(calc_small, data)
+    intens = ir_intensities(calc_small, data, modes)
+    assert intens.shape == (9,)
+    assert np.isfinite(intens).all() and (intens >= 0).all()
+    # vibrational modes of a polar molecule under a random potential: at
+    # least one bright mode
+    assert intens.max() > 1e-3
