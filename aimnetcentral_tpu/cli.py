@@ -136,11 +136,25 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
     help="run mean-force MD over every member of a registry family (or a "
     "comma-separated member list); logs the on-device epot spread",
 )
+@click.option(
+    "--thermostat",
+    default="langevin",
+    type=click.Choice(["langevin", "nve", "berendsen"]),
+    help="integrator/thermostat (nve = plain velocity Verlet)",
+)
+@click.option(
+    "--pressure-gpa",
+    default=None,
+    type=float,
+    help="enable the isotropic Berendsen barostat (NPT) at this target "
+    "pressure; requires a periodic cell",
+)
 def md(
     model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
-    traj, chunk, save_ckpt, restore_ckpt, ensemble,
+    traj, chunk, save_ckpt, restore_ckpt, ensemble, thermostat, pressure_gpa,
 ) -> None:
-    """On-device NVT MD (Langevin)."""
+    """On-device MD: Langevin NVT by default; --thermostat nve/berendsen,
+    --pressure-gpa for Berendsen NPT."""
     from aimnetcentral_tpu.dynamics import MDConfig, MDDriver, TrajectoryWriter
 
     if ensemble:
@@ -153,12 +167,22 @@ def md(
     data = {"coord": coord, "numbers": numbers}
     if cell is not None:
         data["cell"] = np.eye(3, dtype=np.float32) * float(cell)
+    if pressure_gpa is not None and cell is None:
+        raise click.UsageError("--pressure-gpa (NPT) requires --cell")
     system = calc.prepare_system(data)
+    md_cfg = MDConfig(
+        dt_fs=dt_fs,
+        temperature_K=temperature,
+        thermostat=thermostat,
+        barostat="berendsen" if pressure_gpa is not None else None,
+        # 1 GPa = 6.2415e-3 eV/A^3
+        pressure_eV_A3=(pressure_gpa or 0.0) * 6.2415e-3,
+    )
     drv = MDDriver(
         params,
         calc.cfg,
         system,
-        MDConfig(dt_fs=dt_fs, temperature_K=temperature),
+        md_cfg,
         ensemble=ensemble,
     )
     if restore_ckpt:
@@ -176,6 +200,8 @@ def md(
         "final_epot_eV": float(obs["epot"][-1]),
         "mean_T_K": float(obs["temperature"][steps // 2 :].mean()),
     }
+    if pressure_gpa is not None and "volume" in obs:
+        result["final_volume_A3"] = float(obs["volume"][-1])
     if "epot_std" in obs:
         result["final_epot_std_eV"] = float(obs["epot_std"][-1])
     if writer is not None:

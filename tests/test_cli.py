@@ -219,3 +219,17 @@ def test_cli_freq_ir_thermo(workspace):
     # 1e-6 per-field rounding (amplified ~300x through T*s)
     assert th["zpe"] >= 0.0
     assert abs(th["g"] - (th["h"] - th["temperature"] * th["s"])) < 1e-3
+
+
+def test_cli_md_nve_and_npt_guard(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["md", paths[0], xyz, "--steps", "20", "--chunk", "10",
+                "--thermostat", "nve"])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_epot_eV"])
+    # NPT without a cell is a clear usage error, not a crash
+    from aimnetcentral_tpu.cli import cli as _cli
+
+    r = CliRunner().invoke(_cli, ["md", paths[0], xyz, "--pressure-gpa", "1.0"])
+    assert r.exit_code != 0
+    assert "requires --cell" in (r.output or "")
