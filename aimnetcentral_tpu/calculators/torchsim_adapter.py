@@ -63,9 +63,25 @@ class AIMNet2TorchSim:
                 data["cell"] = np.swapaxes(c, -1, -2) if c.ndim == 3 else c.T
         extras = getattr(state, "extras", None) or {}
         if "charge" in extras:
-            data["charge"] = np.asarray(extras["charge"], dtype=np.float32)
-        if "mult" in extras:
-            data["mult"] = np.asarray(extras["mult"], dtype=np.float32)
+            charge = np.asarray(extras["charge"], dtype=np.float32).reshape(-1)
+            if charge.shape[0] != n_sys:
+                raise ValueError(
+                    f"extras['charge'] has {charge.shape[0]} entries for "
+                    f"{n_sys} systems"
+                )
+            data["charge"] = charge
+        # both "mult" (AIMNet2 style) and "spin" (MACE style) name the
+        # multiplicity; mult wins when both are present
+        # (reference aimnet/calculators/aimnet2torchsim.py:146-160)
+        mult = extras.get("mult", extras.get("spin"))
+        if mult is not None:
+            mult = np.asarray(mult, dtype=np.float32).reshape(-1)
+            if mult.shape[0] != n_sys:
+                raise ValueError(
+                    f"extras['mult'] has {mult.shape[0]} entries for "
+                    f"{n_sys} systems"
+                )
+            data["mult"] = mult
         return data
 
     def __call__(self, state) -> dict:

@@ -108,3 +108,84 @@ def test_stress_without_cell_raises(calc):
     )
     with pytest.raises(ValueError, match="cell"):
         AIMNet2TorchSim(calc, compute_stress=True)(state)
+
+
+class _SpyCalc:
+    def __init__(self):
+        self.last = None
+
+    def __call__(self, data, **kw):
+        self.last = dict(data)
+        n_sys = np.asarray(data["coord"]).shape[0]
+        n = np.asarray(data["coord"]).shape[1]
+        out = {"energy": np.zeros(n_sys), "forces": np.zeros((n_sys * n, 3))}
+        if kw.get("stress"):
+            out["stress"] = np.zeros((n_sys, 3, 3))
+        return out
+
+
+def test_extras_map_charge_and_mult():
+    # (reference tests/test_torchsim.py:77-104)
+    spy = _SpyCalc()
+    adapter = AIMNet2TorchSim(spy)
+    state = FakeSimState(
+        positions=torch.zeros((4, 3)),
+        atomic_numbers=torch.tensor([8, 1, 1, 1]),
+        system_idx=torch.tensor([0, 0, 1, 1]),
+        extras={"charge": [1.0, -1.0], "mult": [2.0, 1.0]},
+    )
+    adapter(state)
+    np.testing.assert_array_equal(spy.last["charge"], [1.0, -1.0])
+    np.testing.assert_array_equal(spy.last["mult"], [2.0, 1.0])
+
+
+def test_spin_extra_falls_back_to_multiplicity():
+    # MACE-style extras["spin"]; explicit "mult" wins when both are given
+    # (reference tests/test_torchsim.py:105-120)
+    spy = _SpyCalc()
+    adapter = AIMNet2TorchSim(spy)
+    state = FakeSimState(
+        positions=torch.zeros((2, 3)),
+        atomic_numbers=torch.tensor([8, 1]),
+        extras={"spin": [3.0]},
+    )
+    adapter(state)
+    np.testing.assert_array_equal(spy.last["mult"], [3.0])
+    state2 = FakeSimState(
+        positions=torch.zeros((2, 3)),
+        atomic_numbers=torch.tensor([8, 1]),
+        extras={"spin": [3.0], "mult": [2.0]},
+    )
+    adapter(state2)
+    np.testing.assert_array_equal(spy.last["mult"], [2.0])
+
+
+def test_extras_shape_validation():
+    # per-system extras must match the system count
+    # (reference tests/test_torchsim.py:164-173)
+    adapter = AIMNet2TorchSim(_SpyCalc())
+    state = FakeSimState(
+        positions=torch.zeros((4, 3)),
+        atomic_numbers=torch.tensor([8, 1, 1, 1]),
+        system_idx=torch.tensor([0, 0, 1, 1]),
+        extras={"charge": [1.0, 0.0, -1.0]},  # 3 charges, 2 systems
+    )
+    with pytest.raises(ValueError, match="2 systems"):
+        adapter(state)
+
+
+def test_outputs_are_detached_torch_tensors(calc):
+    # the simulation loop must never backprop into our graph
+    # (reference tests/test_torchsim.py:60-76)
+    adapter = AIMNet2TorchSim(calc)
+    state = FakeSimState(
+        positions=torch.tensor(
+            [[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]]
+        ),
+        atomic_numbers=torch.tensor([8, 1, 1]),
+    )
+    out = adapter(state)
+    assert isinstance(out["energy"], torch.Tensor)
+    assert not out["energy"].requires_grad
+    assert not out["forces"].requires_grad
+    assert torch.isfinite(out["forces"]).all()
