@@ -23,14 +23,14 @@ def cli() -> None:
     enable_persistent_cache()
 
 
-def _load_calc(model: str):
+def _load_calc(model: str, precision: str = "exact"):
     from aimnetcentral_tpu.calculators import AIMNet2Calculator
     from aimnetcentral_tpu.calculators.registry import registry_family, resolve_model
     from aimnetcentral_tpu.models.loader import load_model
 
     path = resolve_model(model)
     loaded = load_model(path, registry_family=registry_family(model))
-    return AIMNet2Calculator(loaded.as_calculator_model()), loaded
+    return AIMNet2Calculator(loaded.as_calculator_model(), precision=precision), loaded
 
 
 def _load_ens_calc(model: str, fused: bool = True):
@@ -75,12 +75,22 @@ def _read_xyz(path: str):
     help="load every member of a registry family (or MODEL as a "
     "comma-separated member list) and report mean +/- member spread",
 )
-def sp(model: str, xyz: str, charge: float, forces: bool, ensemble: bool) -> None:
+@click.option(
+    "--precision",
+    default="exact",
+    type=click.Choice(["exact", "fast"]),
+    help="'fast' runs default single-bf16-pass matmuls (~2x single-point "
+    "throughput, ~4e-3 eV/A force noise) for screening workloads",
+)
+def sp(
+    model: str, xyz: str, charge: float, forces: bool, ensemble: bool,
+    precision: str,
+) -> None:
     """Single-point energy (and forces) for an XYZ or CIF file."""
     if ensemble:
         calc = _load_ens_calc(model)
     else:
-        calc, _ = _load_calc(model)
+        calc, _ = _load_calc(model, precision=precision)
     coord, numbers, cell = _read_structure(xyz)
     data = {"coord": coord, "numbers": numbers, "charge": charge}
     if cell is not None:

@@ -233,3 +233,13 @@ def test_cli_md_nve_and_npt_guard(workspace):
     r = CliRunner().invoke(_cli, ["md", paths[0], xyz, "--pressure-gpa", "1.0"])
     assert r.exit_code != 0
     assert "requires --cell" in (r.output or "")
+
+
+def test_cli_sp_fast_precision(workspace):
+    _d, paths, xyz = workspace
+    out = _run(["sp", paths[0], xyz, "--precision", "fast"])
+    e_fast = float(out.split("energy (eV):")[1].split()[0])
+    e_exact = float(_run(["sp", paths[0], xyz]).split("energy (eV):")[1].split()[0])
+    # on CPU both run f32; the knob must not change the contract beyond
+    # documented matmul noise
+    assert abs(e_fast - e_exact) < 1e-2
