@@ -196,13 +196,47 @@ def test_cli_train_multi_config_and_dotted_overrides(tmp_path):
     p_base.write_text(_yaml.safe_dump(base, sort_keys=False))
     p_extra.write_text(_yaml.safe_dump(extra, sort_keys=False))
 
+    exported = str(tmp_path / "trained.pt")
     out = _run([
         "train", "--config", str(p_base), "--config", str(p_extra),
-        f"data.train={ddir}",
+        f"data.train={ddir}", f"export={exported}",
     ])
-    res = json.loads(out.strip().splitlines()[-1])
+    res = json.loads(out.strip().splitlines()[-2])
     assert res["epochs"] == 2  # extra.yaml's max_epochs won
     assert np.isfinite(res["best_val"])
+
+    # full journey: the trained-and-exported artifact serves single points
+    assert os.path.exists(exported)
+    xyz = tmp_path / "mol.xyz"
+    xyz.write_text("2\n\nO 0 0 0\nH 0 0 0.97\n")
+    sp_out = _run(["sp", exported, str(xyz)])
+    assert np.isfinite(float(sp_out.split("energy (eV):")[1].split()[0]))
+
+
+def test_cli_calc_sae_journey(tmp_path):
+    rng = np.random.default_rng(1)
+    size, n = 4, 32
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    numbers = rng.choice([1, 8], size=(n, size))
+    # energies built from known per-element SAEs + noise: the regression
+    # must recover them
+    true_sae = {1: -13.6, 8: -2042.6}
+    energy = np.array(
+        [sum(true_sae[int(z)] for z in row) for row in numbers],
+        dtype=np.float32,
+    ) + rng.normal(scale=1e-3, size=n).astype(np.float32)
+    np.savez(ddir / f"{size:03d}.npz",
+             coord=rng.uniform(-2, 2, size=(n, size, 3)).astype(np.float32),
+             numbers=numbers, energy=energy,
+             charge=np.zeros(n, np.float32))
+    out_yaml = str(tmp_path / "sae.yaml")
+    _run(["calc-sae", str(ddir), out_yaml])
+    import yaml as _yaml
+
+    sae = _yaml.safe_load(open(out_yaml))
+    assert abs(sae[1] - true_sae[1]) < 0.1
+    assert abs(sae[8] - true_sae[8]) < 0.1
 
 
 def test_cli_freq_ir_thermo(workspace):
