@@ -37,9 +37,16 @@ class AIMNet2ASE(Calculator):
         if not ASE_AVAILABLE:
             raise ImportError("ase is required for AIMNet2ASE")
         super().__init__()
+        if isinstance(base_calc, str):
+            # registry alias / artifact path, like the reference's
+            # AIMNet2ASE("aimnet2") (reference aimnet2ase.py:45-59)
+            from aimnetcentral_tpu.calculators.calculator import AIMNet2Calculator
+
+            base_calc = AIMNet2Calculator(base_calc)
         self.base_calc = base_calc
         self.charge = charge
         self.mult = mult
+        self._last_charge_mult = None
         if getattr(base_calc, "is_nse", False):
             # per-INSTANCE extension, the class list stays closed-shell
             # (reference aimnet/calculators/aimnet2ase.py:62-63)
@@ -61,6 +68,30 @@ class AIMNet2ASE(Calculator):
         mult = atoms.info.get("mult", atoms.info.get("spin", self.mult))
         return charge, mult
 
+    def set_charge(self, charge):
+        """Set the default total charge and invalidate cached results
+        (reference aimnet/calculators/aimnet2ase.py:104-107).  Overridden
+        per-geometry by ``atoms.info['charge']``."""
+        self.charge = charge
+        self.results = {}
+
+    def set_mult(self, mult):
+        """Set the default multiplicity 2S+1 and invalidate cached results
+        (reference aimnet/calculators/aimnet2ase.py:109-112)."""
+        self.mult = mult
+        self.results = {}
+
+    def check_state(self, atoms, tol=1e-15):
+        """ASE's base check only watches geometry — a changed
+        ``atoms.info['charge'/'mult'/'spin']`` must also force a
+        recalculation (reference aimnet/calculators/aimnet2ase.py:85-102)."""
+        base = getattr(super(), "check_state", None)
+        state = list(base(atoms, tol=tol)) if base is not None else []
+        if self._charge_mult(atoms) != self._last_charge_mult:
+            if "info" not in state:
+                state.append("info")
+        return state
+
     def _data(self, atoms):
         charge, mult = self._charge_mult(atoms)
         data = {
@@ -77,6 +108,7 @@ class AIMNet2ASE(Calculator):
     def calculate(self, atoms=None, properties=("energy",), system_changes=all_changes):
         super().calculate(atoms, properties, system_changes)
         atoms = self.atoms
+        self._last_charge_mult = self._charge_mult(atoms)
         need_stress = "stress" in properties and atoms.pbc.any()
         out = self.base_calc(
             self._data(atoms),
@@ -102,6 +134,14 @@ class AIMNet2ASE(Calculator):
             self.results["stress"] = np.array(
                 [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
             )
+
+    def get_dipole_moment(self, atoms):
+        """Point-charge dipole from the model's partial charges (reference
+        aimnet/calculators/aimnet2ase.py:153-156)."""
+        if "charges" not in self.results:
+            self.calculate(atoms, properties=("energy",))
+        q = np.asarray(self.results["charges"], dtype=np.float64)
+        return (q[:, None] * atoms.get_positions()).sum(0)
 
     def get_spin_charges(self, atoms=None):
         """Per-atom spin populations; NSE models only (reference

@@ -348,3 +348,76 @@ def test_forces_sum_nearly_zero(ase_adapter_module, calc):
     np.testing.assert_allclose(
         ase_calc.results["forces"].sum(0), np.zeros(3), atol=1e-5
     )
+
+
+def test_set_charge_mult_invalidate_and_apply(ase_adapter_module, calc):
+    """set_charge/set_mult (reference aimnet2ase.py:104-113) clear cached
+    results and feed the next evaluation."""
+    rec = RecordingCalc(calc)
+    ase_calc = ase_adapter_module.AIMNet2ASE(rec)
+    atoms = _water()
+    ase_calc.calculate(atoms, properties=("energy",))
+    assert "energy" in ase_calc.results
+    ase_calc.set_charge(1.0)
+    assert ase_calc.results == {}
+    ase_calc.calculate(atoms, properties=("energy",))
+    assert rec.calls[-1][0]["charge"] == 1.0
+    ase_calc.set_mult(3.0)
+    assert ase_calc.results == {}
+    ase_calc.calculate(atoms, properties=("energy",))
+    assert rec.calls[-1][0]["mult"] == 3.0
+
+
+def test_check_state_flags_info_charge_change(ase_adapter_module, calc):
+    """ASE's geometry-only check_state would serve stale results after an
+    atoms.info charge/mult edit (reference aimnet2ase.py:85-102)."""
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    atoms = _water()
+    ase_calc.calculate(atoms, properties=("energy",))
+    assert ase_calc.check_state(atoms) == []
+    atoms.info["charge"] = -1
+    assert "info" in ase_calc.check_state(atoms)
+    ase_calc.calculate(atoms, properties=("energy",))
+    assert ase_calc.check_state(atoms) == []
+    atoms.info["spin"] = 2  # MACE-style mult alias counts too
+    assert "info" in ase_calc.check_state(atoms)
+
+
+def test_get_dipole_moment_method(ase_adapter_module, calc):
+    ase_calc = ase_adapter_module.AIMNet2ASE(calc)
+    atoms = _water()
+    dm = ase_calc.get_dipole_moment(atoms)
+    if "charges" not in ase_calc.results:
+        pytest.skip("tiny fixture model emits no charges")
+    assert dm.shape == (3,)
+    np.testing.assert_allclose(dm, ase_calc.results["dipole_moment"])
+
+
+def test_string_ctor_resolves_artifact_path(ase_adapter_module, tmp_path):
+    """AIMNet2ASE('path/to/model.pt') builds the base calculator itself
+    (reference aimnet2ase.py:45-59 accepts names and paths)."""
+    from aimnetcentral_tpu.train.export import export_model
+
+    cfg = AIMNet2Config(
+        aev=AEVConfig(rc_s=5.0, nshifts_s=8),
+        nfeature=4,
+        d2features=True,
+        ncomb_v=4,
+        hidden=((32,), (32,), (32,)),
+        aim_size=32,
+        outputs=(
+            (
+                "energy_mlp",
+                OutputHead(n_in=32, n_out=1, key_in="aim", key_out="energy",
+                           mlp=MLPSpec(hidden=(16,), last_linear=True)),
+            ),
+            ("atomic_sum", AtomicSumHead(key_in="energy", key_out="energy")),
+        ),
+    )
+    p = str(tmp_path / "m.pt")
+    export_model(aimnet2_init(jax.random.key(3), cfg), cfg, p,
+                 sae={1: -13.6, 8: -2042.6}, implemented_species=[1, 8])
+    ase_calc = ase_adapter_module.AIMNet2ASE(p)
+    ase_calc.calculate(_water(), properties=("energy", "forces"))
+    assert np.isfinite(ase_calc.results["energy"])
+    assert ase_calc.results["forces"].shape == (3, 3)
