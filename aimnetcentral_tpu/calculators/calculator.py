@@ -295,6 +295,69 @@ class AIMNet2Calculator:
         (reference aimnet/calculators/calculator.py `is_nse`)."""
         return self.cfg.num_charge_channels == 2
 
+    @classmethod
+    def from_legacy_jit(cls, path: str, **calculator_kwargs: Any) -> "AIMNet2Calculator":
+        """Construct from a trusted legacy ``.jpt`` TorchScript archive
+        (reference aimnet/calculators/calculator.py:352-375).  ``model`` is
+        supplied by ``path`` and rejected as a keyword; import-policy
+        settings don't apply to ``.jpt`` sources (the architecture comes
+        from introspection, not YAML)."""
+        if "model" in calculator_kwargs:
+            raise TypeError(
+                "from_legacy_jit() does not accept a model keyword argument."
+            )
+        from aimnetcentral_tpu.models.loader import load_model
+
+        loaded = load_model(path)
+        return cls(loaded.as_calculator_model(), **calculator_kwargs)
+
+    @property
+    def has_external_coulomb(self) -> bool:
+        """True when long-range Coulomb is an externalized head (v2
+        artifacts with ``needs_coulomb``); False when embedded or absent
+        (reference aimnet/calculators/calculator.py:454-462)."""
+        return any(n == "external_coulomb" for n, _h in self.cfg.outputs)
+
+    @property
+    def has_external_dftd3(self) -> bool:
+        """True when D3 dispersion is an externalized head; False for
+        embedded D3TS / legacy models (reference calculator.py:464-472)."""
+        return any(n == "external_dftd3" for n, _h in self.cfg.outputs)
+
+    @property
+    def coulomb_method(self) -> str | None:
+        """Current external Coulomb method ("simple"/"dsf"/"ewald"/"pme"),
+        or None when Coulomb is embedded or absent (reference
+        calculator.py:479-491).  Reports the configured method — the
+        periodic simple→DSF auto-switch is per-eval and not reflected."""
+        for n, h in self.cfg.outputs:
+            if n == "external_coulomb" and isinstance(h, LRCoulombHead):
+                return h.method
+        return None
+
+    @property
+    def coulomb_cutoff(self) -> float | None:
+        """Effective external-Coulomb real-space cutoff: ``inf`` for
+        "simple", the DSF rc (or ``set_lr_cutoff`` override) for "dsf",
+        None for Ewald/PME (estimated per call from ``ewald_accuracy``;
+        reference calculator.py:493-505)."""
+        method = self.coulomb_method
+        if method == "simple":
+            return float("inf")
+        if method == "dsf":
+            h = self._lr_head()
+            return self._lr_cutoff_override or (h.dsf_rc if h else None)
+        return None
+
+    @property
+    def dftd3_cutoff(self) -> float | None:
+        """Current D3 dispersion cutoff in Angstrom, or None without a D3
+        head (reference calculator.py:507-515)."""
+        d3 = self._d3_head()
+        if d3 is None:
+            return None
+        return self._dftd3_cutoff_override or d3.cutoff
+
     def _lr_head(self) -> LRCoulombHead | None:
         for _name, h in self.cfg.outputs:
             if isinstance(h, LRCoulombHead):

@@ -298,3 +298,24 @@ def test_convert_v1_without_yaml(reference_aimnet2, rng, tmp_path):
     np.testing.assert_allclose(
         out["energy"], ref["energy"].numpy().reshape(-1), atol=5e-4
     )
+
+
+def test_from_legacy_jit_classmethod(reference_aimnet2, rng, tmp_path):
+    """AIMNet2Calculator.from_legacy_jit(path) (reference
+    calculator.py:352-375): builds the calculator directly, forwards ctor
+    kwargs, and rejects a model kwarg."""
+    from aimnetcentral_tpu.calculators import AIMNet2Calculator
+
+    model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+    jpt = str(tmp_path / "legacy.jpt")
+    make_introspectable_jpt(model.state_dict(), cfg_yaml, 5.0, jpt)
+
+    calc = AIMNet2Calculator.from_legacy_jit(jpt, precision="fast")
+    assert calc.precision == "fast"
+    assert calc.metadata["coulomb_mode"] == "full_embedded"
+    coord, numbers = random_molecule(rng, 7)
+    out = calc({"coord": coord, "numbers": numbers})
+    assert np.isfinite(out["energy"]).all()
+
+    with pytest.raises(TypeError, match="model keyword"):
+        AIMNet2Calculator.from_legacy_jit(jpt, model="x")

@@ -308,3 +308,33 @@ def test_ensemble_override_strips_head(rng):
     assert "external_dftd3" not in {n for n, _ in ens.cfg.outputs}
     out = ens.eval(_mol(rng, 6))
     assert np.isfinite(out["energy"]).all()
+
+
+# -- introspection properties (reference calculator.py:454-515) -----------
+
+
+def test_introspection_properties_external_heads():
+    calc = _calc({}, external_coulomb=True, external_d3=True)
+    assert calc.has_external_coulomb and calc.has_external_dftd3
+    assert calc.coulomb_method == "simple"
+    assert calc.coulomb_cutoff == float("inf")
+    assert calc.dftd3_cutoff == 15.0
+    calc.set_lrcoulomb_method("dsf", dsf_rc=12.0)
+    assert calc.coulomb_method == "dsf"
+    assert calc.coulomb_cutoff == 12.0
+    calc.set_dftd3_cutoff(12.5)
+    assert calc.dftd3_cutoff == 12.5
+    calc.set_lr_cutoff(10.0)  # unified LR override wins for both
+    assert calc.coulomb_cutoff == 10.0
+    assert calc.dftd3_cutoff == 10.0
+    calc.set_lrcoulomb_method("ewald")
+    assert calc.coulomb_cutoff is None  # estimated per call
+
+
+def test_introspection_properties_absent_heads():
+    calc = _calc({})
+    assert not calc.has_external_coulomb
+    assert not calc.has_external_dftd3
+    assert calc.coulomb_method is None
+    assert calc.coulomb_cutoff is None
+    assert calc.dftd3_cutoff is None
