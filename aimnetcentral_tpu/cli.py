@@ -33,7 +33,7 @@ def _load_calc(model: str, precision: str = "exact"):
     return AIMNet2Calculator(loaded.as_calculator_model(), precision=precision), loaded
 
 
-def _load_ens_calc(model: str, fused: bool = True):
+def _load_ens_calc(model: str, fused: bool = True, precision: str = "exact"):
     """Ensemble calculator from a registry family name (all members) or a
     comma-separated list of artifact paths."""
     from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
@@ -42,9 +42,11 @@ def _load_ens_calc(model: str, fused: bool = True):
     if "," in model:
         loaded = [load_model(p.strip()) for p in model.split(",")]
         return EnsembleCalculator.from_members(
-            [ld.as_calculator_model() for ld in loaded], fused=fused
+            [ld.as_calculator_model() for ld in loaded],
+            fused=fused,
+            precision=precision,
         )
-    return EnsembleCalculator.from_registry(model, fused=fused)
+    return EnsembleCalculator.from_registry(model, fused=fused, precision=precision)
 
 
 def _read_structure(path: str):
@@ -88,7 +90,7 @@ def sp(
 ) -> None:
     """Single-point energy (and forces) for an XYZ or CIF file."""
     if ensemble:
-        calc = _load_ens_calc(model)
+        calc = _load_ens_calc(model, precision=precision)
     else:
         calc, _ = _load_calc(model, precision=precision)
     coord, numbers, cell = _read_structure(xyz)
@@ -235,6 +237,12 @@ def md(
 @click.option("--temperature", default=298.15)
 @click.option("--pressure", default=101325.0)
 @click.option("--symmetry-number", default=1)
+@click.option(
+    "--mult",
+    default=1.0,
+    help="spin multiplicity: sets the electronic entropy kB*ln(mult) in "
+    "--thermo (and is forwarded to NSE models as input)",
+)
 def freq(
     model: str,
     xyz: str,
@@ -245,6 +253,7 @@ def freq(
     temperature: float,
     pressure: float,
     symmetry_number: int,
+    mult: float,
 ) -> None:
     """Harmonic vibrational frequencies (cm^-1) from the dense Hessian.
 
@@ -260,7 +269,13 @@ def freq(
     calc, _loaded = _load_calc(model)
     coord, numbers = _read_xyz(xyz)
     data = {"coord": coord, "numbers": numbers, "charge": charge}
-    freqs, modes = frequencies_from_calculator(calc, data)
+    if mult != 1.0:
+        data["mult"] = mult
+    # --thermo implies a stationary point: project the rotational null
+    # vectors so they cannot leak into the vibrational partition function
+    freqs, modes = frequencies_from_calculator(
+        calc, data, project_rotations=thermo
+    )
     n_imag = int((freqs < -10.0).sum())  # ignore numerical near-zeros
     result = {
         "n_imaginary": n_imag,
@@ -284,6 +299,7 @@ def freq(
                 temperature=temperature,
                 pressure=pressure,
                 symmetry_number=symmetry_number,
+                mult=mult,
             ).items()
         }
     click.echo(json.dumps(result))

@@ -147,14 +147,18 @@ class SizeGroupedDataset:
 
     def random_split(self, *fractions: float, seed=None) -> list["SizeGroupedDataset"]:
         """Per-size-group shuffled partition (reference
-        aimnet/data/sgdataset.py:265-274); empty splits drop the group."""
+        aimnet/data/sgdataset.py:265-274); empty splits drop the group.
+
+        Returns exactly ``len(fractions)`` datasets — reference semantics,
+        so ``train, val = ds.random_split(0.9, 0.1)`` unpacks — the
+        remainder rows (when fractions sum to < 1) are discarded here
+        (``DataGroup.random_split`` keeps them as a trailing group)."""
         split_groups = {k: g.random_split(*fractions, seed=seed) for k, g in self.items()}
-        n_parts = len(next(iter(split_groups.values()))) if split_groups else 0
         return [
             SizeGroupedDataset(
                 {k: parts[i] for k, parts in split_groups.items() if len(parts[i])}
             )
-            for i in range(n_parts)
+            for i in range(len(fractions))
         ]
 
     def cv_split(self, cv: int = 5, seed=None) -> list[tuple["SizeGroupedDataset", "SizeGroupedDataset"]]:

@@ -208,6 +208,17 @@ def neb(
         raise ValueError("reactant and product must share atom ordering")
     if "cell" in reactant or "cell" in product:
         raise ValueError("NEB supports gas-phase endpoints (no cell)")
+    # endpoints on different electronic states give a meaningless band: the
+    # whole band runs at the REACTANT's charge/mult, so mismatches must error
+    # (mirrors the atom-ordering check above)
+    for key in ("charge", "mult"):
+        a = float(reactant.get(key, 1.0 if key == "mult" else 0.0))
+        b = float(product.get(key, 1.0 if key == "mult" else 0.0))
+        if a != b:
+            raise ValueError(
+                f"reactant and product disagree on {key} ({a} vs {b}); "
+                "NEB requires one electronic state along the band"
+            )
 
     if band0 is None:
         band0 = linear_band(jnp.asarray(coord_r), jnp.asarray(coord_p), n_images)

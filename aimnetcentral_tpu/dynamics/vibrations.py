@@ -28,6 +28,8 @@ def harmonic_frequencies(
     hessian: np.ndarray,
     masses: np.ndarray,
     project_translations: bool = True,
+    coord: np.ndarray | None = None,
+    project_rotations: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Mass-weighted normal-mode analysis.
 
@@ -36,8 +38,16 @@ def harmonic_frequencies(
     hessian : (N, 3, N, 3) or (3N, 3N) second derivatives in eV/A^2
     masses : (N,) atomic masses in amu
     project_translations : project the 3 exact translational null vectors
-        out of the mass-weighted Hessian before diagonalizing (rotations are
-        NOT projected — at a non-stationary geometry they are not null)
+        out of the mass-weighted Hessian before diagonalizing
+    coord : (N, 3) Cartesian coordinates in A — required when
+        ``project_rotations`` is set (rotation vectors depend on geometry)
+    project_rotations : additionally project the 3 (2 for linear molecules)
+        rotational vectors.  Only valid AT STATIONARY POINTS, where rotations
+        are exact null directions; at a non-stationary geometry they are not,
+        so the default is off.  Thermochemistry (``rrho_thermochemistry``)
+        applies at stationary points and should use rotation-projected
+        frequencies so the rigid-rotor terms are not double-counted by
+        rotational pseudo-frequencies leaking above the vibrational cutoff.
 
     Returns
     -------
@@ -53,13 +63,40 @@ def harmonic_frequencies(
     inv_sqrt_m = np.repeat(1.0 / np.sqrt(masses), 3)
     hw = h * inv_sqrt_m[:, None] * inv_sqrt_m[None, :]
 
+    vecs = []
+    sm = np.sqrt(masses)
     if project_translations:
         # translation vectors in mass-weighted coords: sqrt(m_i) * e_ax
-        t = np.zeros((3, 3 * n))
-        sm = np.sqrt(masses)
         for ax in range(3):
-            t[ax, ax::3] = sm
-        t /= np.linalg.norm(t, axis=1, keepdims=True)
+            t = np.zeros(3 * n)
+            t[ax::3] = sm
+            vecs.append(t)
+    if project_rotations:
+        if coord is None:
+            raise ValueError("project_rotations requires coord")
+        r = np.asarray(coord, dtype=np.float64).reshape(n, 3)
+        com = (masses[:, None] * r).sum(0) / masses.sum()
+        r = r - com
+        # rotation vectors in mass-weighted coords: sqrt(m_i) * (e_ax x r_i)
+        for ax in range(3):
+            e = np.zeros(3)
+            e[ax] = 1.0
+            vecs.append((sm[:, None] * np.cross(e, r)).reshape(-1))
+    if vecs:
+        # modified Gram-Schmidt: translations have disjoint support (stay
+        # exactly orthonormal); rotations are orthogonalized against them.
+        # Rank-deficient directions (linear molecules have only 2 independent
+        # rotations; single atoms none) drop out via the norm guard.
+        basis: list[np.ndarray] = []
+        for v in vecs:
+            scale = np.linalg.norm(v)
+            for _ in range(2):  # double pass for numerical orthogonality
+                for b in basis:
+                    v = v - (b @ v) * b
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-8 * max(scale, 1.0):
+                basis.append(v / nrm)
+        t = np.stack(basis)
         p = np.eye(3 * n) - t.T @ t
         hw = p @ hw @ p
 
@@ -72,7 +109,10 @@ def harmonic_frequencies(
 
 
 def frequencies_from_calculator(
-    calc, data: dict, project_translations: bool = True
+    calc,
+    data: dict,
+    project_translations: bool = True,
+    project_rotations: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Convenience: dense Hessian via the calculator, then normal modes."""
     out = calc(data, hessian=True)
@@ -81,7 +121,13 @@ def frequencies_from_calculator(
         raise ValueError("vibrational analysis takes ONE structure at a time")
     numbers = np.asarray(data["numbers"]).reshape(-1)
     masses = np.asarray(constants.get_masses(), dtype=np.float64)[numbers]
-    return harmonic_frequencies(h, masses, project_translations)
+    return harmonic_frequencies(
+        h,
+        masses,
+        project_translations,
+        coord=np.asarray(data["coord"], dtype=np.float64).reshape(-1, 3),
+        project_rotations=project_rotations,
+    )
 
 
 # -- IR intensities ------------------------------------------------------------
@@ -176,6 +222,15 @@ def rrho_thermochemistry(
     Sackur-Tetrode, classical rigid rotor from the inertia tensor (linear /
     nonlinear / monatomic handled), electronic spin degeneracy.
 
+    Pass frequencies computed with ``project_rotations=True`` (valid at the
+    stationary points where this treatment applies) so rotational
+    pseudo-frequencies cannot leak into the vibrational sum.  As a second
+    line of defense the vibrational mode count is capped at 3N-6 (3N-5 for
+    linear molecules, 0 for atoms) by dropping the LOWEST real modes beyond
+    the cap — those are the rotational contaminants when projection was
+    skipped — mirroring ase.thermochemistry.IdealGasThermo's requirement of
+    exactly 3N-6 vibrational energies.
+
     Returns a dict of energies in eV and entropies in eV/K:
     ``zpe``, ``u_vib`` (incl. ZPE), ``u_trans``, ``u_rot``, ``h`` (thermal
     enthalpy correction, ex electronic energy), ``s_trans/s_rot/s_vib/s_el``,
@@ -187,9 +242,25 @@ def rrho_thermochemistry(
     coord = np.asarray(coord, dtype=np.float64).reshape(-1, 3)
     masses = np.asarray(constants.get_masses(), dtype=np.float64)[numbers]
 
+    # rigid-body classification first (the vibrational cap needs linearity)
+    com = (masses[:, None] * coord).sum(0) / masses.sum()
+    r = coord - com
+    inertia = np.einsum("i,ij,ik->jk", masses, r, r)
+    inertia = np.diag(np.full(3, np.trace(inertia))) - inertia  # amu A^2
+    moments = np.clip(np.linalg.eigvalsh(inertia), 0.0, None)
+    tol = 1e-3 * max(moments.max(), 1.0)
+    monatomic = numbers.shape[0] == 1 or moments.max() < 1e-12
+    linear = (not monatomic) and moments[0] < tol
+
     # vibrational
     freqs = np.asarray(freqs_cm1, dtype=np.float64).reshape(-1)
-    vib = freqs[freqs > freq_cutoff_cm1]
+    vib = np.sort(freqs[freqs > freq_cutoff_cm1])
+    n = numbers.shape[0]
+    n_vib_max = 0 if monatomic else (3 * n - 5 if linear else 3 * n - 6)
+    if vib.shape[0] > n_vib_max:
+        # rotational / translational contaminants above the cutoff: drop the
+        # lowest real modes down to the RRHO mode count (see docstring)
+        vib = vib[vib.shape[0] - n_vib_max :]
     n_skipped = int(freqs.shape[0] - vib.shape[0])
     e_modes = vib * _HC_EV_CM  # eV
     zpe = 0.5 * e_modes.sum()
@@ -205,19 +276,13 @@ def rrho_thermochemistry(
     s_trans = constants.kB * (np.log(q_trans) + 2.5)
     u_trans = 1.5 * kT
 
-    # rotational (classical RR from the principal moments)
-    com = (masses[:, None] * coord).sum(0) / masses.sum()
-    r = coord - com
-    inertia = np.einsum("i,ij,ik->jk", masses, r, r)
-    inertia = np.diag(np.full(3, np.trace(inertia))) - inertia  # amu A^2
-    moments = np.clip(np.linalg.eigvalsh(inertia), 0.0, None)
+    # rotational (classical RR from the principal moments computed above)
     moments_si = moments * _AMU_SI * 1e-20  # kg m^2
     sigma = max(int(symmetry_number), 1)
-    tol = 1e-3 * max(moments.max(), 1.0)
-    if numbers.shape[0] == 1 or moments.max() < 1e-12:
+    if monatomic:
         q_rot = 1.0
         u_rot = 0.0
-    elif moments[0] < tol:  # linear: one vanishing principal moment
+    elif linear:  # one vanishing principal moment
         q_rot = 8.0 * np.pi**2 * moments_si[2] * _KB_SI * T / (sigma * _H_SI**2)
         u_rot = kT
     else:

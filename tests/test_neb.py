@@ -122,3 +122,11 @@ def test_neb_input_validation(tiny_model):
     c = dict(a, cell=np.eye(3, dtype=np.float32))
     with pytest.raises(ValueError, match="gas-phase"):
         neb(params, cfg, a, c)
+    # different electronic states across the band are physically meaningless
+    with pytest.raises(ValueError, match="charge"):
+        neb(params, cfg, dict(a, charge=1.0), a)
+    with pytest.raises(ValueError, match="mult"):
+        neb(params, cfg, a, dict(a, mult=3.0))
+    # explicit-but-equal values are fine (defaults: charge 0, mult 1)
+    with pytest.raises(ValueError, match="atom ordering"):
+        neb(params, cfg, dict(a, charge=0.0), dict(b, charge=0.0))

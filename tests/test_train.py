@@ -376,14 +376,18 @@ def test_random_split_partitions_and_fractions():
             "numbers": np.full((20, 6), 6), "energy": rng.normal(size=20)},
     }
     ds = SizeGroupedDataset(groups)
-    train, val, rest = ds.random_split(0.5, 0.25, seed=1)
+    # reference semantics: exactly len(fractions) datasets come back, so
+    # `train, val = ds.random_split(0.9, 0.1)` unpacks (reference
+    # aimnet/data/sgdataset.py:265-274); sub-1 sums discard the remainder
+    train, val = ds.random_split(0.5, 0.25, seed=1)
     for size, total in ((4, 40), (6, 20)):
-        n = (len(train[size]) if size in train.keys() else 0,
-             len(val[size]), len(rest[size]))
-        assert sum(n) == total
-        assert n[0] == round(total * 0.5)
+        n_train = len(train[size]) if size in train.keys() else 0
+        assert n_train == round(total * 0.5)
+        assert n_train + len(val[size]) < total  # remainder discarded
+    t9, v9 = ds.random_split(0.9, 0.1, seed=2)
+    assert len(t9) + len(v9) == len(ds)
     # deterministic under the same seed
-    t2, v2, r2 = ds.random_split(0.5, 0.25, seed=1)
+    t2, v2 = ds.random_split(0.5, 0.25, seed=1)
     np.testing.assert_array_equal(train[4]["energy"], t2[4]["energy"])
     # invalid fractions rejected
     with pytest.raises(ValueError):

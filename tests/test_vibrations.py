@@ -114,6 +114,56 @@ def test_model_hessian_has_exact_translation_nulls(reference_aimnet2, rng):
     assert np.isfinite(freqs).all()
 
 
+def test_rotation_projection_nulls_six_modes(calc_small):
+    """With project_rotations=True the 3 translations + 3 rotations are exact
+    null directions of the projected Hessian — even at a NON-stationary
+    geometry — leaving exactly 3N-6 finite modes for thermochemistry."""
+    from aimnetcentral_tpu.dynamics import frequencies_from_calculator
+
+    coord = np.array(
+        [[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]],
+        dtype=np.float32,
+    )
+    data = {"coord": coord, "numbers": np.array([8, 1, 1]), "charge": 0.0}
+    f_t, _ = frequencies_from_calculator(calc_small, data)
+    f_tr, _ = frequencies_from_calculator(calc_small, data, project_rotations=True)
+    # unprojected rotations at a random (non-stationary) geometry are NOT null
+    assert np.sort(np.abs(f_t))[5] > 2.0
+    assert np.sort(np.abs(f_tr))[:6].max() < 1e-4
+    # exactly 3N-6 = 3 finite modes remain; the stiffest is barely affected
+    # (low modes legitimately shift: rotations mix with soft vibrations away
+    # from a stationary point)
+    assert (np.abs(f_tr) > 1e-2).sum() == 3
+    np.testing.assert_allclose(
+        np.abs(f_tr).max(), np.abs(f_t).max(), rtol=0.05
+    )
+
+
+def test_rotation_projection_linear_molecule_rank():
+    """A diatomic has only 2 independent rotations: the QR rank guard must
+    drop the axial rotation vector instead of crashing, and the stretch
+    frequency must be untouched."""
+    k = 100.0
+    m = np.array([12.011, 15.999])
+    u = np.array([1.0, 0.0, 0.0])
+    coord = np.array([[0.0, 0.0, 0.0], [1.128, 0.0, 0.0]])
+    freqs, _ = harmonic_frequencies(
+        _diatomic_hessian(k, u), m, coord=coord, project_rotations=True
+    )
+    mu = m[0] * m[1] / m.sum()
+    np.testing.assert_allclose(freqs[:5], 0.0, atol=1e-6)
+    np.testing.assert_allclose(freqs[5], 521.4708 * np.sqrt(k / mu), rtol=1e-10)
+
+
+def test_project_rotations_requires_coord():
+    with pytest.raises(ValueError, match="coord"):
+        harmonic_frequencies(
+            _diatomic_hessian(10.0, np.array([1.0, 0, 0])),
+            np.array([1.0, 1.0]),
+            project_rotations=True,
+        )
+
+
 # -- IR intensities + RRHO thermochemistry -------------------------------------
 
 
@@ -161,6 +211,31 @@ def test_rrho_skips_imaginary_and_low_modes():
     )
     assert th["n_skipped_modes"] == 2
     assert abs(th["zpe"] - 0.5 * 1500.0 * 1.239842e-4) < 1e-6
+
+
+def test_rrho_caps_vibrations_at_3n_minus_6():
+    """Rotational pseudo-frequencies above the cutoff (unprojected Hessian at
+    an ML-potential minimum) must NOT be double-counted: the vibrational sum
+    keeps only the 3N-6 HIGHEST real modes (ASE IdealGasThermo requires
+    exactly 3N-6 vib energies)."""
+    from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
+
+    coord = np.array(
+        [[0.0, 0.0, 0.1193], [0.0, 0.7632, -0.477], [0.0, -0.7632, -0.477]]
+    )
+    clean = rrho_thermochemistry(
+        np.array([1594.8, 3657.1, 3755.9]), [8, 1, 1], coord, symmetry_number=2
+    )
+    # two rotational contaminants at 25/40 cm^-1 sneak past the 10 cm^-1 cutoff
+    dirty = rrho_thermochemistry(
+        np.array([25.0, 40.0, 1594.8, 3657.1, 3755.9]),
+        [8, 1, 1],
+        coord,
+        symmetry_number=2,
+    )
+    assert dirty["n_skipped_modes"] == 2
+    for key in ("zpe", "u_vib", "s_vib", "g"):
+        assert abs(dirty[key] - clean[key]) < 1e-12, key
 
 
 def test_ir_translation_mode_is_dark_for_neutral(calc_small):
