@@ -195,6 +195,32 @@ class MDDriver:
             engine = "binned" if system.cell is not None else "indexed"
         self.engine = engine
 
+        # Ewald/PME heads need the host-side discretization attached BEFORE
+        # binning (eta, k-grid / FFT mesh; to_binned_system carries them
+        # through .replace).  The eta/k-grid stay FIXED over the trajectory
+        # (static shapes under jit); under the Berendsen barostat the energy
+        # still tracks the instantaneous cell exactly — only the real/k-space
+        # error split drifts with volume, which is within accuracy for the
+        # small volume excursions NPT equilibration produces.
+        self._ewald_rc = None
+        ew_head = next(
+            (
+                h
+                for _n, h in cfg.outputs
+                if getattr(h, "kind", "") == "lrcoulomb"
+                and h.method in ("ewald", "pme")
+            ),
+            None,
+        )
+        if ew_head is not None and system.cell is not None:
+            if system.ewald_kpts is None:
+                from aimnetcentral_tpu.models.ewald import attach_ewald
+
+                system = attach_ewald(
+                    system, ew_head.ewald_accuracy, pme=ew_head.method == "pme"
+                )
+            self._ewald_rc = float(system.ewald_r_static)
+
         n_real = int(np.asarray(system.numbers > 0).sum())
         cell_np = np.asarray(system.cell[0]) if system.cell is not None else None
         self._compact_system = system  # kept for checkpoint restore (re-bin)
@@ -324,7 +350,13 @@ class MDDriver:
         cuts = []
         for _n, h in self.cfg.outputs:
             if isinstance(h, LRCoulombHead):
-                cuts.append(h.dsf_rc)
+                if h.method in ("ewald", "pme"):
+                    # real-space erfc cutoff from the attached discretization
+                    # (set in __init__), not the DSF cutoff
+                    if self._ewald_rc is not None:
+                        cuts.append(self._ewald_rc)
+                else:
+                    cuts.append(h.dsf_rc)
             elif isinstance(h, DFTD3Head):
                 cuts.append(h.cutoff)
         return max(cuts) if cuts else None

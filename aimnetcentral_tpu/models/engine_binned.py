@@ -612,6 +612,30 @@ def ewald_real_binned(
     return 0.5 * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
 
 
+def ewald_real_binned_multi(
+    system: System, q: Array, eta, r_cutoff_static: float
+) -> Array:
+    """Member-stacked twin of :func:`ewald_real_binned`: q ``(L, E)`` ->
+    ``(num_mol, E)`` (no k_e).  One pair sweep evaluates the erfc screening
+    kernel; each member pays only its charge product — the real-space leg of
+    the fused-ensemble Ewald."""
+    n_e = q.shape[1]
+
+    def e_fn(d, valid, self_b, cand_b):
+        kernel = aops.erfc_approx(d / (math.sqrt(2.0) * eta)) / d
+        return tuple(
+            kernel
+            * (self_b["q"][..., :, None, e] * cand_b["q"][..., None, :, e])
+            for e in range(n_e)
+        )
+
+    e_i = pair_energy_binned(
+        system, r_cutoff_static, e_fn, {"q": q}, layout="lr", n_out=n_e,
+        allow_pallas=isinstance(eta, (int, float)),
+    )
+    return 0.5 * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
+
+
 def pair_sum_binned(
     system: System,
     cutoff: float,

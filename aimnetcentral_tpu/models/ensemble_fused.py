@@ -342,9 +342,18 @@ def ensemble_head_apply(
             e = eb.coulomb_simple_binned_multi(
                 system, q_st, head.rc, head.envelope, head.subtract_sr
             )
+        elif head.method in ("ewald", "pme"):
+            # member-fused: one erfc pair sweep + one shared phase matrix
+            # (Ewald) / shared B-spline spread geometry (PME); members pay
+            # only bilinear charge contractions (ewald.ewald_nonreal_multi)
+            from aimnetcentral_tpu.models import ewald as ew
+
+            e = ew.coulomb_periodic_binned_multi(system, q_st)
+            if head.subtract_sr:
+                e = e - eb.coulomb_sr_binned_multi(
+                    system, q_st, head.rc, head.envelope
+                )
         else:
-            # ewald/pme: per-member fallback (k-space phase matrices are
-            # identical subgraphs across members -> XLA CSE shares them)
             return _per_member_fallback(head, params, data, system, n_e)
         return _add_energy_e(data, head.key_out, jnp.moveaxis(e, 0, 1), n_e)
 
@@ -368,6 +377,23 @@ def ensemble_head_apply(
         mult = jnp.exp(jnp.clip(data[head.key_in], -4.0, 4.0))  # (E, N, 2)
         vals = p0["disp_param0"][system.numbers][None] * mult
         return {**data, head.key_out: vals}
+
+    if head.kind == "lrcoulomb" and head.method in ("ewald", "pme"):
+        # indexed layout: same member fusion as the binned branch above
+        from aimnetcentral_tpu.models import ewald as ew
+
+        q_st = jnp.moveaxis(data[head.key_in], 0, 1)  # (N, E)
+        e = ew.coulomb_periodic_multi(q_st, system, method=head.method)
+        if head.subtract_sr:
+            data = lr.ensure_dij(data, system, "")
+            e = e - lr.coulomb_sr_multi(data, system, head.rc, head.envelope, q_st)
+        return _add_energy_e(data, head.key_out, jnp.moveaxis(e, 0, 1), n_e)
+
+    if head.kind == "srcoulomb":
+        q_st = jnp.moveaxis(data[head.key_in], 0, 1)
+        data = lr.ensure_dij(data, system, "")
+        e = lr.coulomb_sr_multi(data, system, head.rc, head.envelope, q_st)
+        return _add_energy_e(data, head.key_out, -jnp.moveaxis(e, 0, 1), n_e)
 
     return _per_member_fallback(head, params, data, system, n_e)
 

@@ -224,6 +224,246 @@ def _ewald_nonreal(
     return e_recip + e_self + e_bg
 
 
+def ewald_nonreal_multi(
+    coord: Array,
+    q_st: Array,  # (N, E) member-stacked charges (padding rows zeroed)
+    cell: Array,  # (B, 3, 3)
+    mol_idx: Array,
+    num_mol: int,
+    eta,
+    k_cutoff,
+    k_pts: Array,
+) -> Array:
+    """Member-fused reciprocal + self + background terms (no k_e): (M, E).
+
+    The expensive parts — the (N, K) phase matrix e^{ik.r}, its trig images,
+    and the k-space Green weights — are member-INDEPENDENT and computed
+    exactly once; each member's structure factor S_e(k) is one bilinear
+    charge contraction (a (K, E) GEMM for the single-cell case).  This is
+    the Ewald leg of the ensemble-fusion lever (same structure as
+    engine_binned.coulomb_dsf_binned_multi): 4 members cost ~1x the
+    single-member k-space work instead of 4x.  Cf. the reference evaluating
+    one PME per batch (reference aimnet/modules/lr.py:674-700) — here the
+    member axis is served the same way.
+    """
+    n_e = q_st.shape[1]
+    ones_b = jnp.ones((num_mol,), coord.dtype)
+    eta_b = jnp.asarray(eta).reshape(-1) * ones_b
+    kcut_b = jnp.asarray(k_cutoff).reshape(-1) * ones_b
+    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
+
+    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B,3,3)
+    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)
+    k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, K)
+    kmask = (k2 > 1e-12) & (k2 < (kcut_b * kcut_b)[:, None])
+    cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
+    atom_recip = jnp.take(cell_ext, mol_idx, axis=0)
+    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip, precision=HI)
+    phase = jnp.einsum("nkh,nh->nk", kdir, coord, precision=HI)  # (N, K) shared
+    cos_p = jnp.cos(phase)
+    sin_p = jnp.sin(phase)
+    volume = jnp.abs(jnp.linalg.det(cell))  # (B,)
+    w = jnp.where(
+        kmask,
+        jnp.exp(-0.5 * (eta_b * eta_b)[:, None] * k2) / jnp.where(kmask, k2, 1.0),
+        0.0,
+    )
+    if num_mol == 1:
+        # single cell (MD, crystals): the structure factors are ONE GEMM
+        s_re = jnp.einsum("nk,ne->ke", cos_p, q_st, precision=HI)  # (K, E)
+        s_im = jnp.einsum("nk,ne->ke", sin_p, q_st, precision=HI)
+        e_recip = (2.0 * jnp.pi / volume)[:, None] * jnp.sum(
+            w[0][:, None] * (s_re * s_re + s_im * s_im), axis=0
+        )[None]
+    else:
+        # batched cells: per-member segment contraction over the SHARED trig
+        # images (the member loop re-reads cos_p/sin_p, never recomputes them)
+        e_recip = jnp.stack(
+            [
+                jnp.sum(
+                    w
+                    * (
+                        nbops.mol_sum(q_st[:, e, None] * cos_p, mol_idx, num_mol) ** 2
+                        + nbops.mol_sum(q_st[:, e, None] * sin_p, mol_idx, num_mol)
+                        ** 2
+                    ),
+                    axis=-1,
+                )
+                * (2.0 * jnp.pi / volume)
+                for e in range(n_e)
+            ],
+            axis=-1,
+        )  # (M, E)
+    e_self = -nbops.mol_sum(
+        q_st * q_st / eta_at[:, None], mol_idx, num_mol
+    ) / math.sqrt(2.0 * math.pi)
+    q_tot = nbops.mol_sum(q_st, mol_idx, num_mol)  # (M, E)
+    e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b)[:, None] / volume[:, None]
+    return e_recip + e_self + e_bg
+
+
+def coulomb_periodic_binned_multi(
+    system: System,
+    q_st: Array,  # (L, E) member-stacked charges
+) -> Array:
+    """Member-fused twin of :func:`coulomb_periodic_binned`: (num_mol, E) in
+    eV.  Real-space erfc sweep shared via ``ewald_real_binned_multi`` (one
+    pair sweep, per-member charge products); reciprocal space via the shared
+    phase matrix (Ewald) or shared B-spline spread weights (PME)."""
+    from aimnetcentral_tpu.models.engine_binned import ewald_real_binned_multi
+
+    if system.cell is None:
+        raise ValueError("periodic Coulomb requires a cell")
+    if system.ewald_kpts is None or system.ewald_r_static is None:
+        raise ValueError("call models.ewald.attach_ewald on the System first")
+
+    q_st = jnp.where((system.numbers > 0)[:, None], q_st, 0.0)
+    # binned systems are single-molecule: collapse per-mol params to scalars
+    eta = jnp.asarray(system.ewald_eta).reshape(-1)[0]
+    k_cutoff = jnp.asarray(system.ewald_k_cutoff).reshape(-1)[0]
+    e_real = ewald_real_binned_multi(system, q_st, eta, system.ewald_r_static)
+
+    if system.pme_mesh is not None:
+        from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched_multi
+
+        e_recip = pme_reciprocal_energy_batched_multi(
+            system.coord, q_st, system.cell, system.mol_idx, system.num_mol,
+            eta.reshape(1), system.pme_mesh,
+        )
+        e_self = -nbops.mol_sum(q_st * q_st, system.mol_idx, system.num_mol) / (
+            jnp.sqrt(2.0 * jnp.pi) * eta
+        )
+        volume = jnp.abs(jnp.linalg.det(system.cell))  # (M,)
+        q_tot = nbops.mol_sum(q_st, system.mol_idx, system.num_mol)
+        e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume[:, None]
+        return KE * (e_real + e_recip + e_self + e_bg)
+
+    e_other = ewald_nonreal_multi(
+        system.coord,
+        q_st,
+        system.cell,
+        system.mol_idx,
+        system.num_mol,
+        eta,
+        k_cutoff,
+        system.ewald_kpts,
+    )
+    return KE * (e_real + e_other)
+
+
+def ewald_energy_multi(
+    coord: Array,
+    q_st: Array,  # (N, E)
+    cell: Array,
+    mol_idx: Array,
+    num_mol: int,
+    numbers: Array,
+    nbmat: Array,
+    shifts: Array,
+    eta,
+    r_cutoff,
+    k_cutoff,
+    k_pts: Array,
+) -> Array:
+    """Member-fused twin of :func:`ewald_energy` on the INDEXED layout:
+    (num_mol, E) in eV.  The erfc pair kernel and the phase matrix are
+    computed once; members contribute bilinear charge products."""
+    q_st = jnp.where((numbers > 0)[:, None], q_st, 0.0)
+    ones_b = jnp.ones((num_mol,), coord.dtype)
+    eta_b = jnp.asarray(eta).reshape(-1) * ones_b
+    rcut_b = jnp.asarray(r_cutoff).reshape(-1) * ones_b
+    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
+    rcut_at = jnp.take(jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx)
+
+    from aimnetcentral_tpu.ops.math import calc_distances
+
+    d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
+    valid = nbops.pair_mask(nbmat) & (d_ij < rcut_at[:, None])
+    e_pair = jnp.where(
+        valid,
+        jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta_at[:, None])) / d_ij,
+        0.0,
+    )  # (N, M_nb) shared kernel
+    q_nb = nbops.gather_nb(q_st, nbmat)  # (N, M_nb, E)
+    e_real_i = jnp.einsum("nm,nme->ne", e_pair, q_nb, precision=HI) * q_st
+    e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
+
+    e_other = ewald_nonreal_multi(
+        coord, q_st, cell, mol_idx, num_mol, eta, k_cutoff, k_pts
+    )
+    return KE * (e_real + e_other)
+
+
+def coulomb_periodic_multi(
+    q_st: Array,  # (N, E)
+    system: System,
+    method: str = "ewald",
+) -> Array:
+    """Member-fused twin of :func:`coulomb_periodic` on the INDEXED layout:
+    (num_mol, E) in eV.  Ewald shares the erfc pair kernel + phase matrix;
+    PME shares the pair kernel + B-spline spread geometry."""
+    if system.cell is None:
+        raise ValueError(f"{method} Coulomb requires a periodic cell")
+    if system.ewald_kpts is None:
+        raise ValueError(
+            "System lacks Ewald parameters; call models.ewald.attach_ewald first"
+        )
+    nb, sh, _sfx = system.resolve_nb("_coulomb", "_lr", "")
+    if sh is None:
+        raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
+    if method == "pme" and system.pme_mesh is not None:
+        from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched_multi
+        from aimnetcentral_tpu.ops.math import calc_distances
+
+        num_mol = system.num_mol
+        mol_idx = system.mol_idx
+        q_st = jnp.where((system.numbers > 0)[:, None], q_st, 0.0)
+        ones_b = jnp.ones((num_mol,), system.coord.dtype)
+        eta_b = jnp.asarray(system.ewald_eta).reshape(-1) * ones_b
+        rcut_b = jnp.asarray(system.ewald_r_cutoff).reshape(-1) * ones_b
+        eta_at = jnp.take(
+            jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx
+        )
+        rcut_at = jnp.take(
+            jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx
+        )
+        d, _ = calc_distances(system.coord, nb, sh, system.cell, mol_idx)
+        valid = nbops.pair_mask(nb) & (d < rcut_at[:, None])
+        e_pair = jnp.where(
+            valid,
+            jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta_at[:, None])) / d,
+            0.0,
+        )
+        q_nb = nbops.gather_nb(q_st, nb)
+        e_real_i = jnp.einsum("nm,nme->ne", e_pair, q_nb, precision=HI) * q_st
+        e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
+        e_recip = pme_reciprocal_energy_batched_multi(
+            system.coord, q_st, system.cell, mol_idx, num_mol, eta_b,
+            system.pme_mesh,
+        )
+        e_self = -nbops.mol_sum(
+            q_st * q_st / eta_at[:, None], mol_idx, num_mol
+        ) / math.sqrt(2.0 * math.pi)
+        volume = jnp.abs(jnp.linalg.det(system.cell))
+        q_tot = nbops.mol_sum(q_st, mol_idx, num_mol)
+        e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b)[:, None] / volume[:, None]
+        return KE * (e_real + e_recip + e_self + e_bg)
+    return ewald_energy_multi(
+        system.coord,
+        q_st,
+        system.cell,
+        system.mol_idx,
+        system.num_mol,
+        system.numbers,
+        nb,
+        sh,
+        system.ewald_eta,
+        system.ewald_r_cutoff,
+        system.ewald_k_cutoff,
+        system.ewald_kpts,
+    )
+
+
 def attach_ewald(system: System, accuracy: float = 1e-6, pme: bool = False) -> System:
     """Host-side: estimate Ewald discretization from the (concrete) cells and
     attach it to the System.  Call OUTSIDE jit (the calculator does).

@@ -70,6 +70,28 @@ def coulomb_sr(
     return FACTOR * _pair_sum_energy(e_ij, valid, system.mol_idx, system.num_mol)
 
 
+def coulomb_sr_multi(
+    data: dict,
+    system: System,
+    rc: Array,
+    envelope: str,
+    q_st: Array,  # (N, E) member-stacked charges
+) -> Array:
+    """Member-fused twin of :func:`coulomb_sr`: the envelope/d kernel is
+    member-independent (one evaluation); members contribute bilinear charge
+    products -> (num_mol, E)."""
+    data = ensure_dij(data, system, "")
+    d_ij = data["d_ij"]
+    fc = aops.exp_cutoff(d_ij, rc) if envelope == "exp" else aops.cosine_cutoff(d_ij, rc)
+    kernel = jnp.where(nbops.pair_mask(system.nbmat), fc / d_ij, 0.0)  # (N, M)
+    q_nb = nbops.gather_nb(q_st, system.nbmat)  # (N, M, E)
+    e_i = (
+        jnp.einsum("nm,nme->ne", kernel, q_nb, precision=jax.lax.Precision.HIGHEST)
+        * q_st
+    )
+    return FACTOR * nbops.mol_sum(e_i, system.mol_idx, system.num_mol)
+
+
 def coulomb_simple(
     data: dict,
     system: System,

@@ -249,6 +249,73 @@ def pme_reciprocal_energy_batched(
     return pme_reciprocal_from_rho(rho, cells, eta_b, mesh)
 
 
+def pme_spread_charges_multi(
+    coord: Array,
+    q_st: Array,  # (N, E) member-stacked charges
+    inv_cells_at: Array,  # (N, 3, 3)
+    mol_idx: Array,
+    num_mol: int,
+    mesh: tuple[int, int, int],
+) -> Array:
+    """Member-fused B-spline spreading: ONE set of spline weights + mesh
+    indices (geometry-only, member-independent) scattered with an E-wide
+    value vector -> (num_mol, E, K1, K2, K3).  The PME leg of the ensemble
+    fusion: members share the spread geometry exactly, so the only per-member
+    cost is the charge payload of the same scatter."""
+    k1, k2, k3 = mesh
+    ktot = k1 * k2 * k3
+    n_e = q_st.shape[1]
+    frac = jnp.einsum(
+        "nd,ndh->nh", coord, inv_cells_at, precision=jax.lax.Precision.HIGHEST
+    )
+    frac = frac - jnp.floor(frac)
+    mesh_arr = jnp.array(mesh, dtype=coord.dtype)
+    scaled = frac * mesh_arr
+    base = jnp.floor(scaled).astype(jnp.int32)
+    u = scaled - base
+    w = bspline4_weights(u)  # (N, 3, 4) shared
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    idx = (base[:, :, None] + offs[None, None, :]) % jnp.array(
+        mesh, dtype=jnp.int32
+    )[None, :, None]
+    w3 = w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
+    flat_idx = (
+        (idx[:, 0, :, None, None] * k2 + idx[:, 1, None, :, None]) * k3
+        + idx[:, 2, None, None, :]
+    )
+    flat_idx = (flat_idx + mol_idx[:, None, None, None] * ktot).reshape(-1)
+    vals = (q_st[:, None, None, None, :] * w3[..., None]).reshape(-1, n_e)
+    rho = jnp.zeros(((num_mol + 1) * ktot, n_e), coord.dtype).at[flat_idx].add(vals)
+    rho = rho[: num_mol * ktot].reshape((num_mol, k1, k2, k3, n_e))
+    return jnp.moveaxis(rho, -1, 1)  # (M, E, K1, K2, K3)
+
+
+def pme_reciprocal_energy_batched_multi(
+    coord: Array,
+    q_st: Array,  # (N, E)
+    cells: Array,  # (M, 3, 3)
+    mol_idx: Array,
+    num_mol: int,
+    eta_b: Array,  # (M,)
+    mesh: tuple[int, int, int],
+) -> Array:
+    """Member-fused batched reciprocal PME -> (num_mol, E): shared spread
+    geometry, one batched FFT over the (M*E) mesh stack, per-molecule Green
+    function broadcast over members."""
+    n_e = q_st.shape[1]
+    inv_cells = jnp.linalg.inv(cells)
+    inv_ext = jnp.concatenate(
+        [inv_cells, jnp.eye(3, dtype=cells.dtype)[None]], axis=0
+    )
+    inv_at = jnp.take(inv_ext, mol_idx, axis=0)
+    rho = pme_spread_charges_multi(coord, q_st, inv_at, mol_idx, num_mol, mesh)
+    rho_flat = rho.reshape((num_mol * n_e,) + tuple(mesh))
+    cells_rep = jnp.repeat(cells, n_e, axis=0)
+    eta_rep = jnp.repeat(jnp.asarray(eta_b).reshape(-1), n_e)
+    e = pme_reciprocal_from_rho(rho_flat, cells_rep, eta_rep, mesh)
+    return e.reshape(num_mol, n_e)
+
+
 def pme_energy(
     coord: Array,
     charges: Array,

