@@ -225,6 +225,91 @@ def md(
 
 @cli.command()
 @click.argument("model")
+@click.argument("reactant_xyz")
+@click.argument("product_xyz")
+@click.option("--n-images", default=11, help="band resolution incl. endpoints")
+@click.option("--charge", default=0.0)
+@click.option("--mult", default=None, type=float, help="spin multiplicity (NSE models)")
+@click.option("--fmax", default=0.05, help="NEB-force convergence (eV/A)")
+@click.option("--max-steps", default=500)
+@click.option(
+    "--climb/--no-climb",
+    default=True,
+    help="climbing-image NEB: drive the highest image uphill along the band",
+)
+@click.option("--k-spring", default=0.1, help="band spring constant (eV/A^2)")
+@click.option("--band", default=None, help="write the optimized band as extxyz here")
+def neb(
+    model: str,
+    reactant_xyz: str,
+    product_xyz: str,
+    n_images: int,
+    charge: float,
+    mult,
+    fmax: float,
+    max_steps: int,
+    climb: bool,
+    k_spring: float,
+    band,
+) -> None:
+    """Climbing-image NEB between two gas-phase endpoints.
+
+    All images evaluate in ONE batched on-device force call per iteration
+    (dynamics/neb.py); the reference reaches reaction paths through external
+    drivers (pysisyphus/Sella, reference aimnet/calculators/aimnet2pysis.py)
+    — here the band optimizer is in-framework.  Prints a JSON summary with
+    the barrier (relative to the reactant image, SAE-free — barriers are
+    differences, the constant SAE shift cancels) and the climbing-image
+    index to hand to ``ts_search`` refinement."""
+    from aimnetcentral_tpu.dynamics.neb import neb as run_neb
+
+    calc, loaded = _load_calc(model)
+    coord_r, numbers_r = _read_xyz(reactant_xyz)
+    coord_p, numbers_p = _read_xyz(product_xyz)
+    r = {"coord": coord_r, "numbers": numbers_r, "charge": charge}
+    p = {"coord": coord_p, "numbers": numbers_p, "charge": charge}
+    if mult is not None:
+        r["mult"] = p["mult"] = mult
+    band_arr, energies, info = run_neb(
+        loaded.params,
+        calc.cfg,
+        r,
+        p,
+        n_images=n_images,
+        fmax=fmax,
+        max_steps=max_steps,
+        climb=climb,
+        k_spring=k_spring,
+    )
+    energies = np.asarray(energies, dtype=np.float64)
+    result = {
+        "n_images": int(n_images),
+        "steps": info["steps"],
+        "fmax": round(float(info["fmax"]), 6),
+        "converged": bool(info["converged"]),
+        "i_ts": int(info["i_ts"]),
+        "barrier_eV": round(float(energies.max() - energies[0]), 6),
+        "reaction_energy_eV": round(float(energies[-1] - energies[0]), 6),
+        "energies_rel_eV": [round(float(e - energies[0]), 6) for e in energies],
+    }
+    if band:
+        from aimnetcentral_tpu.dynamics import TrajectoryWriter
+
+        w = TrajectoryWriter(band)
+        try:
+            for i, img in enumerate(np.asarray(band_arr)):
+                w.write(
+                    numbers_r, img,
+                    comment={"image": i, "energy_rel_eV": f"{energies[i] - energies[0]:.6f}"},
+                )
+        finally:
+            w.close()
+        result["band"] = band
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@click.argument("model")
 @click.argument("xyz")
 @click.option("--charge", default=0.0)
 @click.option("--n-modes", default=12, help="print the N lowest frequencies")

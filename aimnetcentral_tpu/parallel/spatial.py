@@ -31,7 +31,13 @@ Design:
 Scope: single-molecule periodic systems (the large-box use case) with the
 energy surface of the flagship head chain (Output/AtomicShift/AtomicSum +
 LRCoulomb in SR/DSF mode), 1- or 2-channel (NSE open-shell) charge models.
-D3 and Ewald/PME ARE routed spatially (round 3): the D3 CN sweep refreshes halo coordination numbers from their owner shards, and the Ewald k-space structure factor is a psum of shard-local contributions (no halo needed in k-space).  Dipole/quadrupole heads are accepted (observable-only: zero energy, so rxn-family configs run spatially; the observables themselves come from the calculator's single-device eval).  Validated for bitwise-level equality against the single-device
+D3 and Ewald/PME ARE routed spatially (round 3): the D3 CN sweep refreshes
+halo coordination numbers from their owner shards, and the Ewald k-space
+structure factor is a psum of shard-local contributions (no halo needed in
+k-space).  ``observables=True`` additionally assembles charges (global slot
+order), spin charges, and dipole/quadrupole observables ON the mesh with the
+same psum pattern as the energy sums — rxn-family configs run fully
+spatially.  Validated for bitwise-level equality against the single-device
 forward on a virtual CPU mesh (tests/test_spatial.py).
 
 Round 4 generalizes the ring to a 2-D (x, y) TORUS (``n_spy > 1``): each
@@ -41,7 +47,11 @@ which carries the corner halos for free), and every global reduction psums
 over both mesh axes.  The shard-count ceiling goes from the ring's
 nx/halo to (nx/halo) * (ny/halo) — the scaling headroom the 100k+ boxes
 need.  Energy, forces, Ewald+D3, and MD stepping are parity-tested on
-(2, 2) tiles (tests/test_spatial.py::test_spatial2d_*).
+(2, 2) tiles (tests/test_spatial.py::test_spatial2d_*).  Round 5 composes
+the torus with BOTH the ensemble axis (an (ens, sp, spy) mesh) and
+``observables=True`` — the torus has the full capability surface of the
+ring (tests/test_spatial.py::test_spatial2d_ens_composition /
+test_spatial2d_observables_match_single_device).
 """
 
 from __future__ import annotations
@@ -372,10 +382,7 @@ def make_spatial_energy_fn(
     npass = len(cfg.hidden)
     c = cfg.num_charge_channels
     assert not (observables and ens_axis is not None), (
-        "observables mode composes with a single sp mesh axis"
-    )
-    assert spec.n_spy == 1 or (ens_axis is None and not observables), (
-        "the 2-D torus composes with neither ens_axis nor observables yet"
+        "observables mode returns single-model outputs; run it per member"
     )
     for name, head in cfg.outputs:
         assert isinstance(
@@ -527,21 +534,21 @@ def make_spatial_energy_fn(
                             p["mass"][numbers_core],
                             0.0,
                         )
-                        msum = jax.lax.psum(m_at.sum(), "sp")
+                        msum = jax.lax.psum(m_at.sum(), axes)
                         mr = jax.lax.psum(
-                            (m_at[:, None] * coord_l).sum(0), "sp"
+                            (m_at[:, None] * coord_l).sum(0), axes
                         )
                         r = coord_l - mr / jnp.maximum(msum, 1e-9)
                     qc = jnp.where(numbers_core > 0, q_total_core, 0.0)
                     if isinstance(head, DipoleHead):
                         obs["dipole"] = jax.lax.psum(
-                            (qc[:, None] * r).sum(0), "sp"
+                            (qc[:, None] * r).sum(0), axes
                         )
                     else:
                         x = jnp.concatenate(
                             [r**2, r * jnp.roll(r, -1, axis=-1)], axis=-1
                         )
-                        quad = jax.lax.psum((qc[:, None] * x).sum(0), "sp")
+                        quad = jax.lax.psum((qc[:, None] * x).sum(0), axes)
                         x1, x2 = quad[:3], quad[3:]
                         x1 = x1 - x1.mean()
                         obs["quadrupole"] = jnp.concatenate([x1, x2])
@@ -567,53 +574,69 @@ def make_spatial_energy_fn(
 
         if mult is None:
             mult = jnp.ones_like(charge)  # closed shell default
-        if spec.n_spy > 1:
+        torus = spec.n_spy > 1
+        geom_spec = P("sp", "spy") if torus else P("sp")
+        if torus:
             # 2-D torus: shard (nx, ny, col, ...) tiles over both mesh axes.
             # The global flat slot arrays are reshaped at the jit boundary —
             # grads w.r.t. the flat coord flow back through the reshape.
             nx, ny, _nz = spec.grid.nbins
             col = spec.col_slots
-            coord_t = coord.reshape(nx, ny, col, 3)
-            numbers_t = numbers.reshape(nx, ny, col)
-            f = shard_map(
-                local_energy,
-                mesh=mesh,
-                in_specs=(P(), P("sp", "spy"), P("sp", "spy"), P(), P(), P()),
-                out_specs=P(),
-                check_rep=False,
-            )
-            return f(params, coord_t, numbers_t, charge, mult, cell)[0]
+            coord = coord.reshape(nx, ny, col, 3)
+            numbers = numbers.reshape(nx, ny, col)
+
         if ens_axis is None:
             if observables:
-                out_specs = {"energy": P(), "charges": P("sp")}
+                # per-slot outputs leave the shard_map in tile shape on the
+                # torus ((nxl, nyl, col) -> global (nx, ny, col), x-major ==
+                # the flat slot order) and flat on the ring
+                def local_obs(params, coord_l, numbers_l, charge, mult, cell):
+                    out = local_energy(
+                        params, coord_l, numbers_l, charge, mult, cell
+                    )
+                    if torus:
+                        for k in ("charges", "spin_charges"):
+                            if k in out:
+                                out[k] = out[k].reshape(
+                                    spec.nx_local, spec.ny_local, spec.col_slots
+                                )
+                    return out
+
+                slot_spec = geom_spec
+                out_specs = {"energy": P(), "charges": slot_spec}
                 if c == 2:
-                    out_specs["spin_charges"] = P("sp")
+                    out_specs["spin_charges"] = slot_spec
                 for _n, h in cfg.outputs:
                     if isinstance(h, DipoleHead):
                         out_specs["dipole"] = P()
                     elif isinstance(h, QuadrupoleHead):
                         out_specs["quadrupole"] = P()
                 f = shard_map(
-                    local_energy,
+                    local_obs,
                     mesh=mesh,
-                    in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
+                    in_specs=(P(), geom_spec, geom_spec, P(), P(), P()),
                     out_specs=out_specs,
                     check_rep=False,
                 )
-                return f(params, coord, numbers, charge, mult, cell)
+                out = f(params, coord, numbers, charge, mult, cell)
+                if torus:
+                    for k in ("charges", "spin_charges"):
+                        if k in out:
+                            out[k] = out[k].reshape(-1)
+                return out
             f = shard_map(
                 local_energy,
                 mesh=mesh,
-                in_specs=(P(), P("sp"), P("sp"), P(), P(), P()),
+                in_specs=(P(), geom_spec, geom_spec, P(), P(), P()),
                 out_specs=P(),
                 check_rep=False,
             )
             return f(params, coord, numbers, charge, mult, cell)[0]
 
-        # ens x sp: each mesh slice along ens_axis holds ONE stacked
-        # member (leading axis sharded to local size 1 — squeezed before
-        # the per-shard energy); sp collectives inside local_energy see
-        # only their own slice of the 2-axis mesh
+        # ens x sp (or ens x sp x spy on the torus): each mesh slice along
+        # ens_axis holds ONE stacked member (leading axis sharded to local
+        # size 1 — squeezed before the per-shard energy); sp/spy collectives
+        # inside local_energy see only their own ens slice of the mesh
         def local_member(params_m, coord_l, numbers_l, charge, mult, cell):
             p1 = jax.tree.map(lambda x: x[0], params_m)
             e = local_energy(p1, coord_l, numbers_l, charge, mult, cell)[0]
@@ -622,7 +645,7 @@ def make_spatial_energy_fn(
         f = shard_map(
             local_member,
             mesh=mesh,
-            in_specs=(P(ens_axis), P("sp"), P("sp"), P(), P(), P()),
+            in_specs=(P(ens_axis), geom_spec, geom_spec, P(), P(), P()),
             out_specs=P(ens_axis),
             check_rep=False,
         )

@@ -123,6 +123,34 @@ def test_cli_relax(workspace):
     assert "fmax" in info or "converged" in info or info  # structured output
 
 
+def test_cli_neb(workspace, tmp_path):
+    """NEB journey (VERDICT r4 next #7): reactant + product xyz in, JSON
+    barrier summary + extxyz band out — the same end-to-end standard as
+    md/relax/freq."""
+    _d, paths, _xyz = workspace
+    # bent vs straight water-like triatomic as the two endpoints
+    r_xyz = str(tmp_path / "r.xyz")
+    p_xyz = str(tmp_path / "p.xyz")
+    with open(r_xyz, "w") as f:
+        f.write("3\n\nO 0 0 0.119\nH 0 0.763 -0.477\nH 0 -0.763 -0.477\n")
+    with open(p_xyz, "w") as f:
+        f.write("3\n\nO 0 0 0.119\nH 0 0.963 0.1\nH 0 -0.963 0.1\n")
+    band_path = str(tmp_path / "band.extxyz")
+    out = _run([
+        "neb", paths[0], r_xyz, p_xyz, "--n-images", "5",
+        "--max-steps", "10", "--fmax", "0.5", "--band", band_path,
+    ])
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["n_images"] == 5 and info["steps"] > 0
+    assert 1 <= info["i_ts"] <= 3
+    assert np.isfinite(info["barrier_eV"])
+    assert len(info["energies_rel_eV"]) == 5
+    assert info["energies_rel_eV"][0] == 0.0
+    # band written: 5 extxyz frames of 3 atoms
+    text = open(band_path).read()
+    assert text.count("image=") == 5 and info["band"] == band_path
+
+
 def test_cli_info(workspace):
     out = _run(["info"])
     assert "aimnetcentral_tpu" in out and "devices:" in out

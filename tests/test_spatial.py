@@ -573,6 +573,89 @@ def test_spatial2d_md_matches_single_device_nve(case):
     np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
 
 
+def test_spatial2d_ens_composition(case):
+    """(ens=2, sp=2, spy=2) mesh: per-member energies on the TORUS equal the
+    per-member single-device energies — the torus composes with the ensemble
+    axis exactly like the 1-D ring (VERDICT r4 next #3)."""
+    cfg, params, sysb = case
+    from jax.sharding import Mesh
+
+    from aimnetcentral_tpu.calculators.ensemble import stack_params
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        plan_spatial,
+    )
+
+    params2 = aimnet2_init(jax.random.key(7), cfg)
+    stacked = stack_params([params, params2])
+    e_ref = np.array(
+        [
+            float(_single_device_energy(cfg, p, sysb)[0])
+            for p in (params, params2)
+        ]
+    )
+
+    spec = plan_spatial(sysb, cfg, n_sp=2, n_spy=2)
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, axis_names=("ens", "sp", "spy"))
+    efn = make_spatial_energy_fn(cfg, spec, mesh, ens_axis="ens")
+    e = efn(stacked, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+    assert e.shape == (2,)
+    np.testing.assert_allclose(np.asarray(e), e_ref, rtol=2e-6, atol=2e-5)
+
+
+def test_spatial2d_observables_match_single_device(case):
+    """observables=True on the (2, 2) torus: charges (global slot order,
+    tile-assembled), dipole, and quadrupole == single-device binned eval —
+    the torus keeps the ring's full observable surface (VERDICT r4 next #3)."""
+    import dataclasses
+
+    from aimnetcentral_tpu.models.heads import DipoleHead, QuadrupoleHead, head_init
+    from aimnetcentral_tpu.parallel.spatial import (
+        make_spatial_energy_fn,
+        make_spatial_mesh,
+        plan_spatial,
+    )
+
+    cfg, params, sysb = case
+    cfg_obs = dataclasses.replace(
+        cfg,
+        outputs=cfg.outputs
+        + (("dipole", DipoleHead()), ("quadrupole", QuadrupoleHead())),
+    )
+    params = dict(params)
+    params["outputs"] = {
+        **params["outputs"],
+        "dipole": head_init(jax.random.key(0), DipoleHead()),
+        "quadrupole": head_init(jax.random.key(0), QuadrupoleHead()),
+    }
+
+    ref = aimnet2_apply(params, cfg_obs, sysb, sae_external=True)
+
+    spec = plan_spatial(sysb, cfg_obs, n_sp=2, n_spy=2)
+    mesh = make_spatial_mesh(2, 2)
+    fn = make_spatial_energy_fn(cfg_obs, spec, mesh, observables=True)
+    out = fn(params, sysb.coord, sysb.numbers, sysb.charge, sysb.cell[0])
+
+    np.testing.assert_allclose(
+        float(out["energy"][0]), float(np.asarray(ref["energy"]).sum()),
+        rtol=2e-6, atol=2e-5,
+    )
+    real = np.asarray(sysb.numbers) > 0
+    assert out["charges"].shape == sysb.numbers.shape
+    np.testing.assert_allclose(
+        np.asarray(out["charges"])[real], np.asarray(ref["charges"])[real],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["dipole"]), np.asarray(ref["dipole"])[0], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["quadrupole"]), np.asarray(ref["quadrupole"])[0],
+        rtol=2e-5, atol=1e-3,
+    )
+
+
 def test_spatial2d_refuses_oversplit_y(case):
     cfg, params, sysb = case
     from aimnetcentral_tpu.parallel.spatial import plan_spatial
