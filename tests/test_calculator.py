@@ -336,3 +336,45 @@ def test_ensemble_calculator_fused_matches_map_path(reference_aimnet2, rng):
     s_ref = EnsembleCalculator.from_members(members)(pdata, stress=True)
     np.testing.assert_allclose(s_out["stress"], s_ref["stress"], atol=2e-4)
     assert "forces_std" in s_out or "energy_std" in s_out
+
+
+def test_ensemble_calculator_fused_ewald_matches_map_path(reference_aimnet2, rng):
+    """fused=True with the EWALD LR method (member-fused phase matrix +
+    shared erfc sweep through the calculator facade, round 5) must match the
+    per-member lax.map path on a periodic box — the accuracy-best method no
+    longer silently degrades to a per-member loop."""
+    import dataclasses
+
+    import torch
+
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+    from aimnetcentral_tpu.models.heads import LRCoulombHead
+
+    members = []
+    for seed in (0, 1, 2):
+        torch.manual_seed(seed)
+        model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+        cfg = config_from_yaml(cfg_yaml)
+        cfg = dataclasses.replace(
+            cfg,
+            outputs=tuple(
+                (n, dataclasses.replace(h, method="ewald")
+                 if isinstance(h, LRCoulombHead) else h)
+                for n, h in cfg.outputs
+            ),
+        )
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, aux = convert_state_dict(sd, cfg)
+        members.append((params, cfg, aux))
+
+    a = 10.0
+    coord = rng.uniform(0.5, a - 0.5, size=(24, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=24)
+    data = {"coord": coord, "numbers": numbers,
+            "cell": np.eye(3, dtype=np.float32) * a}
+    ref = EnsembleCalculator.from_members(members)(data, forces=True)
+    out = EnsembleCalculator.from_members(members, fused=True)(data, forces=True)
+    np.testing.assert_allclose(out["energy"], ref["energy"], atol=2e-4)
+    np.testing.assert_allclose(out["energy_std"], ref["energy_std"], atol=2e-4)
+    np.testing.assert_allclose(out["forces"], ref["forces"], atol=2e-4)
+    np.testing.assert_allclose(out["charges"], ref["charges"], atol=1e-4)
