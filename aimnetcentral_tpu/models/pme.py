@@ -11,10 +11,13 @@ Standard smooth-PME formulation (Essmann et al. 1995), single cell:
 - 3D FFT, reciprocal energy with Gaussian screen and |B(m)|^2 deconvolution,
 - real-space erfc part over the neighbor structure + self + background.
 
-The spreading scatter is row-bound on TPU (~30ns/row); PME pays off over
-plain Ewald only for very large cells (>~50k atoms) where the k-space sum
-dominates — the calculator picks Ewald by default and PME on request,
-matching the reference's speed hierarchy note (docs/long_range.md:187).
+Measured crossover (TPU v5e, tools/bench_lr_crossover.py, round 5): PME
+matches exact Ewald at 10k atoms already (379 vs 399 ms/call for
+energy+forces) and is the ONLY feasible method beyond ~30k — the exact
+Ewald's materialized (N, K) phase matrix outgrows HBM there (K scales with
+N at fixed accuracy) and the compile fails.  PME scales near-linearly
+through 100k (4.1 s/call).  Guidance: ewald up to ~10-20k atoms, pme
+beyond; see docs/long_range.md for the measured table.
 """
 
 from __future__ import annotations
