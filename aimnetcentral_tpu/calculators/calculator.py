@@ -34,6 +34,11 @@ from aimnetcentral_tpu.models.aimnet2 import AIMNet2Config
 from aimnetcentral_tpu.models.heads import DFTD3Head, LRCoulombHead
 from aimnetcentral_tpu.system import System
 
+# Above this atom count the exact-Ewald (N, K) phase matrix approaches the
+# HBM/compiler limit (measured ~30k at accuracy 1e-6 on v5e,
+# tools/bench_lr_crossover.py); prepare_system warns and points at PME.
+EWALD_ATOM_GUIDANCE_LIMIT = 25_000
+
 
 def _as_molecules(data: Mapping[str, Any]) -> list[dict]:
     """Normalize user input into a list of molecule dicts.
@@ -729,6 +734,21 @@ class AIMNet2Calculator:
             elif h_eff.method in ("ewald", "pme"):
                 if not has_cell:
                     raise ValueError(f"{h_eff.method} Coulomb requires a periodic cell")
+                n_total = sum(len(m["numbers"]) for m in mols)
+                if h_eff.method == "ewald" and n_total > EWALD_ATOM_GUIDANCE_LIMIT:
+                    import logging
+
+                    # measured limit (tools/bench_lr_crossover.py): the
+                    # exact-Ewald (N, K) phase matrix outgrows HBM near
+                    # ~30k atoms and the compile fails; PME matches Ewald
+                    # at 10k already and scales linearly (docs/long_range)
+                    logging.getLogger(__name__).warning(
+                        "ewald at %d atoms will likely exhaust device "
+                        "memory (the (N, K) phase matrix grows with N at "
+                        "fixed accuracy); use set_lrcoulomb_method('pme') "
+                        "- it matches Ewald accuracy and scales linearly",
+                        n_total,
+                    )
                 # per-molecule accuracy: the shared list must cover the
                 # LARGEST real-space cutoff of the batch (attach_ewald then
                 # carries per-molecule eta/k_cutoff arrays)

@@ -101,6 +101,33 @@ def test_ewald_periodic_energy(calc, rng):
         calc.set_lrcoulomb_method("simple")
 
 
+def test_ewald_large_system_guidance_warning(calc, rng, monkeypatch, caplog):
+    """Above the measured phase-matrix limit, requesting exact Ewald warns
+    with actionable guidance (use PME) instead of failing opaquely at
+    compile time (tools/bench_lr_crossover.py: compile fails near ~30k)."""
+    import logging
+
+    from aimnetcentral_tpu.calculators import calculator as calc_mod
+
+    monkeypatch.setattr(calc_mod, "EWALD_ATOM_GUIDANCE_LIMIT", 6)
+    coord, numbers = random_molecule(rng, 8, spread=2.5)
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    data = {"coord": coord + 4.0, "numbers": numbers, "cell": cell}
+    calc.set_lrcoulomb_method("ewald")
+    try:
+        with caplog.at_level(logging.WARNING):
+            out = calc(data)
+        assert any("pme" in r.getMessage() for r in caplog.records)
+        assert np.isfinite(out["energy"]).all()  # warning only, still runs
+        caplog.clear()
+        calc.set_lrcoulomb_method("pme")
+        with caplog.at_level(logging.WARNING):
+            calc(data)
+        assert not any("pme" in r.getMessage() for r in caplog.records)
+    finally:
+        calc.set_lrcoulomb_method("simple")
+
+
 @pytest.mark.slow
 def test_hvp_matches_dense_hessian(calc, rng):
     coord, numbers = random_molecule(rng, 5)
