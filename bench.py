@@ -113,8 +113,13 @@ def _real_pair_count(coord: np.ndarray, cell: np.ndarray, cutoff: float) -> int:
     return int(n - len(xw))  # drop self pairs
 
 
+_T0 = time.time()
+
+
 def _log(msg: str) -> None:
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    # the +Ns prefix makes per-section wall time visible in the driver's
+    # captured tail, so a slow/stuck section is diagnosable from the artifact
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
