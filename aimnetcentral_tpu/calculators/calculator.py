@@ -40,6 +40,23 @@ from aimnetcentral_tpu.system import System
 EWALD_ATOM_GUIDANCE_LIMIT = 25_000
 
 
+def _warn_ewald_above_limit(n_total: int) -> None:
+    """Actionable guidance instead of an opaque compile/HBM failure: the
+    exact-Ewald (N, K) phase matrix outgrows device memory near ~30k atoms
+    at fixed accuracy (measured, tools/bench_lr_crossover.py); PME matches
+    Ewald accuracy at 10k already and scales linearly (docs/long_range)."""
+    if n_total > EWALD_ATOM_GUIDANCE_LIMIT:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ewald at %d atoms will likely exhaust device memory (the "
+            "(N, K) phase matrix grows with N at fixed accuracy); use "
+            "set_lrcoulomb_method('pme') - it matches Ewald accuracy and "
+            "scales linearly",
+            n_total,
+        )
+
+
 def _as_molecules(data: Mapping[str, Any]) -> list[dict]:
     """Normalize user input into a list of molecule dicts.
 
@@ -654,6 +671,10 @@ class AIMNet2Calculator:
             if h_eff is not None and h_eff.method == "dsf":
                 lr_cuts.append(self._lr_cutoff_override or h_eff.dsf_rc)
             if h_eff is not None and h_eff.method in ("ewald", "pme") and has_cell:
+                if h_eff.method == "ewald":
+                    # the binned branch is where large single boxes land —
+                    # exactly the scenario the guidance targets
+                    _warn_ewald_above_limit(n_real)
                 ew = estimate_ewald_parameters(
                     np.asarray(mols[0]["cell"]), n_real, h_eff.ewald_accuracy
                 )
@@ -734,21 +755,8 @@ class AIMNet2Calculator:
             elif h_eff.method in ("ewald", "pme"):
                 if not has_cell:
                     raise ValueError(f"{h_eff.method} Coulomb requires a periodic cell")
-                n_total = sum(len(m["numbers"]) for m in mols)
-                if h_eff.method == "ewald" and n_total > EWALD_ATOM_GUIDANCE_LIMIT:
-                    import logging
-
-                    # measured limit (tools/bench_lr_crossover.py): the
-                    # exact-Ewald (N, K) phase matrix outgrows HBM near
-                    # ~30k atoms and the compile fails; PME matches Ewald
-                    # at 10k already and scales linearly (docs/long_range)
-                    logging.getLogger(__name__).warning(
-                        "ewald at %d atoms will likely exhaust device "
-                        "memory (the (N, K) phase matrix grows with N at "
-                        "fixed accuracy); use set_lrcoulomb_method('pme') "
-                        "- it matches Ewald accuracy and scales linearly",
-                        n_total,
-                    )
+                if h_eff.method == "ewald":
+                    _warn_ewald_above_limit(sum(len(m["numbers"]) for m in mols))
                 # per-molecule accuracy: the shared list must cover the
                 # LARGEST real-space cutoff of the batch (attach_ewald then
                 # carries per-molecule eta/k_cutoff arrays)

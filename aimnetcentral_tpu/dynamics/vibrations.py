@@ -96,9 +96,10 @@ def harmonic_frequencies(
             nrm = np.linalg.norm(v)
             if nrm > 1e-8 * max(scale, 1.0):
                 basis.append(v / nrm)
-        t = np.stack(basis)
-        p = np.eye(3 * n) - t.T @ t
-        hw = p @ hw @ p
+        if basis:  # all-degenerate (e.g. single atom, rotations only)
+            t = np.stack(basis)
+            p = np.eye(3 * n) - t.T @ t
+            hw = p @ hw @ p
 
     w, v = np.linalg.eigh(hw)
     freqs = np.sign(w) * np.sqrt(np.abs(w)) * EV_AMU_A2_TO_CM1
@@ -259,7 +260,21 @@ def rrho_thermochemistry(
     n_vib_max = 0 if monatomic else (3 * n - 5 if linear else 3 * n - 6)
     if vib.shape[0] > n_vib_max:
         # rotational / translational contaminants above the cutoff: drop the
-        # lowest real modes down to the RRHO mode count (see docstring)
+        # lowest real modes down to the RRHO mode count (see docstring).
+        # This heuristic misfires when a GENUINE soft mode (floppy torsion)
+        # lies below a contaminant — pass projected frequencies
+        # (harmonic_frequencies(..., project_rotations=True)) to avoid the
+        # ambiguity entirely; warn so the silent drop is visible.
+        import warnings
+
+        warnings.warn(
+            f"{vib.shape[0] - n_vib_max} low modes dropped to reach the "
+            f"{n_vib_max}-mode RRHO count; if the input frequencies were "
+            "not rotation-projected, genuine soft modes may be dropped in "
+            "favor of rotational contaminants - recompute with "
+            "harmonic_frequencies(project_rotations=True)",
+            stacklevel=2,
+        )
         vib = vib[vib.shape[0] - n_vib_max :]
     n_skipped = int(freqs.shape[0] - vib.shape[0])
     e_modes = vib * _HC_EV_CM  # eV

@@ -68,6 +68,66 @@ def _k_grid(kmax: tuple[int, int, int]) -> np.ndarray:
     return pts[np.any(pts != 0, axis=1)].astype(np.float32)
 
 
+def _param_views(eta, r_cutoff, num_mol: int, mol_idx: Array, dtype):
+    """Broadcast scalar-or-(num_mol,) Ewald parameters to per-molecule (B,)
+    and per-atom (N,) views (padding atoms carry ``mol_idx == B`` and read
+    inert values: eta 1, cutoff 0)."""
+    ones_b = jnp.ones((num_mol,), dtype)
+    eta_b = jnp.asarray(eta).reshape(-1) * ones_b
+    rcut_b = jnp.asarray(r_cutoff).reshape(-1) * ones_b
+    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
+    rcut_at = jnp.take(jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx)
+    return eta_b, rcut_b, eta_at, rcut_at
+
+
+def _real_erfc_st(
+    coord: Array,
+    q_st: Array,  # (N, E) member-stacked charges (padding rows zeroed)
+    cell: Array,
+    mol_idx: Array,
+    num_mol: int,
+    nbmat: Array,
+    shifts: Array,
+    eta_at: Array,
+    rcut_at: Array,
+) -> Array:
+    """Real-space erfc pair sum on the indexed layout -> (num_mol, E), no
+    k_e.  The masked pair kernel is member-INDEPENDENT and computed once;
+    each member pays one bilinear charge contraction (ordered pairs, 1/2
+    factor)."""
+    from aimnetcentral_tpu.ops.math import calc_distances
+
+    d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
+    valid = nbops.pair_mask(nbmat) & (d_ij < rcut_at[:, None])
+    e_pair = jnp.where(
+        valid,
+        jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta_at[:, None])) / d_ij,
+        0.0,
+    )  # (N, M_nb) shared kernel
+    q_nb = nbops.gather_nb(q_st, nbmat)  # (N, M_nb, E)
+    e_real_i = jnp.einsum("nm,nme->ne", e_pair, q_nb, precision=HI) * q_st
+    return 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
+
+
+def _self_bg_st(
+    q_st: Array,  # (N, E)
+    eta_b: Array,  # (B,)
+    eta_at: Array,  # (N,)
+    mol_idx: Array,
+    num_mol: int,
+    volume: Array,  # (B,)
+) -> Array:
+    """Self-interaction + neutralizing-background terms -> (num_mol, E), no
+    k_e.  E_bg = -pi Q_tot^2 / (2 V alpha^2) with alpha = 1/(sqrt(2) eta),
+    so charged cells are well-defined."""
+    e_self = -nbops.mol_sum(
+        q_st * q_st / eta_at[:, None], mol_idx, num_mol
+    ) / math.sqrt(2.0 * math.pi)
+    q_tot = nbops.mol_sum(q_st, mol_idx, num_mol)  # (B, E)
+    e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b)[:, None] / volume[:, None]
+    return e_self + e_bg
+
+
 def ewald_energy(
     coord: Array,
     charges: Array,
@@ -91,58 +151,20 @@ def ewald_energy(
 
     ``eta`` / ``r_cutoff`` / ``k_cutoff`` may be scalars (shared) or
     (num_mol,) arrays (per-molecule accuracy for heterogeneous cells).
-    """
+
+    Thin E=1 view of the member-stacked implementation (one shared set of
+    formulas serves single models and fused ensembles)."""
     q = jnp.where(numbers > 0, charges, 0.0)
-    ones_b = jnp.ones((num_mol,), coord.dtype)
-    eta_b = jnp.asarray(eta).reshape(-1) * jnp.ones_like(ones_b)  # (B,)
-    rcut_b = jnp.asarray(r_cutoff).reshape(-1) * jnp.ones_like(ones_b)
-    kcut_b = jnp.asarray(k_cutoff).reshape(-1) * jnp.ones_like(ones_b)
-    # per-atom views (padding atoms read inert values)
-    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
-    rcut_at = jnp.take(jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx)
-
-    # --- real space (ordered pairs, 1/2 factor via FACTOR convention)
-    from aimnetcentral_tpu.ops.math import calc_distances
-
-    d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
-    valid = nbops.pair_mask(nbmat) & (d_ij < rcut_at[:, None])
-    q_ij = q[:, None] * nbops.gather_nb(q, nbmat)
-    e_pair = (
-        jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta_at[:, None])) / d_ij
+    _eta_b, _rcut_b, eta_at, rcut_at = _param_views(
+        eta, r_cutoff, num_mol, mol_idx, coord.dtype
     )
-    e_real_i = jnp.where(valid, q_ij * e_pair, 0.0).sum(-1)
-    e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
-
-    # --- reciprocal space: S(k) per molecule via segment sums
-    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B, 3, 3)
-    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)  # (B, K, 3)
-    k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, K)
-    kmask = (k2 > 1e-12) & (k2 < (kcut_b * kcut_b)[:, None])
-
-    cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
-    atom_recip = jnp.take(cell_ext, mol_idx, axis=0)  # (N, 3, 3)
-    # phase[n, k] = r_n . k^(mol(n))
-    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip, precision=HI)  # (N, K, 3)
-    phase = jnp.einsum("nkh,nh->nk", kdir, coord, precision=HI)  # (N, K)
-    s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)  # (B, K)
-    s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
-    volume = jnp.abs(jnp.linalg.det(cell))  # (B,)
-    w = jnp.where(
-        kmask,
-        jnp.exp(-0.5 * (eta_b * eta_b)[:, None] * k2) / jnp.where(kmask, k2, 1.0),
-        0.0,
+    e_real = _real_erfc_st(
+        coord, q[:, None], cell, mol_idx, num_mol, nbmat, shifts, eta_at, rcut_at
     )
-    e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im), axis=-1)
-
-    # --- self interaction
-    e_self = -nbops.mol_sum(q * q / eta_at, mol_idx, num_mol) / math.sqrt(2.0 * math.pi)
-
-    # --- neutralizing background for charged cells:
-    # E_bg = -pi * Q_tot^2 / (2 V alpha^2) with alpha = 1/(sqrt(2) eta)
-    q_tot = nbops.mol_sum(q, mol_idx, num_mol)
-    e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b) / volume
-
-    return KE * (e_real + e_recip + e_self + e_bg)
+    e_other = ewald_nonreal_multi(
+        coord, q[:, None], cell, mol_idx, num_mol, eta, k_cutoff, k_pts
+    )
+    return KE * (e_real + e_other)[:, 0]
 
 
 def coulomb_periodic_binned(
@@ -172,56 +194,30 @@ def coulomb_periodic_binned(
         # instead of the k-point sum; real/self/background are identical
         from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched
 
+        _eta_b, _r, eta_at, _rc = _param_views(
+            eta, 0.0, system.num_mol, system.mol_idx, system.coord.dtype
+        )
         e_recip = pme_reciprocal_energy_batched(
             system.coord, q, system.cell, system.mol_idx, system.num_mol,
             eta.reshape(1), system.pme_mesh,
         )
-        e_self = -nbops.mol_sum(q * q, system.mol_idx, system.num_mol) / (
-            jnp.sqrt(2.0 * jnp.pi) * eta
-        )
         volume = jnp.abs(jnp.linalg.det(system.cell))
-        q_tot = nbops.mol_sum(q, system.mol_idx, system.num_mol)
-        e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
-        return KE * (e_real + e_recip + e_self + e_bg)
+        e_sb = _self_bg_st(
+            q[:, None], _eta_b, eta_at, system.mol_idx, system.num_mol, volume
+        )[:, 0]
+        return KE * (e_real + e_recip + e_sb)
 
-    e_other = _ewald_nonreal(
+    e_other = ewald_nonreal_multi(
         system.coord,
-        q,
+        q[:, None],
         system.cell,
         system.mol_idx,
         system.num_mol,
         eta,
         k_cutoff,
         system.ewald_kpts,
-    )
+    )[:, 0]
     return KE * (e_real + e_other)
-
-
-def _ewald_nonreal(
-    coord, q, cell, mol_idx, num_mol, eta, k_cutoff, k_pts
-) -> Array:
-    """Reciprocal + self + background terms (no k_e factor)."""
-    from aimnetcentral_tpu.ops import nb as nbops
-
-    recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)
-    kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)
-    k2 = jnp.sum(kvec * kvec, axis=-1)
-    kmask = (k2 > 1e-12) & (k2 < k_cutoff * k_cutoff)
-    cell_ext = jnp.concatenate([recip, jnp.zeros((1, 3, 3), recip.dtype)], axis=0)
-    atom_recip = jnp.take(cell_ext, mol_idx, axis=0)
-    kdir = jnp.einsum("kd,ndh->nkh", k_pts, atom_recip, precision=HI)
-    phase = jnp.einsum("nkh,nh->nk", kdir, coord, precision=HI)
-    s_re = nbops.mol_sum(q[:, None] * jnp.cos(phase), mol_idx, num_mol)
-    s_im = nbops.mol_sum(q[:, None] * jnp.sin(phase), mol_idx, num_mol)
-    volume = jnp.abs(jnp.linalg.det(cell))
-    w = jnp.where(kmask, jnp.exp(-0.5 * eta * eta * k2) / jnp.where(kmask, k2, 1.0), 0.0)
-    e_recip = (2.0 * jnp.pi / volume) * jnp.sum(w * (s_re * s_re + s_im * s_im), axis=-1)
-    e_self = -nbops.mol_sum(q * q, mol_idx, num_mol) / (
-        jnp.sqrt(2.0 * jnp.pi) * eta
-    )
-    q_tot = nbops.mol_sum(q, mol_idx, num_mol)
-    e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume
-    return e_recip + e_self + e_bg
 
 
 def ewald_nonreal_multi(
@@ -247,10 +243,9 @@ def ewald_nonreal_multi(
     member axis is served the same way.
     """
     n_e = q_st.shape[1]
-    ones_b = jnp.ones((num_mol,), coord.dtype)
-    eta_b = jnp.asarray(eta).reshape(-1) * ones_b
-    kcut_b = jnp.asarray(k_cutoff).reshape(-1) * ones_b
-    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
+    eta_b, kcut_b, eta_at, _ = _param_views(
+        eta, k_cutoff, num_mol, mol_idx, coord.dtype
+    )
 
     recip = 2.0 * jnp.pi * jnp.linalg.inv(cell).transpose(0, 2, 1)  # (B,3,3)
     kvec = jnp.einsum("kd,bdh->bkh", k_pts, recip, precision=HI)
@@ -294,12 +289,7 @@ def ewald_nonreal_multi(
             ],
             axis=-1,
         )  # (M, E)
-    e_self = -nbops.mol_sum(
-        q_st * q_st / eta_at[:, None], mol_idx, num_mol
-    ) / math.sqrt(2.0 * math.pi)
-    q_tot = nbops.mol_sum(q_st, mol_idx, num_mol)  # (M, E)
-    e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b)[:, None] / volume[:, None]
-    return e_recip + e_self + e_bg
+    return e_recip + _self_bg_st(q_st, eta_b, eta_at, mol_idx, num_mol, volume)
 
 
 def coulomb_periodic_binned_multi(
@@ -330,13 +320,14 @@ def coulomb_periodic_binned_multi(
             system.coord, q_st, system.cell, system.mol_idx, system.num_mol,
             eta.reshape(1), system.pme_mesh,
         )
-        e_self = -nbops.mol_sum(q_st * q_st, system.mol_idx, system.num_mol) / (
-            jnp.sqrt(2.0 * jnp.pi) * eta
+        eta_b, _r, eta_at, _rc = _param_views(
+            eta, 0.0, system.num_mol, system.mol_idx, system.coord.dtype
         )
         volume = jnp.abs(jnp.linalg.det(system.cell))  # (M,)
-        q_tot = nbops.mol_sum(q_st, system.mol_idx, system.num_mol)
-        e_bg = -jnp.pi * q_tot * q_tot * (eta * eta) / volume[:, None]
-        return KE * (e_real + e_recip + e_self + e_bg)
+        e_sb = _self_bg_st(
+            q_st, eta_b, eta_at, system.mol_idx, system.num_mol, volume
+        )
+        return KE * (e_real + e_recip + e_sb)
 
     e_other = ewald_nonreal_multi(
         system.coord,
@@ -369,25 +360,12 @@ def ewald_energy_multi(
     (num_mol, E) in eV.  The erfc pair kernel and the phase matrix are
     computed once; members contribute bilinear charge products."""
     q_st = jnp.where((numbers > 0)[:, None], q_st, 0.0)
-    ones_b = jnp.ones((num_mol,), coord.dtype)
-    eta_b = jnp.asarray(eta).reshape(-1) * ones_b
-    rcut_b = jnp.asarray(r_cutoff).reshape(-1) * ones_b
-    eta_at = jnp.take(jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx)
-    rcut_at = jnp.take(jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx)
-
-    from aimnetcentral_tpu.ops.math import calc_distances
-
-    d_ij, _ = calc_distances(coord, nbmat, shifts, cell, mol_idx)
-    valid = nbops.pair_mask(nbmat) & (d_ij < rcut_at[:, None])
-    e_pair = jnp.where(
-        valid,
-        jax.scipy.special.erfc(d_ij / (math.sqrt(2.0) * eta_at[:, None])) / d_ij,
-        0.0,
-    )  # (N, M_nb) shared kernel
-    q_nb = nbops.gather_nb(q_st, nbmat)  # (N, M_nb, E)
-    e_real_i = jnp.einsum("nm,nme->ne", e_pair, q_nb, precision=HI) * q_st
-    e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
-
+    _eta_b, _rcut_b, eta_at, rcut_at = _param_views(
+        eta, r_cutoff, num_mol, mol_idx, coord.dtype
+    )
+    e_real = _real_erfc_st(
+        coord, q_st, cell, mol_idx, num_mol, nbmat, shifts, eta_at, rcut_at
+    )
     e_other = ewald_nonreal_multi(
         coord, q_st, cell, mol_idx, num_mol, eta, k_cutoff, k_pts
     )
@@ -413,41 +391,25 @@ def coulomb_periodic_multi(
         raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
     if method == "pme" and system.pme_mesh is not None:
         from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched_multi
-        from aimnetcentral_tpu.ops.math import calc_distances
 
         num_mol = system.num_mol
         mol_idx = system.mol_idx
         q_st = jnp.where((system.numbers > 0)[:, None], q_st, 0.0)
-        ones_b = jnp.ones((num_mol,), system.coord.dtype)
-        eta_b = jnp.asarray(system.ewald_eta).reshape(-1) * ones_b
-        rcut_b = jnp.asarray(system.ewald_r_cutoff).reshape(-1) * ones_b
-        eta_at = jnp.take(
-            jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx
+        eta_b, _rcut_b, eta_at, rcut_at = _param_views(
+            system.ewald_eta, system.ewald_r_cutoff, num_mol, mol_idx,
+            system.coord.dtype,
         )
-        rcut_at = jnp.take(
-            jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx
+        e_real = _real_erfc_st(
+            system.coord, q_st, system.cell, mol_idx, num_mol, nb, sh,
+            eta_at, rcut_at,
         )
-        d, _ = calc_distances(system.coord, nb, sh, system.cell, mol_idx)
-        valid = nbops.pair_mask(nb) & (d < rcut_at[:, None])
-        e_pair = jnp.where(
-            valid,
-            jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta_at[:, None])) / d,
-            0.0,
-        )
-        q_nb = nbops.gather_nb(q_st, nb)
-        e_real_i = jnp.einsum("nm,nme->ne", e_pair, q_nb, precision=HI) * q_st
-        e_real = 0.5 * nbops.mol_sum(e_real_i, mol_idx, num_mol)
         e_recip = pme_reciprocal_energy_batched_multi(
             system.coord, q_st, system.cell, mol_idx, num_mol, eta_b,
             system.pme_mesh,
         )
-        e_self = -nbops.mol_sum(
-            q_st * q_st / eta_at[:, None], mol_idx, num_mol
-        ) / math.sqrt(2.0 * math.pi)
         volume = jnp.abs(jnp.linalg.det(system.cell))
-        q_tot = nbops.mol_sum(q_st, mol_idx, num_mol)
-        e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b)[:, None] / volume[:, None]
-        return KE * (e_real + e_recip + e_self + e_bg)
+        e_sb = _self_bg_st(q_st, eta_b, eta_at, mol_idx, num_mol, volume)
+        return KE * (e_real + e_recip + e_sb)
     return ewald_energy_multi(
         system.coord,
         q_st,
@@ -518,67 +480,11 @@ def coulomb_periodic(
 
     The k-grid and eta must be attached to the System via ``attach_ewald``
     (host-side, outside jit); the calculator does this in ``prepare_system``.
-    ``method='pme'`` currently routes to the same exact Ewald evaluation
-    (an FFT-mesh PME is planned for very large cells).
-    """
-    if system.cell is None:
-        raise ValueError(f"{method} Coulomb requires a periodic cell")
-    if system.ewald_kpts is None:
-        raise ValueError(
-            "System lacks Ewald parameters; call models.ewald.attach_ewald first"
-        )
-    nb, sh, _sfx = system.resolve_nb("_coulomb", "_lr", "")
-    if sh is None:
-        raise ValueError("periodic Coulomb requires a PBC neighbor matrix with shifts")
-    if method == "pme" and system.pme_mesh is not None:
-        # batched smooth PME: per-molecule real-space erfc sums over the
-        # neighbor matrix + batched-FFT reciprocal space over a shared
-        # padded mesh shape (reference batch_idx PME,
-        # aimnet/modules/lr.py:674-700) + per-molecule self/background
-        from aimnetcentral_tpu.models.pme import pme_reciprocal_energy_batched
-        from aimnetcentral_tpu.ops.math import calc_distances
-
-        num_mol = system.num_mol
-        mol_idx = system.mol_idx
-        q = jnp.where(system.numbers > 0, data[key_in], 0.0)
-        ones_b = jnp.ones((num_mol,), system.coord.dtype)
-        eta_b = jnp.asarray(system.ewald_eta).reshape(-1) * ones_b
-        rcut_b = jnp.asarray(system.ewald_r_cutoff).reshape(-1) * ones_b
-        eta_at = jnp.take(
-            jnp.concatenate([eta_b, jnp.ones(1, eta_b.dtype)]), mol_idx
-        )
-        rcut_at = jnp.take(
-            jnp.concatenate([rcut_b, jnp.zeros(1, rcut_b.dtype)]), mol_idx
-        )
-        d, _ = calc_distances(system.coord, nb, sh, system.cell, mol_idx)
-        valid = nbops.pair_mask(nb) & (d < rcut_at[:, None])
-        qq = q[:, None] * nbops.gather_nb(q, nb)
-        e_pair = jax.scipy.special.erfc(d / (math.sqrt(2.0) * eta_at[:, None])) / d
-        e_real = 0.5 * nbops.mol_sum(
-            jnp.where(valid, qq * e_pair, 0.0).sum(-1), mol_idx, num_mol
-        )
-        e_recip = pme_reciprocal_energy_batched(
-            system.coord, q, system.cell, mol_idx, num_mol, eta_b,
-            system.pme_mesh,
-        )
-        e_self = -nbops.mol_sum(q * q / eta_at, mol_idx, num_mol) / math.sqrt(
-            2.0 * math.pi
-        )
-        volume = jnp.abs(jnp.linalg.det(system.cell))
-        q_tot = nbops.mol_sum(q, mol_idx, num_mol)
-        e_bg = -jnp.pi * q_tot * q_tot * (eta_b * eta_b) / volume
-        return KE * (e_real + e_recip + e_self + e_bg)
-    return ewald_energy(
-        system.coord,
-        data[key_in],
-        system.cell,
-        system.mol_idx,
-        system.num_mol,
-        system.numbers,
-        nb,
-        sh,
-        system.ewald_eta,
-        system.ewald_r_cutoff,
-        system.ewald_k_cutoff,
-        system.ewald_kpts,
-    )
+    ``method='pme'`` uses the batched FFT-mesh reciprocal space (reference
+    batch_idx PME, aimnet/modules/lr.py:674-700) when ``attach_ewald(
+    pme=True)`` sized a mesh, else falls back to the exact Ewald k-sum.
+    Thin E=1 view of :func:`coulomb_periodic_multi` — one shared
+    implementation serves single models and fused ensembles."""
+    return coulomb_periodic_multi(
+        jnp.asarray(data[key_in])[:, None], system, method=method
+    )[:, 0]

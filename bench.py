@@ -12,7 +12,7 @@ round regression-checks the full north-star list:
   4. ``value`` — the 10k NVT MD headline + ``ensemble4_steps_per_sec``
   5. ``hvp_per_sec_taxol`` — matrix-free Hessian-vector products (TS search)
 plus ``train_atoms_per_sec`` (packed-layout training step) and
-``ensemble4_ewald_steps_per_sec`` / ``ewald_ens_ratio`` — the member-fused
+``ensemble4_ewald_steps_per_sec`` / ``ewald_ens_cost_ratio`` — the member-fused
 Ewald ensemble cost vs single-model Ewald MD (VERDICT r4 next #1).
 
 The headline ``value`` is the MEDIAN of 3 timed windows; ``value_spread``

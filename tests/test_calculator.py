@@ -128,6 +128,32 @@ def test_ewald_large_system_guidance_warning(calc, rng, monkeypatch, caplog):
         calc.set_lrcoulomb_method("simple")
 
 
+def test_ewald_guidance_warning_on_binned_path(calc, rng, monkeypatch, caplog):
+    """The guidance must fire on the BINNED prepare branch too — that is
+    where a large single periodic box (the measured failure scenario)
+    actually lands (prepare_system early-returns there, before the indexed
+    path's check)."""
+    import logging
+
+    from aimnetcentral_tpu.calculators import calculator as calc_mod
+
+    monkeypatch.setattr(calc_mod, "EWALD_ATOM_GUIDANCE_LIMIT", 6)
+    coord, numbers = random_molecule(rng, 12, spread=3.0)
+    cell = np.eye(3, dtype=np.float32) * 9.0
+    data = {"coord": coord + 4.5, "numbers": numbers, "cell": cell}
+    old_thresh = calc.binned_threshold
+    calc.set_lrcoulomb_method("ewald")
+    try:
+        calc.binned_threshold = 10  # 12-atom box takes the binned branch
+        with caplog.at_level(logging.WARNING):
+            sysb = calc.prepare_system(data)
+        assert sysb.bins is not None  # really on the binned branch
+        assert any("pme" in r.getMessage() for r in caplog.records)
+    finally:
+        calc.binned_threshold = old_thresh
+        calc.set_lrcoulomb_method("simple")
+
+
 @pytest.mark.slow
 def test_hvp_matches_dense_hessian(calc, rng):
     coord, numbers = random_molecule(rng, 5)

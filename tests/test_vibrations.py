@@ -184,6 +184,18 @@ def test_rrho_water_textbook_values():
     assert th["n_skipped_modes"] == 0
 
 
+def test_project_rotations_single_atom_is_noop():
+    """All three rotation vectors vanish for a single atom — the projection
+    basis is empty and harmonic_frequencies must not crash (np.stack on an
+    empty list raised before)."""
+    h = np.diag([1.0, 2.0, 3.0]).reshape(1, 3, 1, 3)
+    freqs, _modes = harmonic_frequencies(
+        h, [39.948], coord=np.zeros((1, 3)),
+        project_translations=False, project_rotations=True,
+    )
+    assert np.isfinite(freqs).all() and freqs.shape == (3,)
+
+
 def test_rrho_linear_and_monatomic():
     from aimnetcentral_tpu.dynamics.vibrations import rrho_thermochemistry
     from aimnetcentral_tpu import constants
@@ -226,13 +238,16 @@ def test_rrho_caps_vibrations_at_3n_minus_6():
     clean = rrho_thermochemistry(
         np.array([1594.8, 3657.1, 3755.9]), [8, 1, 1], coord, symmetry_number=2
     )
-    # two rotational contaminants at 25/40 cm^-1 sneak past the 10 cm^-1 cutoff
-    dirty = rrho_thermochemistry(
-        np.array([25.0, 40.0, 1594.8, 3657.1, 3755.9]),
-        [8, 1, 1],
-        coord,
-        symmetry_number=2,
-    )
+    # two rotational contaminants at 25/40 cm^-1 sneak past the 10 cm^-1
+    # cutoff; the cap drops them and WARNS (the heuristic can misfire on
+    # floppy molecules - the warning points at projected frequencies)
+    with pytest.warns(UserWarning, match="project_rotations"):
+        dirty = rrho_thermochemistry(
+            np.array([25.0, 40.0, 1594.8, 3657.1, 3755.9]),
+            [8, 1, 1],
+            coord,
+            symmetry_number=2,
+        )
     assert dirty["n_skipped_modes"] == 2
     for key in ("zpe", "u_vib", "s_vib", "g"):
         assert abs(dirty[key] - clean[key]) < 1e-12, key
