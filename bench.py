@@ -370,7 +370,10 @@ def main() -> None:
                     for n_, h in cfg.outputs
                 ),
             )
-            n_ew = max(10, N_STEPS // 5)
+            # MUST be a multiple of chunk: run() executes ceil(n/chunk) full
+            # chunks, so a non-multiple under-reports steps/s (the round-4/5
+            # ewald numbers 4.96/2.50 were true 6.20/3.13 — measured)
+            n_ew = 2 * chunk
             _log("ewald MD (single model)...")
             drv_ew = MDDriver(params, cfg_ew, system_eq, md)
             drv_ew.run(chunk, chunk=chunk)
