@@ -68,6 +68,7 @@ def make_eval_fn(
     extra_keys: tuple[str, ...] = (),
     conv_engine: str | None = None,
     matmul_precision: str = "highest",
+    conv_precision: str | None = None,
 ) -> Callable[[dict, System], dict]:
     """Build a jittable evaluation function ``f(params, system) -> outputs``.
 
@@ -83,6 +84,10 @@ def make_eval_fn(
     default bf16 passes cost ~4e-3 eV/A force noise — fine for
     thermostatted MD (the MD driver runs at the JAX default), fatal for the
     <1e-4 eV/A parity gate.  Override with AIMNET_MATMUL_PRECISION.
+
+    ``conv_precision`` selects the Pallas conv kernels' internal MXU mode
+    ("f32x3" = hand-split 3x1-pass dots, the calculator's "balanced" tier;
+    None = inherit the ambient context).
     """
     prec = _resolve_precision(matmul_precision)
 
@@ -97,7 +102,8 @@ def make_eval_fn(
 
     def energy_of(params: dict, system: System) -> tuple[Array, dict]:
         data = aimnet2_apply(
-            params, cfg, system, sae_external=sae_external, conv_engine=conv_engine
+            params, cfg, system, sae_external=sae_external,
+            conv_engine=conv_engine, conv_precision=conv_precision,
         )
         return data["energy"].sum(), collect(data)
 

@@ -131,7 +131,7 @@ class EnsembleCalculator(AIMNet2Calculator):
     def _get_fn(self, cfg, forces: bool, stress: bool, hessian: bool):
         if self._fused and not (stress or hessian):
             return self._get_fused_fn(cfg, forces)
-        key = ("ens", forces, stress, hessian, cfg)
+        key = ("ens", forces, stress, hessian, cfg, self.precision)
         if key not in self._fn_cache:
             single = make_eval_fn(
                 cfg,
@@ -139,6 +139,8 @@ class EnsembleCalculator(AIMNet2Calculator):
                 stress=stress,
                 hessian=hessian,
                 sae_external=True,
+                matmul_precision="default" if self.precision == "fast" else "highest",
+                conv_precision="f32x3" if self.precision == "balanced" else None,
             )
 
             def ens_fn(params, system):
@@ -172,7 +174,10 @@ class EnsembleCalculator(AIMNet2Calculator):
                 aimnet2_apply_ensemble,
             )
 
-            prec = "highest" if self.precision == "exact" else "default"
+            # "balanced": exact ambient + f32x3 split-dot conv kernels,
+            # same mapping as the single-model facade (calculator.py)
+            prec = "default" if self.precision == "fast" else "highest"
+            conv_prec = "f32x3" if self.precision == "balanced" else None
             keep = ("charges", "spin_charges", "dipole", "quadrupole")
 
             def collect(data):
@@ -193,14 +198,15 @@ class EnsembleCalculator(AIMNet2Calculator):
                     if not forces:
                         return collect(
                             aimnet2_apply_ensemble(
-                                params, cfg, system, sae_external=True
+                                params, cfg, system, sae_external=True,
+                                conv_precision=conv_prec,
                             )
                         )
 
                     def etot(coord):
                         data = aimnet2_apply_ensemble(
                             params, cfg, system.replace(coord=coord),
-                            sae_external=True,
+                            sae_external=True, conv_precision=conv_prec,
                         )
                         return data["energy"].mean(axis=0).sum(), collect(data)
 

@@ -890,8 +890,11 @@ class MDDriver:
         frame (caller atom order, wrapped coordinates) is appended after
         every completed chunk, stamped with the chunk-end potential energy.
 
-        Device work happens in ``chunk``-step compiled scans; the host checks
-        the neighbor-overflow counter between chunks.  On a true overflow the
+        Device work happens in ``chunk``-step compiled scans — the driver
+        executes ``ceil(n_steps / chunk)`` WHOLE chunks (observables are
+        truncated to ``n_steps``), so wall-time-per-step measurements must
+        use a multiple of ``chunk``.  The host checks the neighbor-overflow
+        counter between chunks.  On a true overflow the
         driver grows the bin capacity, re-bins the carried state, recompiles,
         and RETRIES the chunk from the last good state — no silent force
         corruption, no user-visible failure.

@@ -57,10 +57,14 @@ class ConvStatic:
     s_tot: int  # xy offsets in the program grid ((2r+1)^2)
     t_row: int = 1  # bins per z-row (= nz; row-tiled kernel grid is B/t_row)
     w_band: int = 3  # z band width (2r+1): in-program candidate slots per bin
-    # "bf16": pair weights + candidate features downcast to bfloat16 at the
-    # MXU inputs (f32 VPU pair math, f32 accumulation) — ~2x MXU throughput
-    # and half the VMEM matmul traffic, at ~1e-3 relative force error.
-    # Opt-in via AIMNET_CONV_PRECISION=bf16 (default f32).
+    # "f32" (default): dots run at the ambient matmul precision (1 bf16 MXU
+    # pass under the JAX default; 6 passes under the exact calculator
+    # surface's ambient HIGHEST).  "f32x3": hand-split 3x1-pass dots (~1e-5
+    # relative, ambient-immune — the calculator's precision="balanced";
+    # conv_stencil._mxu_dot).  "bf16": downcast MXU inputs (a measured
+    # no-op on this toolchain — Mosaic's default dots already truncate;
+    # kept for toolchains whose default differs).
+    # Opt-in via AIMNET_CONV_PRECISION or conv_pass_pallas(precision=...).
     precision: str = "f32"
 
     @property
@@ -487,8 +491,15 @@ def conv_pass_pallas(
     agh_q: Array | None,
     rc_static: float,
     interpret_xla: bool = False,
+    precision: str | None = None,
 ) -> tuple[Array, Array | None]:
-    """Pallas-accelerated twin of conv_pass_binned (d2features models)."""
+    """Pallas-accelerated twin of conv_pass_binned (d2features models).
+
+    ``precision``: kernel MXU precision mode — "f32" (default; dots run at
+    the ambient matmul precision), "f32x3" (hand-split 3x1-pass dots,
+    ~1e-5 relative, the calculator's ``precision="balanced"`` tier —
+    conv_stencil._mxu_dot), or "bf16".  ``None`` reads
+    ``AIMNET_CONV_PRECISION``."""
     grid = system.bins
     assert grid is not None
     from aimnetcentral_tpu.models.engine_binned import stencil_radius
@@ -567,7 +578,7 @@ def conv_pass_pallas(
     st = ConvStatic(
         b_tot=b_tot, c=c, g=g_dim, f=f_pad, gamma=gamma, s_tot=s_tot,
         t_row=t_row, w_band=w_band,
-        precision=os.environ.get("AIMNET_CONV_PRECISION", "f32"),
+        precision=precision or os.environ.get("AIMNET_CONV_PRECISION", "f32"),
     )
     if interpret_xla:
         acc = _conv_acc_xla(

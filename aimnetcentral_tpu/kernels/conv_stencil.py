@@ -98,7 +98,10 @@ def _pair_geom_rect(ci, cj, s, m, n, rc, mask_i, mask_j, self_diag):
     return d, inv_d, within_f, fc, fcp
 
 
-def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, width, bsum=None):
+def _chain_accumulate(
+    wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, width, bsum=None,
+    pin_default=False,
+):
     """Accumulate one g-group's weight cotangents into the (dbar, ubar)
     chain-rule accumulators (all full-lane (m, gamma*width) ops,
     block-summed down to (m, width)).
@@ -119,7 +122,7 @@ def _chain_accumulate(wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, m, widt
         if bsum is None:
             return _block_sum(x, gamma, width)
 
-        return _dp_dot(x, bsum, (((1,), (0,)), ((), ())))
+        return _dp_dot(x, bsum, (((1,), (0,)), ((), ())), pin_default=pin_default)
 
     gsbar = wbar[0:m, :]
     for k in range(3):
@@ -138,18 +141,60 @@ def _block_sum_matrix(gamma, width):
     return (row_i % width == col_i).astype(jnp.float32)
 
 
-def _dp_dot(x, m, dims):
+def _dp_dot(x, m, dims, pin_default=False):
     """Double-pumped exact-enough dot (see _chain_accumulate): Mosaic's
     default dot truncates f32 operands to one bf16 pass; splitting x into a
     bf16-exact high part + bf16 low part costs two 1-pass dots for ~1e-5
-    relative (m is a 0/1 constant, exact in bf16)."""
+    relative (m is a 0/1 constant, exact in bf16).
+
+    ``pin_default`` (the f32x3 / "balanced" mode) pins both dots to
+    Precision.DEFAULT so the exact calculator surface's ambient HIGHEST
+    cannot silently turn them into 2x6 passes."""
     x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
     x_lo = x - x_hi
+    prec = jax.lax.Precision.DEFAULT if pin_default else None
     return jax.lax.dot_general(
-        x_hi, m, dims, preferred_element_type=jnp.float32
+        x_hi, m, dims, precision=prec, preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
-        x_lo, m, dims, preferred_element_type=jnp.float32
+        x_lo, m, dims, precision=prec, preferred_element_type=jnp.float32
     )
+
+
+def _mxu_dot(x, y, dims, mxu_dtype, split3):
+    """The kernels' MXU contraction with a precision-mode switch.
+
+    ``split3=False``: ONE dot at the ambient matmul precision — 1 bf16 MXU
+    pass under the JAX default (the MD fast path), 6 passes when the exact
+    calculator surface sets ambient HIGHEST.
+
+    ``split3=True`` (kernel precision "f32x3", the calculator's
+    ``precision="balanced"``): both operands split into a bf16-exact high
+    part + bf16 low part and contracted with THREE explicitly-DEFAULT
+    1-pass dots (hi@hi + hi@lo + lo@hi; the dropped lo@lo term is
+    ~2^-18 relative).  Measured 6.5e-6 eV/A max force delta on 10k-atom
+    forces vs exact, 1000x tighter than the 1-pass default's 7.6e-3 — at
+    half the MXU passes of HIGHEST, immune to the ambient context (Mosaic
+    cannot lower ambient "high", and XLA's own 3-pass tier measured no
+    faster than HIGHEST on this toolchain: 956 vs 983 ms/call)."""
+    if not split3:
+        return jax.lax.dot_general(
+            x.astype(mxu_dtype),
+            y.astype(mxu_dtype),
+            dims,
+            preferred_element_type=jnp.float32,
+        )
+    dflt = jax.lax.Precision.DEFAULT
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    y_hi = y.astype(jnp.bfloat16).astype(jnp.float32)
+    y_lo = y - y_hi
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, precision=dflt, preferred_element_type=jnp.float32
+        )
+
+    return d(x_hi, y_hi) + d(x_hi, y_lo) + d(x_lo, y_hi)
 
 
 def _coord_chain_finish(uk, inv_d, within_f, dbar, ubar):
@@ -224,8 +269,10 @@ def _block_mask(gamma, width, f):
 def _mxu_dtype(precision: str):
     if precision == "bf16":
         return jnp.bfloat16
-    if precision != "f32":
-        raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
+    if precision not in ("f32", "f32x3"):
+        raise ValueError(
+            f"precision must be 'f32', 'f32x3' or 'bf16', got {precision!r}"
+        )
     return jnp.float32
 
 
@@ -255,6 +302,7 @@ def _fwd_kernel(
     gamma: int,
     w_band: int,
     mxu_dtype=jnp.float32,
+    split3: bool = False,
 ):
     s = pl.program_id(1)
 
@@ -316,11 +364,12 @@ def _fwd_kernel(
                 abig = pltpu.repeat(a_band, gamma, axis=0) * blockmask
                 gs_all, _ = _gs_tiled(d_t, fc_t, None, sg_rows[gi], eta, False)
                 _fill_w(w_scratch, gs_all, u_tiled, c)
-                contrib = jax.lax.dot_general(
-                    w_scratch[...].astype(mxu_dtype),
-                    abig.astype(mxu_dtype),
+                contrib = _mxu_dot(
+                    w_scratch[...],
+                    abig,
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    mxu_dtype,
+                    split3,
                 )  # (4C, gamma*F)
                 out_ref[t, :, gi * gamma * f : (gi + 1) * gamma * f] += contrib
 
@@ -376,7 +425,7 @@ def conv_stencil_forward(
 
     kernel = functools.partial(
         _fwd_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma, w_band=w_band,
-        mxu_dtype=_mxu_dtype(precision),
+        mxu_dtype=_mxu_dtype(precision), split3=precision == "f32x3",
     )
     return pl.pallas_call(
         kernel,
@@ -433,6 +482,7 @@ def _bwd_kernel(
     gamma: int,
     w_band: int,
     mxu_dtype=jnp.float32,
+    split3: bool = False,
 ):
     """For every forward pair (i in the partner band, j in this row's bin t),
     accumulate W^T @ gbar into grad_a and the j-side coordinate cotangent —
@@ -513,13 +563,14 @@ def _bwd_kernel(
                         gband_scratch[
                             dd * wc + w * c : dd * wc + (w + 1) * c, :
                         ] = gb[dd * c : (dd + 1) * c, :]
-                gband = gband_scratch[...].astype(mxu_dtype)
+                gband = gband_scratch[...]
                 # weight cotangent: Wbar = gbar_band @ Abig^T : (4WC, gamma*C)
-                wbar = jax.lax.dot_general(
+                wbar = _mxu_dot(
                     gband,
-                    abig.astype(mxu_dtype),
+                    abig,
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    mxu_dtype,
+                    split3,
                 )
                 gs_all, dgs_all = _gs_tiled(
                     d_t, fc_t, fcp_t, sg_rows[gi], eta, True
@@ -527,14 +578,15 @@ def _bwd_kernel(
                 _fill_w(w_scratch, gs_all, u_tiled, wc)
                 dbar, ubar = _chain_accumulate(
                     wbar, gs_all, dgs_all, u_tiled, dbar, ubar, gamma, wc, c,
-                    bsum=bsum,
+                    bsum=bsum, pin_default=split3,
                 )
                 # feature adjoint: grad_abig = W^T @ gbar_band
-                grad_abig = jax.lax.dot_general(
-                    w_scratch[...].astype(mxu_dtype),
+                grad_abig = _mxu_dot(
+                    w_scratch[...],
                     gband,
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    mxu_dtype,
+                    split3,
                 )  # (gamma*C, gamma*F)
                 # block-diagonal extract, full-lane: mask off-diagonal
                 # blocks, then sum the gamma ROW blocks down to (C, gamma*F)
@@ -633,7 +685,7 @@ def conv_stencil_bwd_banded(
     )
     kernel = functools.partial(
         _bwd_kernel, t_row=t_row, c=c, g=g, f=f, gamma=gamma, w_band=w_band,
-        mxu_dtype=_mxu_dtype(precision),
+        mxu_dtype=_mxu_dtype(precision), split3=precision == "f32x3",
     )
     return pl.pallas_call(
         kernel,

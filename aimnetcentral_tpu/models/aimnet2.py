@@ -233,11 +233,16 @@ def aimnet2_apply(
     system: System,
     sae_external: bool = False,
     conv_engine: str | None = None,
+    conv_precision: str | None = None,
 ) -> dict:
     """Full forward pass.  Returns the output data bus with at least:
     ``energy`` (num_mol,) eV [without SAE when ``sae_external``],
     ``charges`` (N,), ``aim`` (N, aim_size), ``_delta_Q`` (num_mol, C),
     and ``mol_element_counts`` when SAE is externalized.
+
+    ``conv_precision``: MXU precision mode for the Pallas conv kernels
+    ("f32"/"f32x3"/"bf16"; None reads AIMNET_CONV_PRECISION) — the
+    calculator's ``precision="balanced"`` passes "f32x3" here.
     """
     n = system.natoms
     c = cfg.num_charge_channels
@@ -303,6 +308,7 @@ def aimnet2_apply(
                     params["conv_a"]["agh"],
                     params["conv_q"]["agh"],
                     rc_static=cfg.aev.rc_s,
+                    precision=conv_precision,
                 )
             else:
                 from aimnetcentral_tpu.models.engine_binned import conv_pass_binned

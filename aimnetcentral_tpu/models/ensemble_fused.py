@@ -85,6 +85,7 @@ def aimnet2_apply_ensemble(
     system: System,
     sae_external: bool = False,
     conv_engine: str | None = None,
+    conv_precision: str | None = None,
 ) -> dict:
     """Fused ensemble forward over member-stacked params (leading axis E).
 
@@ -150,7 +151,7 @@ def aimnet2_apply_ensemble(
 
                 conv_a, conv_q = conv_pass_pallas(
                     system, aev0, a_st, q_st, agh_a_st, agh_q_st,
-                    rc_static=cfg.aev.rc_s,
+                    rc_static=cfg.aev.rc_s, precision=conv_precision,
                 )
             else:
                 from aimnetcentral_tpu.models.engine_binned import conv_pass_binned

@@ -395,13 +395,13 @@ def main() -> None:
             _log(f"ewald ensemble bench failed: {e!r}")
 
     # --- BASELINE config 1: single-point facade throughput at 10k ----------
-    sp_exact = sp_fast = None
+    sp_exact = sp_balanced = sp_fast = None
     if not quick:
         try:
             from aimnetcentral_tpu.calculators.calculator import AIMNet2Calculator
 
             rng_sp = np.random.default_rng(1)
-            for prec in ("exact", "fast"):
+            for prec in ("exact", "balanced", "fast"):
                 _log(f"single-point throughput ({prec})...")
                 calc = AIMNet2Calculator((params, cfg, {"sae": {}}), precision=prec)
 
@@ -425,6 +425,8 @@ def main() -> None:
                 rate = reps / (time.perf_counter() - t0)
                 if prec == "exact":
                     sp_exact = rate
+                elif prec == "balanced":
+                    sp_balanced = rate
                 else:
                     sp_fast = rate
                 calc = None
@@ -576,6 +578,8 @@ def main() -> None:
     sp_tag = f"sp_calls_per_sec_{N_ATOMS // 1000}k"
     if sp_exact is not None:
         result[sp_tag] = round(sp_exact, 3)
+    if sp_balanced is not None:
+        result[f"{sp_tag}_balanced"] = round(sp_balanced, 3)
     if sp_fast is not None:
         result[f"{sp_tag}_fast"] = round(sp_fast, 3)
     if relax_sps is not None:

@@ -265,3 +265,24 @@ def test_fast_precision_opt_in(rng):
 
     with pytest.raises(ValueError, match="precision"):
         AIMNet2Calculator((params, cfg, {"sae": {}}), precision="bf16")
+
+
+def test_balanced_precision_opt_in(rng):
+    """AIMNet2Calculator(precision="balanced"): exact XLA-side ambient +
+    f32x3 split-dot conv kernels (~1e-5 relative on TPU; on CPU the split
+    runs in exact f32 so results track 'exact' to the hi/lo representation
+    error).  The kernel-level split numerics are covered by
+    test_pallas_conv.py::test_f32x3_split_precision_option; this gate
+    covers the facade plumbing end to end."""
+    cfg = _cfg(LRCoulombHead(rc=4.6, method="simple"))
+    params = aimnet2_init(jax.random.key(0), cfg)
+    coord = rng.uniform(-3, 3, size=(12, 3)).astype(np.float32)
+    numbers = rng.choice([1, 6, 8], size=12)
+    data = {"coord": coord, "numbers": numbers, "charge": 0.0}
+
+    exact = AIMNet2Calculator((params, cfg, {"sae": {}}))
+    bal = AIMNet2Calculator((params, cfg, {"sae": {}}), precision="balanced")
+    r_e = exact(data, forces=True)
+    r_b = bal(data, forces=True)
+    np.testing.assert_allclose(r_b["energy"], r_e["energy"], atol=1e-4)
+    np.testing.assert_allclose(r_b["forces"], r_e["forces"], atol=1e-4)

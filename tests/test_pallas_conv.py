@@ -147,5 +147,48 @@ def test_bf16_precision_option(case, monkeypatch):
             conv_pass_pallas(sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0)
 
 
+def test_f32x3_split_precision_option(case):
+    """precision="f32x3" (the calculator's "balanced" tier) runs every
+    kernel dot as hand-split hi/lo 1-pass contractions (conv_stencil.
+    _mxu_dot): outputs and gradients must track the f32 kernel to the
+    ~1e-5-relative split error — two orders tighter than bf16 — and the
+    real kernel body (interpret mode) must lower the extra casts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sysb, aev, a_feat, q, agh_a, agh_q = case
+    from aimnetcentral_tpu.kernels.conv_pallas import conv_pass_pallas
+
+    def loss(coord, precision=None):
+        out_a, out_q = conv_pass_pallas(
+            sysb.replace(coord=coord), aev, a_feat, q, agh_a, agh_q,
+            rc_static=5.0, precision=precision,
+        )
+        return (out_a**2).sum() + (out_q**2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        f32_a, f32_q = conv_pass_pallas(
+            sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0
+        )
+        g_f32 = jax.grad(loss)(sysb.coord)
+        x3_a, x3_q = conv_pass_pallas(
+            sysb, aev, a_feat, q, agh_a, agh_q, rc_static=5.0,
+            precision="f32x3",
+        )
+        g_x3 = jax.grad(lambda c: loss(c, precision="f32x3"))(sysb.coord)
+
+    scale_a = float(np.abs(np.asarray(f32_a)).max())
+    np.testing.assert_allclose(
+        np.asarray(x3_a), np.asarray(f32_a), atol=1e-4 * scale_a
+    )
+    scale_q = float(np.abs(np.asarray(f32_q)).max())
+    np.testing.assert_allclose(
+        np.asarray(x3_q), np.asarray(f32_q), atol=1e-4 * scale_q
+    )
+    scale_g = float(np.abs(np.asarray(g_f32)).max())
+    np.testing.assert_allclose(
+        np.asarray(g_x3), np.asarray(g_f32), atol=2e-4 * scale_g
+    )
+
+
 # The adjoint kernels are covered in tests/test_pallas_bwd.py (row-tiled
 # sweeps vs autodiff of the XLA twin, periodic + gas-phase, full custom_vjp).
