@@ -163,9 +163,18 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
     help="enable the isotropic Berendsen barostat (NPT) at this target "
     "pressure; requires a periodic cell",
 )
+@click.option(
+    "--conv-precision",
+    default=None,
+    type=click.Choice(["f32x3"]),
+    help="run the conv-kernel force evals at split-dot precision "
+    "(~1e-5-relative forces, ~1.3x step cost) — for NVE drift-sensitive "
+    "runs; default is the fast 1-pass regime",
+)
 def md(
     model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
     traj, chunk, save_ckpt, restore_ckpt, ensemble, thermostat, pressure_gpa,
+    conv_precision,
 ) -> None:
     """On-device MD: Langevin NVT by default; --thermostat nve/berendsen,
     --pressure-gpa for Berendsen NPT."""
@@ -191,6 +200,7 @@ def md(
         barostat="berendsen" if pressure_gpa is not None else None,
         # 1 GPa = 6.2415e-3 eV/A^3
         pressure_eV_A3=(pressure_gpa or 0.0) * 6.2415e-3,
+        conv_precision=conv_precision,
     )
     drv = MDDriver(
         params,

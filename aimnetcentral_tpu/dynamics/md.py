@@ -70,6 +70,12 @@ class MDConfig:
     pressure_eV_A3: float = 0.0  # target pressure (1 GPa = 6.2415e-3 eV/A^3)
     barostat_tau_fs: float = 1000.0
     compressibility_eV_A3: float = 73.2  # ~water (4.57e-5 / bar)
+    # conv-kernel MXU precision for the force evals: None = the JAX default
+    # (1-pass bf16 dots, ~7.6e-3 eV/A force noise — fine for thermostatted
+    # MD, the measured-fastest regime) or "f32x3" (hand-split 3x1-pass
+    # dots, ~1e-5-relative forces at ~1.3x step cost — for NVE energy
+    # conservation / drift-sensitive runs; conv_stencil._mxu_dot)
+    conv_precision: str | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -392,7 +398,10 @@ class MDDriver:
         the MD observables include on-device uncertainty (``epot_std``)."""
 
         def e_single(p):
-            return aimnet2_apply(p, self.cfg, system, sae_external=True)["energy"]
+            return aimnet2_apply(
+                p, self.cfg, system, sae_external=True,
+                conv_precision=self.md.conv_precision,
+            )["energy"]
 
         if self.ensemble:
             if self.ensemble_fused:
@@ -401,7 +410,8 @@ class MDDriver:
                 )
 
                 return aimnet2_apply_ensemble(
-                    params, self.cfg, system, sae_external=True
+                    params, self.cfg, system, sae_external=True,
+                    conv_precision=self.md.conv_precision,
                 )["energy"]
             return jax.vmap(e_single)(params)
         return e_single(params)

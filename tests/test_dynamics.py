@@ -54,6 +54,23 @@ def test_nve_energy_conservation(model, rng):
     assert e1 == pytest.approx(e0, abs=0.05)  # eV drift over 40 steps
 
 
+def test_md_conv_precision_knob(model, rng):
+    """MDConfig(conv_precision="f32x3") threads through the driver: the MD
+    chunk compiles and steps with finite energies.  (On CPU the XLA conv
+    engine ignores the kernel precision mode; the knob's split-dot numerics
+    are covered by test_pallas_conv.py::test_f32x3_split_precision_option
+    and docs/performance.md's hardware table.)"""
+    params, cfg = model
+    sys = _pbc_system(rng)
+    drv = MDDriver(
+        params, cfg, sys,
+        MDConfig(dt_fs=0.2, thermostat="nve", temperature_K=50.0,
+                 conv_precision="f32x3"),
+    )
+    obs = drv.run(4, chunk=2)
+    assert np.isfinite(obs["epot"]).all()
+
+
 @pytest.mark.slow
 def test_langevin_holds_temperature(model, rng):
     params, cfg = model
