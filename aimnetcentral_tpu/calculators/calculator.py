@@ -40,6 +40,27 @@ from aimnetcentral_tpu.system import System
 EWALD_ATOM_GUIDANCE_LIMIT = 25_000
 
 
+def precision_tiers(precision: str) -> tuple[str, str | None]:
+    """Map a calculator precision tier to ``(matmul_precision,
+    conv_precision)`` — the single source of truth shared by the
+    single-model facade and both EnsembleCalculator eval paths, so the
+    same tier string can never mean different numerics across facades:
+
+    - ``exact``   -> ("highest", None):  ambient-HIGHEST f32 everywhere
+    - ``balanced``-> ("highest", "f32x3"): exact XLA-side ambient, conv
+      kernels on hand-split 3x1-pass dots (conv_stencil._mxu_dot)
+    - ``fast``    -> ("default", None):  1-pass bf16 dots everywhere
+    """
+    if precision not in ("exact", "balanced", "fast"):
+        raise ValueError(
+            f"precision must be 'exact', 'balanced' or 'fast', got {precision!r}"
+        )
+    return (
+        "default" if precision == "fast" else "highest",
+        "f32x3" if precision == "balanced" else None,
+    )
+
+
 def _warn_ewald_above_limit(n_total: int) -> None:
     """Actionable guidance instead of an opaque compile/HBM failure: the
     exact-Ewald (N, K) phase matrix outgrows device memory near ~30k atoms
@@ -215,10 +236,7 @@ class AIMNet2Calculator:
         artifact metadata (reference aimnet/calculators/calculator.py:151-152,
         195-247 — explicit beats metadata, source metadata is never
         mutated)."""
-        if precision not in ("exact", "balanced", "fast"):
-            raise ValueError(
-                f"precision must be 'exact', 'balanced' or 'fast', got {precision!r}"
-            )
+        precision_tiers(precision)  # validate
         self.precision = precision
         if isinstance(model, str):
             # registry name / alias / artifact path / HF snapshot dir
@@ -833,14 +851,15 @@ class AIMNet2Calculator:
         if key in self._fn_cache:
             self._fn_cache.move_to_end(key)
             return self._fn_cache[key]
+        mm_prec, conv_prec = precision_tiers(self.precision)
         fn = derivatives.make_eval_fn(
             cfg,
             forces=forces,
             stress=stress,
             hessian=hessian,
             sae_external=True,
-            matmul_precision="default" if self.precision == "fast" else "highest",
-            conv_precision="f32x3" if self.precision == "balanced" else None,
+            matmul_precision=mm_prec,
+            conv_precision=conv_prec,
         )
         return self._cache_put(key, jax.jit(fn))
 

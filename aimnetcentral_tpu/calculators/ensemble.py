@@ -133,14 +133,17 @@ class EnsembleCalculator(AIMNet2Calculator):
             return self._get_fused_fn(cfg, forces)
         key = ("ens", forces, stress, hessian, cfg, self.precision)
         if key not in self._fn_cache:
+            from aimnetcentral_tpu.calculators.calculator import precision_tiers
+
+            mm_prec, conv_prec = precision_tiers(self.precision)
             single = make_eval_fn(
                 cfg,
                 forces=forces,
                 stress=stress,
                 hessian=hessian,
                 sae_external=True,
-                matmul_precision="default" if self.precision == "fast" else "highest",
-                conv_precision="f32x3" if self.precision == "balanced" else None,
+                matmul_precision=mm_prec,
+                conv_precision=conv_prec,
             )
 
             def ens_fn(params, system):
@@ -174,10 +177,9 @@ class EnsembleCalculator(AIMNet2Calculator):
                 aimnet2_apply_ensemble,
             )
 
-            # "balanced": exact ambient + f32x3 split-dot conv kernels,
-            # same mapping as the single-model facade (calculator.py)
-            prec = "default" if self.precision == "fast" else "highest"
-            conv_prec = "f32x3" if self.precision == "balanced" else None
+            from aimnetcentral_tpu.calculators.calculator import precision_tiers
+
+            prec, conv_prec = precision_tiers(self.precision)
             keep = ("charges", "spin_charges", "dipole", "quadrupole")
 
             def collect(data):

@@ -164,17 +164,19 @@ def relax(model: str, xyz: str, fmax: float, max_steps: int) -> None:
     "pressure; requires a periodic cell",
 )
 @click.option(
-    "--conv-precision",
+    "--precision",
     default=None,
-    type=click.Choice(["f32x3"]),
-    help="run the conv-kernel force evals at split-dot precision "
-    "(~1e-5-relative forces, ~1.3x step cost) — for NVE drift-sensitive "
-    "runs; default is the fast 1-pass regime",
+    type=click.Choice(["balanced", "exact"]),
+    help="force-eval precision tier for NVE / drift-sensitive runs "
+    "(same tiers as sp): 'balanced' = exact ambient + split-dot conv "
+    "kernels (~1e-5-relative forces), 'exact' = ambient-HIGHEST "
+    "everywhere; default is the fast 1-pass regime (~7.6e-3 eV/A noise, "
+    "fine under a thermostat)",
 )
 def md(
     model: str, xyz: str, steps: int, temperature: float, dt_fs: float, cell,
     traj, chunk, save_ckpt, restore_ckpt, ensemble, thermostat, pressure_gpa,
-    conv_precision,
+    precision,
 ) -> None:
     """On-device MD: Langevin NVT by default; --thermostat nve/berendsen,
     --pressure-gpa for Berendsen NPT."""
@@ -200,7 +202,7 @@ def md(
         barostat="berendsen" if pressure_gpa is not None else None,
         # 1 GPa = 6.2415e-3 eV/A^3
         pressure_eV_A3=(pressure_gpa or 0.0) * 6.2415e-3,
-        conv_precision=conv_precision,
+        precision=precision,
     )
     drv = MDDriver(
         params,

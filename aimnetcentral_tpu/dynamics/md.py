@@ -70,12 +70,17 @@ class MDConfig:
     pressure_eV_A3: float = 0.0  # target pressure (1 GPa = 6.2415e-3 eV/A^3)
     barostat_tau_fs: float = 1000.0
     compressibility_eV_A3: float = 73.2  # ~water (4.57e-5 / bar)
-    # conv-kernel MXU precision for the force evals: None = the JAX default
-    # (1-pass bf16 dots, ~7.6e-3 eV/A force noise — fine for thermostatted
-    # MD, the measured-fastest regime) or "f32x3" (hand-split 3x1-pass
-    # dots, ~1e-5-relative forces at ~1.3x step cost — for NVE energy
-    # conservation / drift-sensitive runs; conv_stencil._mxu_dot)
-    conv_precision: str | None = None
+    # force-eval precision tier: None (= "fast", the measured-fastest
+    # regime: 1-pass bf16 dots everywhere, ~7.6e-3 eV/A force noise — fine
+    # for thermostatted MD), "balanced" (exact ambient + hand-split 3x1-pass
+    # conv kernel dots — ~1e-5-relative forces for NVE/drift-sensitive
+    # runs), or "exact" (ambient HIGHEST everywhere, the facade's
+    # validation regime).  Same tier semantics as AIMNet2Calculator
+    # (calculators.calculator.precision_tiers); fixing only the conv
+    # kernels was measured to NOT reduce force noise (8.9e-3 eV/A — the
+    # ambient 1-pass dots outside the kernels dominate), hence a tier, not
+    # a kernel-only knob.
+    precision: str | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -395,43 +400,62 @@ class MDDriver:
         """Per-member energies (E, num_mol) for ensembles, (num_mol,) for a
         single model.  The fused path shares geometry/basis across members
         (models/ensemble_fused.py); per-member energies come out free —
-        the MD observables include on-device uncertainty (``epot_std``)."""
+        the MD observables include on-device uncertainty (``epot_std``).
+
+        The conv-kernel mode applies here; the ambient context additionally
+        wraps the WHOLE grad computation in _force_fn/_force_virial_fn —
+        custom_vjp backward functions (the Pallas adjoint kernels) are
+        traced lazily when the cotangent is pulled, i.e. OUTSIDE any
+        context that only wraps the forward (measured: an exact-tier MD
+        force eval with the context on the forward alone left 1.9e-2 eV/A
+        of 1-pass noise in the backward)."""
+        mm_prec, conv_prec = self._tier()
 
         def e_single(p):
             return aimnet2_apply(
                 p, self.cfg, system, sae_external=True,
-                conv_precision=self.md.conv_precision,
+                conv_precision=conv_prec,
             )["energy"]
 
-        if self.ensemble:
-            if self.ensemble_fused:
-                from aimnetcentral_tpu.models.ensemble_fused import (
-                    aimnet2_apply_ensemble,
-                )
+        with jax.default_matmul_precision(mm_prec):
+            if self.ensemble:
+                if self.ensemble_fused:
+                    from aimnetcentral_tpu.models.ensemble_fused import (
+                        aimnet2_apply_ensemble,
+                    )
 
-                return aimnet2_apply_ensemble(
-                    params, self.cfg, system, sae_external=True,
-                    conv_precision=self.md.conv_precision,
-                )["energy"]
-            return jax.vmap(e_single)(params)
-        return e_single(params)
+                    return aimnet2_apply_ensemble(
+                        params, self.cfg, system, sae_external=True,
+                        conv_precision=conv_prec,
+                    )["energy"]
+                return jax.vmap(e_single)(params)
+            return e_single(params)
 
     def _energy(self, params: Any, system: System) -> Array:
         e = self._energy_members(params, system)
         return e.mean(axis=0) if self.ensemble else e
 
+    def _tier(self) -> tuple[str, str | None]:
+        from aimnetcentral_tpu.calculators.calculator import precision_tiers
+
+        return precision_tiers(self.md.precision or "fast")
+
     def _force_fn(
         self, params: Any, system: System
     ) -> tuple[Array, Array, Array | None]:
         """Forces of the (ensemble-mean) energy; returns the per-molecule
-        potential and, for ensembles, the member spread (UQ observable)."""
+        potential and, for ensembles, the member spread (UQ observable).
+        The tier's ambient context wraps the WHOLE value_and_grad so the
+        lazily-traced custom_vjp backward kernels inherit it too (see
+        _energy_members)."""
 
         def etot(coord):
             e_m = self._energy_members(params, system.replace(coord=coord))
             e = e_m.mean(axis=0) if self.ensemble else e_m
             return e.sum(), e_m
 
-        (_, e_m), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
+        with jax.default_matmul_precision(self._tier()[0]):
+            (_, e_m), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
         if self.ensemble:
             return -g, e_m.mean(axis=0), e_m.std(axis=0)
         return -g, e_m, None
@@ -447,9 +471,10 @@ class MDDriver:
             e = self._energy(params, system.replace(coord=coord, cell=cell))
             return e.sum(), e
 
-        (_, e), (g_c, g_cell) = jax.value_and_grad(
-            etot, argnums=(0, 1), has_aux=True
-        )(system.coord, system.cell)
+        with jax.default_matmul_precision(self._tier()[0]):
+            (_, e), (g_c, g_cell) = jax.value_and_grad(
+                etot, argnums=(0, 1), has_aux=True
+            )(system.coord, system.cell)
         real = (system.numbers > 0)[:, None]
         tr_w = jnp.sum(jnp.where(real, system.coord * g_c, 0.0)) + jnp.einsum(
             "mab,mab->", system.cell, g_cell

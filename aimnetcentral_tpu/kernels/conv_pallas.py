@@ -83,7 +83,20 @@ def _conv_acc_xla(
     scal: Array,  # (1, 4) [eta, rc, ...]
 ) -> Array:
     """XLA twin of the Pallas kernel: identical math, used for the backward
-    pass and as the CPU/interpret reference."""
+    pass and as the CPU/interpret reference.
+
+    The twin's dots follow the ambient matmul precision — EXCEPT when the
+    kernels run the "f32x3" split-dot mode (the "balanced" tier / MD
+    conv_precision knob): there the twin pins HIGHEST so the fallback
+    backward (AIMNET_CONV_BWD=xla) and the K3 second-order tangents are at
+    least as accurate as the ~1e-5 split the user asked for, instead of
+    silently reverting to the ambient (possibly 1-pass) dots."""
+    if st.precision == "f32x3":
+        with jax.default_matmul_precision("highest"):
+            return _conv_acc_xla(
+                dataclasses.replace(st, precision="f32"),
+                a_gmajor, coord_t, shift_cart, mask, nbr, shifts_g, scal,
+            )
     c, g, f, gamma = st.c, st.g, st.f, st.gamma
     eta, rc = scal[0, 0], scal[0, 1]
     eyeg = jnp.eye(gamma, dtype=a_gmajor.dtype)

@@ -141,17 +141,25 @@ def _block_sum_matrix(gamma, width):
     return (row_i % width == col_i).astype(jnp.float32)
 
 
+def _hi_lo(x):
+    """Split f32 into a bf16-exact high part + the bf16-sized residual.
+    The single split shared by _dp_dot and _mxu_dot — hi carries the top 8
+    mantissa bits, lo the next ~8; (hi + lo) represents x to ~2^-17."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return x_hi, x - x_hi
+
+
 def _dp_dot(x, m, dims, pin_default=False):
     """Double-pumped exact-enough dot (see _chain_accumulate): Mosaic's
     default dot truncates f32 operands to one bf16 pass; splitting x into a
     bf16-exact high part + bf16 low part costs two 1-pass dots for ~1e-5
-    relative (m is a 0/1 constant, exact in bf16).
+    relative (m is a 0/1 constant, exact in bf16 — hence one-sided:
+    splitting m would be a no-op).
 
     ``pin_default`` (the f32x3 / "balanced" mode) pins both dots to
     Precision.DEFAULT so the exact calculator surface's ambient HIGHEST
     cannot silently turn them into 2x6 passes."""
-    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    x_lo = x - x_hi
+    x_hi, x_lo = _hi_lo(x)
     prec = jax.lax.Precision.DEFAULT if pin_default else None
     return jax.lax.dot_general(
         x_hi, m, dims, precision=prec, preferred_element_type=jnp.float32
@@ -184,10 +192,8 @@ def _mxu_dot(x, y, dims, mxu_dtype, split3):
             preferred_element_type=jnp.float32,
         )
     dflt = jax.lax.Precision.DEFAULT
-    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    x_lo = x - x_hi
-    y_hi = y.astype(jnp.bfloat16).astype(jnp.float32)
-    y_lo = y - y_hi
+    x_hi, x_lo = _hi_lo(x)
+    y_hi, y_lo = _hi_lo(y)
 
     def d(a, b):
         return jax.lax.dot_general(

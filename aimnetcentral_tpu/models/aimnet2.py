@@ -227,6 +227,33 @@ def _resolve_conv_engine(cfg: AIMNet2Config, conv_engine: str | None) -> str:
     return engine
 
 
+def check_conv_precision(engine: str, conv_precision: str | None) -> None:
+    """Validate a requested conv-kernel precision mode and refuse to drop it
+    SILENTLY: the knob only exists inside the Pallas kernels, and a user who
+    asked for "f32x3" (drift-sensitive MD, the "balanced" facade tier) must
+    hear when the conv runs on the XLA engine instead (non-binned system,
+    molecule-bin layout, capacity > 56, non-TPU backend) — there the conv
+    follows the AMBIENT matmul precision (exact under the facade's
+    "balanced"/"exact" ambient; 1-pass bf16 under MD's default).
+    Trace-time; the warning dedupes per process."""
+    if conv_precision is None:
+        return
+    if conv_precision not in ("f32", "f32x3", "bf16"):
+        raise ValueError(
+            f"conv_precision must be 'f32', 'f32x3' or 'bf16', got "
+            f"{conv_precision!r}"
+        )
+    if engine != "pallas":
+        import warnings
+
+        warnings.warn(
+            f"conv_precision={conv_precision!r} requested but the conv runs "
+            f"on the {engine!r} engine - it follows the ambient matmul "
+            "precision instead",
+            stacklevel=3,
+        )
+
+
 def aimnet2_apply(
     params: dict,
     cfg: AIMNet2Config,
@@ -294,6 +321,7 @@ def aimnet2_apply(
         # Large capacities arise from small boxes (few bins at the
         # radius-1 edge) where the XLA engine is close anyway.
         engine = "xla"
+    check_conv_precision(engine, conv_precision)
 
     for ipass in range(npass):
         if binned:

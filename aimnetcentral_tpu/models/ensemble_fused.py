@@ -137,6 +137,9 @@ def aimnet2_apply_ensemble(
         # same guards as aimnet2_apply: molecule-bin grids have no spatial
         # stencil, and Mosaic fails to lower banded kernels at C >= 64
         engine = "xla"
+    from aimnetcentral_tpu.models.aimnet2 import check_conv_precision
+
+    check_conv_precision(engine, conv_precision)
 
     charges_e = None  # (E, N, c)
     delta_q_log = []

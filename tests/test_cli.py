@@ -286,7 +286,7 @@ def test_cli_freq_ir_thermo(workspace):
 def test_cli_md_nve_and_npt_guard(workspace):
     _d, paths, xyz = workspace
     out = _run(["md", paths[0], xyz, "--steps", "20", "--chunk", "10",
-                "--thermostat", "nve", "--conv-precision", "f32x3"])
+                "--thermostat", "nve", "--precision", "balanced"])
     res = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(res["final_epot_eV"])
     # NPT without a cell is a clear usage error, not a crash

@@ -54,21 +54,25 @@ def test_nve_energy_conservation(model, rng):
     assert e1 == pytest.approx(e0, abs=0.05)  # eV drift over 40 steps
 
 
-def test_md_conv_precision_knob(model, rng):
-    """MDConfig(conv_precision="f32x3") threads through the driver: the MD
-    chunk compiles and steps with finite energies.  (On CPU the XLA conv
-    engine ignores the kernel precision mode; the knob's split-dot numerics
-    are covered by test_pallas_conv.py::test_f32x3_split_precision_option
-    and docs/performance.md's hardware table.)"""
+def test_md_precision_tier(model, rng):
+    """MDConfig(precision="balanced") threads the facade's tier semantics
+    into the MD force evals: ambient HIGHEST + f32x3 conv kernels.  On CPU
+    ambient precisions coincide, so the balanced trajectory must MATCH the
+    (ambient-exact) default-CPU one while the plumbing exercises the full
+    tier path; split-dot hardware numerics are covered by
+    test_pallas_conv.py::test_f32x3_split_precision_option."""
     params, cfg = model
     sys = _pbc_system(rng)
-    drv = MDDriver(
-        params, cfg, sys,
-        MDConfig(dt_fs=0.2, thermostat="nve", temperature_K=50.0,
-                 conv_precision="f32x3"),
-    )
+    cfg_md = dict(dt_fs=0.2, thermostat="nve", temperature_K=50.0)
+    drv = MDDriver(params, cfg, sys, MDConfig(**cfg_md, precision="balanced"))
     obs = drv.run(4, chunk=2)
     assert np.isfinite(obs["epot"]).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="precision"):
+        MDDriver(params, cfg, sys, MDConfig(**cfg_md, precision="f32x3"))._force_fn(
+            params, sys
+        )
 
 
 @pytest.mark.slow
