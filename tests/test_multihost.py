@@ -76,7 +76,10 @@ def test_two_process_metric_allreduce(tmp_path):
     line = next(
         line for line in outs[0][0].splitlines() if line.startswith("RESULT ")
     )
-    got = json.loads(line[len("RESULT "):])
+    # raw_decode: take the first JSON value and ignore anything interleaved
+    # after it on the same line — absl/XLA log writes can share the stdout
+    # line under load (observed once as "Extra data" at the JSON's end)
+    got, _end = json.JSONDecoder().raw_decode(line[len("RESULT "):])
 
     # single-process union reference
     from aimnetcentral_tpu.train.metrics import MetricConfig, RegMultiMetric
