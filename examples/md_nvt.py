@@ -29,6 +29,9 @@ drv = MDDriver(
     loaded.params,
     loaded.cfg,
     system,
+    # precision=None (default) is the fast 1-pass regime; for NVE /
+    # drift-sensitive runs use precision="balanced" (~1e-4 eV/A forces at
+    # 1.38x step cost) or "exact" — docs/dynamics.md has the measured table
     MDConfig(dt_fs=0.5, temperature_K=300.0, thermostat="langevin"),
 )
 t0 = time.time()

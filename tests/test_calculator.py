@@ -391,6 +391,45 @@ def test_ensemble_calculator_fused_matches_map_path(reference_aimnet2, rng):
     assert "forces_std" in s_out or "energy_std" in s_out
 
 
+def test_ensemble_precision_tiers(reference_aimnet2, rng):
+    """EnsembleCalculator honors the precision tier on BOTH eval paths:
+    fused and per-member.  On CPU the ambient precisions coincide, so
+    'balanced' must match 'exact' closely on each path (the tier mapping
+    itself is calculator.precision_tiers — one source of truth); hardware
+    accuracy/throughput live in docs/performance.md.  'bogus' raises."""
+    import torch
+
+    from aimnetcentral_tpu.calculators.calculator import precision_tiers
+    from aimnetcentral_tpu.calculators.ensemble import EnsembleCalculator
+
+    assert precision_tiers("exact") == ("highest", None)
+    assert precision_tiers("balanced") == ("highest", "f32x3")
+    assert precision_tiers("fast") == ("default", None)
+    with pytest.raises(ValueError, match="precision"):
+        precision_tiers("f32x3")  # kernel-mode strings are not tiers
+
+    members = []
+    for seed in (0, 1):
+        torch.manual_seed(seed)
+        model, cfg_yaml = reference_aimnet2("aimnet2.yaml")
+        cfg = config_from_yaml(cfg_yaml)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params, aux = convert_state_dict(sd, cfg)
+        members.append((params, cfg, aux))
+
+    coord, numbers = random_molecule(rng, 8)
+    data = {"coord": coord, "numbers": numbers}
+    for fused in (False, True):
+        ref = EnsembleCalculator.from_members(members, fused=fused)(
+            data, forces=True
+        )
+        bal = EnsembleCalculator.from_members(
+            members, fused=fused, precision="balanced"
+        )(data, forces=True)
+        np.testing.assert_allclose(bal["energy"], ref["energy"], atol=1e-4)
+        np.testing.assert_allclose(bal["forces"], ref["forces"], atol=2e-4)
+
+
 def test_ensemble_calculator_fused_ewald_matches_map_path(reference_aimnet2, rng):
     """fused=True with the EWALD LR method (member-fused phase matrix +
     shared erfc sweep through the calculator facade, round 5) must match the
