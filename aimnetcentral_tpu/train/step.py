@@ -102,13 +102,26 @@ def make_train_step(
     loss: MTLoss,
     optimizer: optax.GradientTransformation,
     with_forces: bool = True,
+    precision: str = "fast",
 ):
     """Build ``step(state, batch, labels) -> (state, metrics)``.
 
     ``batch`` is a System with a leading microbatch axis on every field
     (shard it over ``dp`` before calling); ``labels`` a dict of equally
     stacked arrays (``energy`` (D, num_mol), ``forces`` (D, N, 3), ...).
-    """
+
+    ``precision``: ``"fast"`` (default — 1-pass bf16 MXU dots, the
+    measured-fastest regime; the stochastic-gradient noise floor dwarfs
+    the dot truncation) or ``"exact"`` (ambient-HIGHEST f32 — the
+    analogue of training with TF32 off; the packed/indexed training
+    layouts run the XLA conv engine, where the ambient covers every dot).
+    The context wraps the WHOLE grad computation — custom_vjp backwards
+    trace lazily (see dynamics.md's measured pitfall)."""
+    if precision not in ("fast", "exact"):
+        raise ValueError(
+            f"train precision must be 'fast' or 'exact', got {precision!r}"
+        )
+    ambient = "default" if precision == "fast" else "highest"
 
     def per_microbatch(params, system: System, labels: dict):
         if with_forces:
@@ -141,9 +154,10 @@ def make_train_step(
         return totals.mean(), jax.tree.map(lambda x: x.mean(), comps)
 
     def step(state: TrainState, batch: System, labels: dict):
-        (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, labels
-        )
+        with jax.default_matmul_precision(ambient):
+            (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, labels
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)

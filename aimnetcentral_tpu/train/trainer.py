@@ -67,6 +67,9 @@ class TrainerConfig:
     # block math, zero per-pair gathers — the fast path); "indexed" = flat
     # all-pairs neighbor matrices (the golden-parity twin)
     layout: str = "packed"
+    # matmul tier for the train step: "fast" (1-pass bf16 dots, default) or
+    # "exact" (ambient-HIGHEST f32 — TF32-off analogue; see make_train_step)
+    precision: str = "fast"
 
 
 def save_checkpoint(
@@ -155,7 +158,12 @@ class Trainer:
             params = replicate(mesh, params)
         self.state = init_train_state(params, self.optimizer)
         self.loss = MTLoss(loss_cfg)
-        self._step_fn = jax.jit(make_train_step(cfg, self.loss, self.optimizer, tcfg.with_forces))
+        self._step_fn = jax.jit(
+            make_train_step(
+                cfg, self.loss, self.optimizer, tcfg.with_forces,
+                precision=tcfg.precision,
+            )
+        )
         self._eval_fn = None
         self._lr = tcfg.learning_rate
         self._best_val = float("inf")
@@ -236,7 +244,10 @@ class Trainer:
             return {}
         if self._eval_fn is None:
             loss = self.loss
-            step = make_train_step(self.cfg, loss, self.optimizer, self.tcfg.with_forces)
+            step = make_train_step(
+                self.cfg, loss, self.optimizer, self.tcfg.with_forces,
+                precision=self.tcfg.precision,
+            )
             # reuse per-microbatch prediction path via the loss value only
             from aimnetcentral_tpu.models.aimnet2 import aimnet2_apply
 

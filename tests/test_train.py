@@ -118,6 +118,38 @@ def test_trainer_loss_decreases(rng, tmp_path):
     assert "energy_mae" in h[-1]
 
 
+def test_train_step_precision_tier(rng, tmp_path):
+    """TrainerConfig(precision="exact") wraps the whole train-step grad in
+    the ambient-HIGHEST context (TF32-off analogue).  On CPU the ambient
+    tiers coincide, so one exact-step must reproduce the fast-step update;
+    invalid values raise up front."""
+    import jax
+
+    from aimnetcentral_tpu.train.step import make_train_step
+
+    ds = _synthetic_ds(rng)
+    cfg = _tiny_cfg()
+    params = aimnet2_init(jax.random.key(0), cfg)
+    loss_cfg = LossConfig(
+        terms=(LossTerm(kind="energy", key_pred="energy", key_true="energy"),)
+    )
+    tcfg = TrainerConfig(
+        max_epochs=1, batch_size=12, with_forces=False, precision="exact",
+    )
+    trainer = Trainer(cfg, params, ds, tcfg=tcfg, loss_cfg=loss_cfg)
+    out = trainer.fit()
+    assert np.isfinite(out["history"][-1]["train_loss"])
+
+    from aimnetcentral_tpu.train.loss import MTLoss
+    from aimnetcentral_tpu.train.step import make_optimizer
+
+    with pytest.raises(ValueError, match="precision"):
+        make_train_step(
+            cfg, MTLoss(loss_cfg), make_optimizer(learning_rate=1e-3),
+            precision="balanced",  # only fast/exact exist for training
+        )
+
+
 def test_export_roundtrip(rng, tmp_path):
     import jax
 
