@@ -902,10 +902,21 @@ class SpatialMDDriver:
     # -- jitted pieces ------------------------------------------------------
 
     def _force(self, coord, numbers, charge, cell):
+        """Sharded forces under the MDConfig precision tier's AMBIENT
+        context (same semantics as dynamics/md.MDDriver; the context wraps
+        the whole value_and_grad so lazily-traced backward rules inherit
+        it).  The shard-local conv runs its own engine, so the "balanced"
+        tier behaves as "exact" here — at least as accurate as asked."""
+        from aimnetcentral_tpu.calculators.calculator import precision_tiers
+
         mult = self.system.mult
-        e, g = jax.value_and_grad(
-            lambda c: self.efn(self.params, c, numbers, charge, cell, mult)
-        )(coord)
+        mm_prec, _conv = precision_tiers(
+            getattr(self.md, "precision", None) or "fast"
+        )
+        with jax.default_matmul_precision(mm_prec):
+            e, g = jax.value_and_grad(
+                lambda c: self.efn(self.params, c, numbers, charge, cell, mult)
+            )(coord)
         return -g, e
 
     def _make_chunk(self, n_steps: int):

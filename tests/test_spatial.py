@@ -277,6 +277,16 @@ def test_spatial_md_matches_single_device_nve(case):
     out = drv.run(4, chunk=2)
     np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
 
+    # the MDConfig precision tier threads into the sharded force eval too
+    # (ambient semantics; on CPU tiers coincide -> identical trace)
+    md_x = MDConfig(
+        dt_fs=0.2, temperature_K=1e-6, thermostat="nve", skin=1.0,
+        precision="exact",
+    )
+    drv_x = SpatialMDDriver(params, cfg, sysb, md_x, n_sp=2)
+    out_x = drv_x.run(4, chunk=2)
+    np.testing.assert_allclose(out_x["epot"], ref_epots, rtol=1e-6, atol=1e-5)
+
 
 @pytest.fixture(scope="module")
 def case_full():
