@@ -61,6 +61,23 @@ def precision_tiers(precision: str) -> tuple[str, str | None]:
     )
 
 
+def ambient_matmul_context(matmul_precision: str):
+    """Context manager for a tier's ambient matmuls.
+
+    HIGHEST tiers pin the context; the "default" tier returns a NULL
+    context, so fast-mode MD/spatial/training callers keep inheriting any
+    user-set global or enclosing precision — the standard
+    ``jax.config.update("jax_default_matmul_precision", ...)`` escape
+    hatch stays live.  (The facade's fast tier is the one place that
+    explicitly pins "default" — it has its own ``AIMNET_MATMUL_PRECISION``
+    override, derivatives._resolve_precision.)"""
+    import contextlib
+
+    if matmul_precision == "default":
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(matmul_precision)
+
+
 def _warn_ewald_above_limit(n_total: int) -> None:
     """Actionable guidance instead of an opaque compile/HBM failure: the
     exact-Ewald (N, K) phase matrix outgrows device memory near ~30k atoms

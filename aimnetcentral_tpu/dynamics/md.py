@@ -417,7 +417,7 @@ class MDDriver:
                 conv_precision=conv_prec,
             )["energy"]
 
-        with jax.default_matmul_precision(mm_prec):
+        with self._ambient(mm_prec):
             if self.ensemble:
                 if self.ensemble_fused:
                     from aimnetcentral_tpu.models.ensemble_fused import (
@@ -440,6 +440,17 @@ class MDDriver:
 
         return precision_tiers(self.md.precision or "fast")
 
+    @staticmethod
+    def _ambient(mm_prec: str):
+        """Ambient context for the tier: HIGHEST tiers pin; the fast tier
+        is a null context, so the step inherits any user-set global
+        jax_default_matmul_precision (the pre-tier behavior)."""
+        from aimnetcentral_tpu.calculators.calculator import (
+            ambient_matmul_context,
+        )
+
+        return ambient_matmul_context(mm_prec)
+
     def _force_fn(
         self, params: Any, system: System
     ) -> tuple[Array, Array, Array | None]:
@@ -454,7 +465,7 @@ class MDDriver:
             e = e_m.mean(axis=0) if self.ensemble else e_m
             return e.sum(), e_m
 
-        with jax.default_matmul_precision(self._tier()[0]):
+        with self._ambient(self._tier()[0]):
             (_, e_m), g = jax.value_and_grad(etot, has_aux=True)(system.coord)
         if self.ensemble:
             return -g, e_m.mean(axis=0), e_m.std(axis=0)
@@ -471,7 +482,7 @@ class MDDriver:
             e = self._energy(params, system.replace(coord=coord, cell=cell))
             return e.sum(), e
 
-        with jax.default_matmul_precision(self._tier()[0]):
+        with self._ambient(self._tier()[0]):
             (_, e), (g_c, g_cell) = jax.value_and_grad(
                 etot, argnums=(0, 1), has_aux=True
             )(system.coord, system.cell)

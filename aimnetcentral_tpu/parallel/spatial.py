@@ -907,13 +907,17 @@ class SpatialMDDriver:
         the whole value_and_grad so lazily-traced backward rules inherit
         it).  The shard-local conv runs its own engine, so the "balanced"
         tier behaves as "exact" here — at least as accurate as asked."""
-        from aimnetcentral_tpu.calculators.calculator import precision_tiers
+        from aimnetcentral_tpu.calculators.calculator import (
+            ambient_matmul_context,
+            precision_tiers,
+        )
 
         mult = self.system.mult
         mm_prec, _conv = precision_tiers(
             getattr(self.md, "precision", None) or "fast"
         )
-        with jax.default_matmul_precision(mm_prec):
+        # fast = null context (inherits any user-set global precision)
+        with ambient_matmul_context(mm_prec):
             e, g = jax.value_and_grad(
                 lambda c: self.efn(self.params, c, numbers, charge, cell, mult)
             )(coord)

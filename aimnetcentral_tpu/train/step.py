@@ -97,6 +97,27 @@ def get_learning_rate(opt_state: Any) -> float | None:
     return lr[0] if lr else None
 
 
+def ambient_for(precision: str) -> str:
+    """Training precision tier -> ambient matmul precision, derived from
+    :func:`calculators.calculator.precision_tiers` (the single source of
+    the tier mapping).  Only the fast/exact subset exists for training
+    (the packed/indexed layouts run the XLA conv engine, where the
+    ambient covers every dot; "balanced" has no kernel to split)."""
+    if precision not in ("fast", "exact"):
+        raise ValueError(
+            f"train precision must be 'fast' or 'exact', got {precision!r}"
+        )
+    from aimnetcentral_tpu.calculators.calculator import precision_tiers
+
+    return precision_tiers(precision)[0]
+
+
+def _ambient_ctx(ambient: str):
+    from aimnetcentral_tpu.calculators.calculator import ambient_matmul_context
+
+    return ambient_matmul_context(ambient)
+
+
 def make_train_step(
     cfg: AIMNet2Config,
     loss: MTLoss,
@@ -117,11 +138,7 @@ def make_train_step(
     layouts run the XLA conv engine, where the ambient covers every dot).
     The context wraps the WHOLE grad computation — custom_vjp backwards
     trace lazily (see dynamics.md's measured pitfall)."""
-    if precision not in ("fast", "exact"):
-        raise ValueError(
-            f"train precision must be 'fast' or 'exact', got {precision!r}"
-        )
-    ambient = "default" if precision == "fast" else "highest"
+    ambient = ambient_for(precision)
 
     def per_microbatch(params, system: System, labels: dict):
         if with_forces:
@@ -154,7 +171,7 @@ def make_train_step(
         return totals.mean(), jax.tree.map(lambda x: x.mean(), comps)
 
     def step(state: TrainState, batch: System, labels: dict):
-        with jax.default_matmul_precision(ambient):
+        with _ambient_ctx(ambient):
             (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, labels
             )

@@ -244,12 +244,13 @@ class Trainer:
             return {}
         if self._eval_fn is None:
             loss = self.loss
-            step = make_train_step(
-                self.cfg, loss, self.optimizer, self.tcfg.with_forces,
-                precision=self.tcfg.precision,
+            from aimnetcentral_tpu.calculators.calculator import (
+                ambient_matmul_context,
             )
-            # reuse per-microbatch prediction path via the loss value only
             from aimnetcentral_tpu.models.aimnet2 import aimnet2_apply
+            from aimnetcentral_tpu.train.step import ambient_for
+
+            ambient = ambient_for(self.tcfg.precision)
 
             def eval_batch(params, batch, labels):
                 def per_mb(system, lab):
@@ -265,7 +266,12 @@ class Trainer:
                     total, _ = loss(pred, lab, system)
                     return total, pred
 
-                totals, preds = jax.vmap(per_mb)(batch, labels)
+                # validation runs at the SAME precision tier as training —
+                # checkpoint selection and plateau scheduling read these
+                # metrics (a fast-tier eval next to an exact-tier train
+                # step would pick checkpoints on noisier numbers)
+                with ambient_matmul_context(ambient):
+                    totals, preds = jax.vmap(per_mb)(batch, labels)
                 return totals.mean(), preds
 
             self._eval_fn = jax.jit(eval_batch)

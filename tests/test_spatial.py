@@ -278,14 +278,30 @@ def test_spatial_md_matches_single_device_nve(case):
     np.testing.assert_allclose(out["epot"], ref_epots, rtol=1e-6, atol=1e-5)
 
     # the MDConfig precision tier threads into the sharded force eval too
-    # (ambient semantics; on CPU tiers coincide -> identical trace)
+    # (ambient_matmul_context inside SpatialMDDriver._force).  A second
+    # full driver run would recompile the whole sharded graph to verify a
+    # CPU no-op, so assert the tier resolution + context machinery at the
+    # unit level instead (the e2e wrap pattern is identical to MDDriver's,
+    # covered by tests/test_dynamics.py::test_md_precision_tier).
+    import contextlib
+
+    from aimnetcentral_tpu.calculators.calculator import (
+        ambient_matmul_context,
+        precision_tiers,
+    )
+
     md_x = MDConfig(
         dt_fs=0.2, temperature_K=1e-6, thermostat="nve", skin=1.0,
         precision="exact",
     )
-    drv_x = SpatialMDDriver(params, cfg, sysb, md_x, n_sp=2)
-    out_x = drv_x.run(4, chunk=2)
-    np.testing.assert_allclose(out_x["epot"], ref_epots, rtol=1e-6, atol=1e-5)
+    drv_x = SpatialMDDriver(params, cfg, sysb, md_x, n_sp=2)  # ctor is cheap
+    assert precision_tiers(drv_x.md.precision)[0] == "highest"
+    assert not isinstance(
+        ambient_matmul_context("highest"), contextlib.nullcontext
+    )
+    assert isinstance(
+        ambient_matmul_context("default"), contextlib.nullcontext
+    )
 
 
 @pytest.fixture(scope="module")

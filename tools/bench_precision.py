@@ -67,30 +67,41 @@ def _md(cfg, params, coord, numbers, cell):
         build_nbmat=False,
     )
     drv0 = None
-    ref = np.asarray(
-        AIMNet2Calculator((params, cfg, {"sae": {}})).eval(
-            {"coord": coord_eq, "numbers": numbers_b[real], "cell": cell},
-            forces=True,
-        )["forces"]
-    )
+    exact_calc = AIMNet2Calculator((params, cfg, {"sae": {}}))
     for prec in (None, "balanced", "exact"):
         md = MDConfig(
             dt_fs=0.5, temperature_K=300.0, thermostat="langevin", skin=0.3,
             precision=prec,
         )
         drv = MDDriver(params, cfg, system_eq, md)
-        # driver-frame -> caller-frame forces via the carried atom_id map
-        f_md = np.asarray(drv.state.forces)
-        nb = np.asarray(drv.state.system.numbers)
-        f_compact = np.zeros_like(ref)
-        aid = np.asarray(drv.state.atom_id)
-        m = nb > 0
-        f_compact[aid[m]] = f_md[m]
-        err = float(np.abs(f_compact - ref).max())
+        # run FIRST: forces prime through the chunk executable (reading
+        # .state before run() would compile a second standalone force graph
+        # per tier — dynamics/md.py's documented cold-start cost); the
+        # velocity-Verlet carry leaves state.forces at the final coords
         drv.run(25, chunk=25)
         t0 = time.time()
         drv.run(100, chunk=25)
         sps = 100 / (time.time() - t0)
+        # driver-frame -> caller-frame forces via the carried atom_id map,
+        # compared against an exact facade eval AT the evolved geometry
+        st = drv.state
+        nb = np.asarray(st.system.numbers)
+        m = nb > 0
+        aid = np.asarray(st.atom_id)
+        n_real = int(m.sum())
+        coord_now = np.zeros((n_real, 3), np.float32)
+        coord_now[aid[m]] = np.asarray(st.coord)[m]
+        f_compact = np.zeros((n_real, 3), np.float32)
+        f_compact[aid[m]] = np.asarray(st.forces)[m]
+        numbers_now = np.zeros((n_real,), nb.dtype)
+        numbers_now[aid[m]] = nb[m]
+        ref = np.asarray(
+            exact_calc.eval(
+                {"coord": coord_now, "numbers": numbers_now, "cell": cell},
+                forces=True,
+            )["forces"]
+        )
+        err = float(np.abs(f_compact - ref).max())
         print(
             f"MD     {str(prec):9s} {sps:5.2f} steps/s  "
             f"dF_vs_exact {err:.2e} eV/A",
